@@ -1,0 +1,175 @@
+"""Aggregations — absent from the reference (only ``len(df)``, app.py:196).
+
+North-star set NS2 (SURVEY §2.5): hash aggregation (TPC-H Q1 shape),
+distinct counts, rollup/cube, pivot, approximate distinct.
+
+Scale notes: every groupBy here is a partial (map-side) aggregation
+followed by one hash shuffle on the grouping key — the canonical 100 TB
+shape. Money sums accumulate in exact decimal (functions/numeric.py) so
+results are order-independent and hash-match the DuckDB oracle.
+``approx_count_distinct`` (HLL) is the scale path when an exact distinct
+would force a per-key dedup shuffle of raw values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.functions.numeric import dec_avg, dec_sum
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation over lineitem (NS2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type (NS2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the 100 TB path (rows-only check;
+    HLL estimates are implementation-specific, so no DuckDB oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over returnflag, linestatus (NS2): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over orderstatus × orderpriority (NS2): all grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice", "sum_price"), F.count("*").alias("n_orders"))
+    )
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag (NS2).
+
+    Explicit pivot values keep the plan to one pass (no distinct-values
+    pre-query) — the right call at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+        .na.fill(0, ["n_open", "n_finished"])
+    )
+
+
+def minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count per group — exact regardless of fp order (NS2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUERIES = {
+    "group_agg": group_agg,
+    "distinct_count": distinct_count,
+    "approx_distinct": approx_distinct,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "pivot_agg": pivot_agg,
+    "minmax_agg": minmax_agg,
+}
+
+_Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
+
+ORACLE = {
+    "group_agg": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_Q1_DEC.format(x='l_quantity')} AS sum_qty,
+               {_Q1_DEC.format(x='l_extendedprice')} AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               {_Q1_DEC.format(x='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+               {_Q1_DEC.format(x='l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+               {_Q1_DEC.format(x='l_discount')} / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "distinct_count": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "pivot_agg": """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "minmax_agg": """
+        SELECT l_returnflag,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

@@ -1,0 +1,146 @@
+"""Joins — absent from the reference (SURVEY §2.5 NS1), built Spark-first.
+
+Strategy per join, chosen for 100 TB:
+
+- fact ⋈ fact (orders⋈customer, lineitem⋈orders): sort-merge / shuffle
+  hash on the key — Catalyst + AQE pick; both sides shuffle once. At
+  lake scale these would be bucketed on the join key to skip the shuffle.
+- fact ⋈ dim (nation, region, supplier): explicit ``broadcast()`` — the
+  dim side is KBs even at 100 TB fact scale, so the join is a map-side
+  hash probe with zero shuffle of the big side.
+- semi/anti: ``left_semi`` / ``left_anti`` — Spark never materializes
+  the probe side's payload columns, unlike an EXISTS rewrite by hand.
+- star: chained broadcasts over the dim spine; only the lineitem⋈orders
+  edge shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.functions.numeric import dec_sum
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer (NS1)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join nation⋈region: dim side ships to every task (NS1)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order count may be 0 (NS1)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers that have at least one order (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: revenue by region (NS1).
+
+    lineitem⋈orders shuffles on orderkey; customer joins on custkey;
+    nation and region broadcast. Revenue accumulates in exact decimal
+    (functions/numeric.py) so the hash matches the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    net = (price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("net")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), net)
+        .groupBy("region_name")
+        .agg(
+            F.sum("net").cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_broadcast": join_broadcast,
+    "join_left": join_left,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_star": join_star,
+}
+
+ORACLE = {
+    "join_inner": """
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "join_left": """
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_star": """
+        SELECT r_name AS region_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}

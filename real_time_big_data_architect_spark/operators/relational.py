@@ -1,0 +1,136 @@
+"""Scans, projections, filters, sorts, limits — the reference's core surface.
+
+Reference parity (SURVEY.md §2.1/§2.3): projection (A1, app.py:96-102),
+count (A3, app.py:196), equality filter + project (A4, app.py:204-205),
+drop-null filter (A6, app.py:211), sort-desc + top-1 (A7, app.py:211,217),
+last-k tail (A8, app.py:287), source-side limit pushdown (S4,
+app.py:42,45,48).
+
+Scale notes: every query here is a single parquet scan with
+filter/projection pushed into the reader (verify via
+``.explain`` → ``PushedFilters`` / ``ReadSchema``), no shuffle except
+the global sort-limit queries, which Spark executes as per-partition
+top-K + single-reduce (TakeOrderedAndProject) — O(K) driver memory even
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + range predicate, both pushed to the parquet scan (A1/S4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record count (A3: ``len(df)``, app.py:196)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.count("*").alias("n_rows"))
+
+
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter + projection (A4: ``df.loc[df.asset=='bitcoin','usd']``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-null filter (A6: ``df.dropna(subset=['mag'])``, app.py:211)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.na.drop(subset=["value"]).select("event_id", "event_type", "value")
+
+
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a date column (north-star NS; pushdown-checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    )
+
+
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-desc + top-1 / argmax (A7: latest quake, app.py:211).
+
+    event_id is a deterministic tiebreak so the oracle hash is stable.
+    Physical plan: TakeOrderedAndProject (per-partition heap + driver
+    merge), no full sort even on a 100 TB scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+def lastk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-30-by-time window for charting (A8: ``.tail(30)``, app.py:287)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(30)
+        .select("event_id", "ts", "value")
+    )
+
+
+QUERIES = {
+    "scan_project": scan_project,
+    "count_rows": count_rows,
+    "filter_eq": filter_eq,
+    "filter_notnull": filter_notnull,
+    "filter_range": filter_range,
+    "topk_order_limit": topk_order_limit,
+    "lastk_tail": lastk_tail,
+}
+
+ORACLE = {
+    "scan_project": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    "count_rows": "SELECT COUNT(*) AS n_rows FROM events",
+    "filter_eq": """
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "filter_notnull": """
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE value IS NOT NULL
+    """,
+    "filter_range": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    "topk_order_limit": """
+        SELECT event_id, ts, event_type, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 1
+    """,
+    "lastk_tail": """
+        SELECT event_id, ts, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 30
+    """,
+}

@@ -1,0 +1,190 @@
+"""Scalar-function operators: timestamp, string, numeric, JSON (SURVEY §2.3).
+
+Reference parity: epoch-ms → formatted timestamp (N5, app.py:127), string
+concat with scalar broadcast (N9, app.py:172), string-encoded numerics
+re-cast at use sites (N10/N11 + A5, app.py:204-205), numeric formatting
+(A10, app.py:206,218,225), the whole JSON-normalization pipeline
+(app.py:84-189) → ``get_json_object``.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (N5, app.py:127)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month extraction + group count (north-star date functions)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .groupBy("o_year", "o_month")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat carrying a scalar into each row (N9: f"{base}/{k}", app.py:172)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat_ws(
+            "/", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("pair"),
+    )
+
+
+def string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/like over customer names (north-star strings)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment").like("%ING%"))  # BUILDING
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("segment_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+        )
+    )
+
+
+def number_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-digits formatting (A10: f"${btc:,.0f}", app.py:206).
+
+    floor() before the integer cast keeps Spark (truncating cast) and
+    DuckDB (rounding cast) on the same value.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_number(F.floor("c_acctbal").cast("bigint"), 0).alias("acctbal_fmt"),
+    )
+
+
+def cast_str_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-encoded numeric → double (A5/N10/N11, app.py:204-205).
+
+    events.props is a JSON string '{"k": <int>}'; the extracted value is a
+    string, cast to double at the analytics layer exactly like the
+    reference casts ISS lat/long and the Binance price.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k_value"),
+    )
+
+
+def math_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expression per row (north-star: l_extendedprice*(1-l_discount)).
+
+    The product is computed in exact decimal so the value-hash matches the
+    oracle bit-for-bit (see functions/numeric.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double")).alias(
+            "net_price"
+        ),
+    )
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation (the app.py:84-189 analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES = {
+    "ts_format": ts_format,
+    "date_parts": date_parts,
+    "string_concat": string_concat,
+    "string_fns": string_fns,
+    "number_format": number_format,
+    "cast_str_double": cast_str_double,
+    "math_expr": math_expr,
+    "json_extract": json_extract,
+}
+
+ORACLE = {
+    "ts_format": """
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM events
+    """,
+    "date_parts": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(month(o_orderdate) AS INT) AS o_month,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    "string_concat": """
+        SELECT event_id, event_type || '/' || CAST(user_id AS VARCHAR) AS pair
+        FROM events
+    """,
+    "string_fns": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS segment_lower,
+               substring(c_name, 1, 8) AS name_prefix,
+               CAST(length(c_name) AS INT) AS name_len
+        FROM customer
+        WHERE c_mktsegment LIKE '%ING%'
+    """,
+    "number_format": """
+        SELECT c_custkey, format('{:,}', CAST(floor(c_acctbal) AS BIGINT)) AS acctbal_fmt
+        FROM customer
+    """,
+    "cast_str_double": """
+        SELECT event_id, CAST(props->>'$.k' AS DOUBLE) AS k_value
+        FROM events
+    """,
+    "math_expr": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS net_price
+        FROM lineitem
+    """,
+    "json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+               MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+}

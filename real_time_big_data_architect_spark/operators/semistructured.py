@@ -1,0 +1,84 @@
+"""Semi-structured shapes: explode, map→rows pivot, unpivot (SURVEY §2.2).
+
+Reference parity: nested-array explode with parent key carried down (N2,
+app.py:90-103), map→rows pivot over dynamic keys (N4 coingecko
+app.py:115-118, N9 fx_rates app.py:168-173), stack/unpivot for chart
+series (S7/A11).
+
+Scale notes: explode is a generator inside whole-stage codegen — no
+shuffle; the row-count amplification is what matters at 100 TB (explode
+early only when the downstream agg needs word granularity; otherwise
+project first so the generator runs on pruned columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with the parent key carried down (N2 analog).
+
+    documents.text → words; doc_id rides along exactly like openaq's
+    ``city`` is carried into each exploded measurement row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+
+
+def map_entries_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map → rows pivot: dynamic JSON keys become rows (N4/N9 analog).
+
+    ``from_json`` to ``MapType`` then ``explode(map_entries(...))`` —
+    the coingecko '{asset: {usd: …}}' pattern on the events.props column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id", F.explode(m).alias("prop_key", "prop_value")
+    )
+
+
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot via stack() (N4 'Spark primitive', SURVEY §2.2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice)"
+        " AS (measure, measure_value)",
+    )
+
+
+QUERIES = {
+    "explode_nested": explode_nested,
+    "map_entries_pivot": map_entries_pivot,
+    "unpivot_stack": unpivot_stack,
+}
+
+ORACLE = {
+    "explode_nested": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    """,
+    "map_entries_pivot": """
+        SELECT e.event_id, je.key AS prop_key, CAST(je.value AS BIGINT) AS prop_value
+        FROM events e, json_each(e.props) je
+    """,
+    "unpivot_stack": """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               l_quantity AS measure_value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+               l_extendedprice AS measure_value
+        FROM lineitem
+    """,
+}

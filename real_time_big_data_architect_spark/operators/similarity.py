@@ -1,0 +1,200 @@
+"""Embedding similarity search (north star NS6b).
+
+Absent from the reference; first-class here for training-data pipelines:
+
+- **brute-force cosine top-k** — the exactness baseline. The dot product
+  is a JVM-side ``aggregate(zip_with(...))`` over the two arrays (no
+  Python), query vectors broadcast, then per-query top-k via window.
+  At 100 TB the corpus side streams through one codegen stage; only
+  (query_id, vec_id, score) rows — not vectors — reach the top-k shuffle.
+- **LSH-bucketed ANN** — random-hyperplane (signed projection) bucket
+  per vector; candidates only within matching buckets. The scale path:
+  turns all-pairs O(N·Q) into per-bucket joins. Deterministic planes
+  derived from xxhash64 so results are reproducible with no stored model.
+- **per-label centroids** — posexplode + avg by (label, dim): the
+  "cluster centroid" aggregation used by IVF-style indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+DIM = 64
+TOP_K = 5
+N_QUERIES = 10  # first 10 vec_ids serve as the query set
+N_PLANES = 8  # LSH: 8 hyperplanes → 256 buckets
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array<float> columns (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries × corpus, window top-k per query.
+
+    The query set (10 vectors) broadcasts; the corpus scan computes
+    score rows in one codegen stage; row_number keeps k per query.
+    Rows-only check: fp cosine ordering is engine-specific at ties.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def _lsh_bucket(emb_col):
+    """Random-hyperplane LSH bucket id (0..2^N_PLANES-1), deterministic.
+
+    Plane p's component for dimension d = xxhash64(p:d) scaled to
+    [-1, 1]; bucket bit p = sign of the projection. Pure expressions —
+    reproducible anywhere, nothing to persist.
+    """
+    def _plane_weight(p: int):
+        def weight(x, d):
+            h = F.xxhash64(F.concat_ws(":", F.lit(str(p)), d.cast("string")))
+            return x.cast("double") * ((h % 10001).cast("double") / 10000.0)
+
+        return weight
+
+    bucket = None
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(emb_col, F.sequence(F.lit(0), F.lit(DIM - 1)), _plane_weight(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: cosine top-k restricted to matching LSH buckets.
+
+    Same output shape as cosine_topk but the join is bucket-equi —
+    at scale each query probes ~1/256 of the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket(F.col("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: posexplode to (label, dim, component), avg.
+
+    Sums accumulate in exact decimal so the result hash-matches the
+    DuckDB oracle (order-independent).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "component"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("component").cast("decimal(30,10)")).cast("double")
+                / F.count("component")
+            ).alias("centroid_component"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+def knn_count_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many of each query's 5 nearest neighbours share its label —
+    the retrieval-quality probe over the ANN output (rows-only)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = cosine_topk(spark, sf_dir)
+    q_label = e.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "query_label"
+    )
+    n_label = e.withColumnRenamed("label", "neighbor_label")
+    return (
+        topk.join(F.broadcast(q_label), "query_id")
+        .join(n_label, "vec_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum(
+                (F.col("neighbor_label") == F.col("query_label")).cast("int")
+            ).alias("n_same_label")
+        )
+    )
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,  # rows-only: fp tie-ordering is engine-specific
+    "ann_lsh_topk": ann_lsh_topk,  # rows-only
+    "label_centroids": label_centroids,
+    "knn_count_per_label": knn_count_per_label,  # rows-only
+}
+
+ORACLE = {
+    "label_centroids": """
+        SELECT label,
+               CAST(u.ord - 1 AS INT) AS dim,
+               CAST(SUM(CAST(u.component AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(u.component) AS centroid_component,
+               COUNT(*) AS n_vectors
+        FROM embeddings,
+             unnest(embedding) WITH ORDINALITY AS u(component, ord)
+        GROUP BY label, dim
+    """,
+}

@@ -1,0 +1,171 @@
+"""Text-analysis operators for training-data pipelines (north star NS6c).
+
+Absent from the reference; all hot paths are built-in expressions
+(split/explode/length/regexp) inside whole-stage codegen — the only
+Python is the language-ID scorer, and even that is a vectorized
+Pandas UDF over Arrow batches, not per-row Python.
+
+- word count / top words (tokenize → explode → groupBy)
+- per-language corpus stats
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- quality scoring: length / punctuation ratio / stopword ratio /
+  mean word length — the standard cheap quality gates
+- language ID: n-gram frequency heuristic (deterministic, stubbed
+  profile table — the container has no langid lib; the Spark-side
+  plumbing is real and tested)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_big_data_architect_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → word count (NS6c). Full word histogram;
+    deterministic because no limit is applied."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, chars, tokens (NS6c)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return (
+        d.select("lang", "n_chars", toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per doc: whitespace words + a BPE-ish estimate.
+
+    The subword estimate is ceil(chars/4) — the public
+    rule-of-thumb for byte-pair-encoded English (~4 chars/token);
+    computed as an exact integer expression in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        ((F.col("n_chars") + 3) / 4).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality gates: length, stopword ratio, mean word length.
+
+    Ratios are exact decimal divisions cast to double so the hash
+    matches the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda wd: wd.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+        (
+            (F.length("text") - n_words + 1).cast("double") / n_words.cast("double")
+        ).alias("mean_word_len"),
+        (F.col("n_chars") >= 100).alias("len_ok"),
+    )
+
+
+_LANG_PROFILES = {
+    # deterministic stub profiles: most-frequent words per language.
+    # A production system would ship real n-gram profiles; the Spark
+    # plumbing (broadcast dict + Arrow-batched pandas_udf) is the same.
+    "en": {"the", "and", "of", "to", "is"},
+    "de": {"der", "die", "und", "das", "ist"},
+    "es": {"el", "la", "de", "que", "es"},
+    "fr": {"le", "la", "et", "les", "des"},
+    "zh": {"的", "是", "了", "在", "我"},
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic as a vectorized Pandas UDF (NS6c).
+
+    Scores each profile by hit count over the doc's words; emits the
+    argmax (ties → 'en' by fixed profile order). Arrow-batched — the
+    UDF sees pandas Series, not rows.
+    """
+    profiles = list(_LANG_PROFILES.items())
+
+    @F.pandas_udf(T.StringType())
+    def detect(texts: pd.Series) -> pd.Series:
+        def best(text: str) -> str:
+            words = set(text.split(" ")[:200])
+            scores = [(lang, len(words & prof)) for lang, prof in profiles]
+            return max(scores, key=lambda kv: kv[1])[0]
+
+        return texts.map(best)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", detect("text").alias("detected_lang"))
+
+
+QUERIES = {
+    "text_wordcount": text_wordcount,
+    "text_stats": text_stats,
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "lang_id": lang_id,  # rows-only: heuristic UDF, not SQL-expressible
+}
+
+ORACLE = {
+    "text_wordcount": """
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    """,
+    "text_stats": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(floor((n_chars + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+                    AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               n_chars >= 100 AS len_ok
+        FROM documents
+    """,
+}

@@ -1,0 +1,67 @@
+"""Declared workload: merged QUERIES/ORACLE registries (driver contract).
+
+Every operator module contributes its declared queries and DuckDB
+oracles; ``__spark_entry__.py`` re-exports these. Keys without an oracle
+entry get the driver's weaker rows-only check (streaming semantics,
+UDF-backed heuristics, fp-tie-sensitive top-k).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from real_time_big_data_architect_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    relational,
+    scalars,
+    semistructured,
+    setops,
+    similarity,
+    text,
+    windows,
+)
+from real_time_big_data_architect_spark.streaming import stateful, time_windows
+
+_MODULES = (
+    relational,
+    scalars,
+    semistructured,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    time_windows,
+    stateful,
+)
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query for ``entry(spark)``: the TPC-H-Q1-shaped hash agg
+    (SURVEY §7 M1) — the reference's analytics shape at engine scale."""
+    return aggregates.group_agg(spark, sf_dir)

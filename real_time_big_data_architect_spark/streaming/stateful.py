@@ -1,0 +1,166 @@
+"""True Structured Streaming ports: watermarks, streaming dedup,
+per-key state (north star NS5). All declared rows-only — streaming
+emission semantics have no DuckDB twin.
+
+Each declared query drives a real streaming query to completion
+(file source over the fixture parquet → availableNow trigger → memory
+sink) and returns the sink table, so the driver's rows-check exercises
+the actual streaming engine, not a batch stand-in.
+
+Scale notes: state lives in the executor state store (RocksDB-backed in
+production); watermarks bound it. ``applyInPandasWithState`` receives
+Arrow batches per key group — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from real_time_big_data_architect_spark.tables import (
+    EVENTS_RAW_SCHEMA,
+    _events_ts_to_timestamp,
+    table_path,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The fixture stores ts as parquet TIMESTAMP(NANOS); like the batch
+    reader (tables.py) we read long nanos and convert to µs timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return _events_ts_to_timestamp(raw)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming query to completion into a memory sink."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts (NS5: watermark + late data).
+
+    10-minute watermark; append mode emits only finalized windows —
+    the streaming-semantics twin of time_windows.tumbling_window_agg.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark horizon (NS5).
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    window — bounded memory on an unbounded stream.
+    """
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _per_user_counter(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user counters held in group state across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running counters via
+    ``applyInPandasWithState`` (NS5 'stateful ops')."""
+    ev = _events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        _per_user_counter,
+        outputStructType=_STATE_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(counts, "update")
+
+
+def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port of the reference's 60 s poll loop (app.py:37).
+
+    Each micro-batch is one "tick": re-read the source snapshot,
+    normalize, overwrite the latest view — stateless
+    latest-snapshot-wins, exactly the reference's semantics
+    (SURVEY §3.2). Tested with availableNow; production uses
+    ``trigger(processingTime='60 seconds')``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        _events_ts_to_timestamp(
+            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+                table_path(sf_dir, "events")
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("latest_ts"))
+    )
+    return _run_to_memory(stream, "complete")
+
+
+QUERIES = {
+    "stream_tumbling_watermark": stream_tumbling_watermark,
+    "stream_dedup_watermark": stream_dedup_watermark,
+    "stream_stateful_counts": stream_stateful_counts,
+    "stream_poll_tick": stream_poll_tick,
+}
+
+ORACLE: dict[str, str] = {}  # streaming semantics — rows-only by design

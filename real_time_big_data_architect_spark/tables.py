@@ -1,0 +1,82 @@
+"""Fixture-table catalog.
+
+The reference keeps a source catalog (``SOURCES`` dict, app.py:40-52) and
+the user selects one table per tick. Here the catalog is the driver's
+TPC-H-ish parquet fixture set plus ``events``/``documents``/``embeddings``
+(TESTDATA.md / FIXTURES.md); every table registers as a temp view so both
+the DataFrame and SQL surfaces see the same names the DuckDB oracle uses.
+
+Scale posture: these are plain parquet scans — Catalyst pushes filters and
+prunes columns into the scan; at 100 TB the same code reads a partitioned
+lake path (`events` date-partitioned, facts bucketed by join key) and
+partition pruning applies on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: small dimension tables that should always broadcast in joins
+DIM_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+#: vectorized reader rejects; read it as long nanos and convert.
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """long nanos → TimestampType (µs), exact integer division.
+
+    ``ts div 1000`` floors exactly like DuckDB's own ns→µs conversion, so
+    the oracle sees identical values. (A double division would lose
+    precision: ns epochs exceed 2^53.)
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(table_path(sf_dir, name))
+        return _events_ts_to_timestamp(raw)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named like the oracle's."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
