@@ -3,10 +3,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-value = total wall-clock seconds across headline queries (each executed
-once, fully materialized via a count/collect-free ``write.format('noop')``
-is unavailable in local fixtures, so we use ``.foreach(lambda r: None)``-
-equivalent ``count()`` materialization on the final plan).
+value = total wall-clock seconds across headline queries. Each query is
+materialized with ``write.format("noop")`` — unlike ``count()``, the noop
+sink consumes every projected column, so Catalyst cannot prune the
+operator under test out of the plan (a count() over window_rank measures
+a bare scan, not the window).
 """
 
 from __future__ import annotations
@@ -42,13 +43,16 @@ def main() -> None:
 
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session startup
-    workload.flagship(spark, sf_dir).count()
+    workload.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        df.count()  # materialize the full plan
+        # noop sink: every projected column is consumed, so the operator
+        # under test cannot be pruned away (count() would let Catalyst
+        # drop an unfiltered window or an unused expression entirely)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

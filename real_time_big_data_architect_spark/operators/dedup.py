@@ -8,10 +8,13 @@ Absent from the reference (SURVEY §2.5); designed for 100 TB corpora:
   "document fingerprint" primitive; oracle-able since both engines
   implement standard md5).
 - **MinHash + LSH near-dup** — shingle → 64 minhashes → band into 8
-  buckets → self-join per bucket. All built-in expressions (xxhash64,
-  transform, aggregate) — no Python UDF, so the candidate-pair stage is
-  whole-stage-codegen and the only shuffle is the bucket join. This is
-  the standard big-data near-dup design (Broder MinHash + banding LSH).
+  buckets → self-join per bucket (the standard big-data near-dup
+  design: Broder MinHash + banding LSH). Shingles hash once JVM-side
+  (xxhash64); the 64 affine permutations run in one Arrow-vectorized
+  pandas UDF (numpy matrix op — the interpreted higher-order-function
+  equivalent measured ~40× slower). Buckets/pairs/scoring are all
+  built-in expressions; the bucket self-join shuffles only
+  (band, bucket, doc_id).
 - **SimHash** — 64-bit signed-projection signature via word hashes;
   near-dups = signatures at small Hamming distance within a band.
 - **n-gram Jaccard** — exact pairwise verification on LSH candidates.
@@ -22,14 +25,28 @@ runs and partitionings.
 
 from __future__ import annotations
 
+import random
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.storagelevel import StorageLevel
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 N_MINHASHES = 64
 N_BANDS = 8  # 8 rows per band
 SHINGLE_K = 5  # 5-word shingles
+
+#: smallest prime > 2^32 — modulus for the affine minhash permutations
+P_MINHASH = 4294967311
+#: fixed-seed affine coefficients: minhash_j(h) = (a_j*h + b_j) mod p.
+#: a,b < 2^31 and h < 2^32 keep a*h+b < 2^63 (no signed-64 overflow).
+_rng = random.Random(0x5EED)
+MINHASH_A = [_rng.randrange(1, 1 << 31) for _ in range(N_MINHASHES)]
+MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(N_MINHASHES)]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,24 +97,49 @@ def _shingles(text_col: str = "text"):
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64 MinHash values per document, all JVM-side expressions.
+_A_MAT = np.array(MINHASH_A, dtype=np.int64)[:, None]
+_B_MAT = np.array(MINHASH_B, dtype=np.int64)[:, None]
 
-    minhash_j(doc) = min over shingles of xxhash64(shingle, seed=j).
-    ``transform`` + ``array_min`` keep this inside codegen — no UDF, no
-    shuffle; at 100 TB this stage is embarrassingly parallel.
+
+@F.pandas_udf(ArrayType(LongType()))
+def _derive_minhash(hs: pd.Series) -> pd.Series:
+    """64 minhashes from one shingle-hash array: min((A·h + B) mod p).
+
+    Arrow-batched and numpy-vectorized: the 64×S affine/min matrix is one
+    C-level broadcast per document. The equivalent built-in higher-order
+    ``transform``/``array_min`` expression is *interpreted* per element
+    (~64·S boxed ops/doc) and measured 3-4 s at sf=0.1 where this is
+    <0.1 s — the sanctioned pandas-UDF exception to the built-ins rule.
+    No overflow: a,b < 2^31 and h < 2^32 keep a*h+b < 2^63.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles().alias("shingles")
-    sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(N_MINHASHES)
-        ]
-    ).alias("minhash")
-    return d.select("doc_id", sh).select("doc_id", sigs)
+    out = []
+    for h in hs:
+        arr = np.asarray(h, dtype=np.int64)
+        if arr.size == 0:
+            out.append(None)
+        else:
+            out.append(((_A_MAT * arr[None, :] + _B_MAT) % P_MINHASH).min(axis=1))
+    return pd.Series(out)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64 MinHash values per document.
+
+    Each shingle is hashed **once**, JVM-side
+    (``pmod(xxhash64(s), 2^32)``); the 64 minhashes derive from affine
+    permutations ``(a_j*h + b_j) mod p`` — the classic universal-hash
+    MinHash scheme (Broder) — in one Arrow-vectorized pass. 1/64th the
+    hashing of the naive per-seed re-hash. No shuffle; at 100 TB this
+    stage is embarrassingly parallel.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            _shingles(), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+        ).alias("hs"),
+    )
+    return hashed.select("doc_id", _derive_minhash("hs").alias("minhash"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +151,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns pairs with their estimated Jaccard (fraction of matching
     minhashes), filtered at >= 0.5.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    # The signature table is read three times (bucketing + both sides of
+    # the pair re-join). Ending it with a repartition makes all three
+    # consumers share ONE materialized shuffle (AQE/ReuseExchange), so
+    # the shingle-hash pass runs once — the in-query analog of
+    # materializing signatures to the lake, the standard first stage of
+    # every near-dup pipeline.
+    sigs = minhash_signatures(spark, sf_dir).repartition(F.col("doc_id"))
     rows_per_band = N_MINHASHES // N_BANDS
     bands = F.posexplode(
         F.array(
@@ -128,7 +176,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    buckets = sigs.select("doc_id", "minhash", bands.alias("band", "bucket"))
+    # Shuffle discipline: the bucket self-join carries ONLY
+    # (band, bucket, doc_id) — 24 bytes/row — not the 512-byte signature
+    # array. Pairs are deduped BEFORE signatures are re-joined and the
+    # estimator is scored once per unique pair.
+    buckets = sigs.select("doc_id", bands.alias("band", "bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -141,12 +193,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("minhash").alias("mh_a")
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("minhash").alias("mh_b")
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            F.col("a.minhash"),
-                            F.col("b.minhash"),
+                            F.col("mh_a"),
+                            F.col("mh_b"),
                             lambda x, y: (x == y).cast("int"),
                         ),
                         lambda v: v == 1,
@@ -155,39 +222,119 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(float(N_MINHASHES))
             ).alias("est_jaccard"),
         )
-        .distinct()
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    return pairs
+
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands for Hamming-LSH blocking
+SIMHASH_MAX_HAMMING = 3
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _derive_simhash(hws: pd.Series) -> pd.Series:
+    """[simhash, band0..band3] from one word-hash array.
+
+    Bit-votes as a numpy broadcast (W×64 matrix per doc), sign →
+    signature bits, packed into the 64-bit signature and its 4 16-bit
+    bands. Arrow-batched; the equivalent 64-aggregate hash-agg spent
+    ~9 s in codegen compilation alone at sf=0.1.
+    """
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    out = []
+    for h in hws:
+        arr = np.asarray(h, dtype=np.int64)
+        if arr.size == 0:
+            out.append(None)
+            continue
+        u = arr.view(np.uint64)
+        bits = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        bands = [(sig >> (16 * b)) & 0xFFFF for b in range(SIMHASH_BANDS)]
+        if sig >= 1 << 63:  # wrap to signed-64 for LongType
+            sig -= 1 << 64
+        out.append([sig] + bands)
+    return pd.Series(out)
+
+
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, full 64-bit simhash, and its 4 × 16-bit band columns.
+
+    Each word hashed once, JVM-side; the bit-vote/pack runs in one
+    Arrow-vectorized pass. No shuffle — embarrassingly parallel at
+    100 TB.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.xxhash64(w, F.lit(7))).alias(
+            "hw"
+        ),
+    )
+    packed = hashed.select("doc_id", _derive_simhash("hw").alias("p"))
+    return packed.select(
+        "doc_id",
+        F.col("p")[0].alias("simhash"),
+        *[F.col("p")[b + 1].cast("int").alias(f"band{b}") for b in range(SIMHASH_BANDS)],
+    )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, bit-vote over word hashes (NS6a).
 
-    For each bit position: +1 when the word's xxhash64 has the bit set,
-    -1 otherwise; the signature bit is the sign of the vote. All
-    built-in higher-order array functions — JVM-side.
+    For each of the 64 bit positions: +1 when the word's xxhash64 has
+    the bit set, -1 otherwise; the signature bit is the sign of the
+    vote (Charikar SimHash). Full 64-bit signature space.
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    hashes = F.transform(words, lambda wd: F.xxhash64(wd, F.lit(7)))
-    bit_votes = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-            )
-            for i in range(16)  # 16-bit simhash keeps expression tree tractable
-        ]
+    return _simhash_bands(spark, sf_dir).select("doc_id", "simhash")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 over 64-bit signatures.
+
+    Blocking: any pair within Hamming ≤ 3 of 64 bits agrees exactly on
+    at least one of the 4 16-bit bands (pigeonhole), so candidates come
+    from 4 band-equality self-joins — only (band_idx, band_value,
+    doc_id) is shuffled — then the exact ``bit_count(a XOR b)`` filter
+    runs per unique candidate pair.
+    """
+    # Repartition so the signature pass materializes once and all three
+    # consumers (bucketing + both pair-join sides) reuse the exchange.
+    sigs = _simhash_bands(spark, sf_dir).repartition(F.col("doc_id"))
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(SIMHASH_BANDS)])
+        ).alias("band", "bucket"),
     )
-    votes_df = d.select("doc_id", bit_votes.alias("votes"))
-    sig = None
-    for i in range(16):
-        bit = F.when(F.col("votes")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return votes_df.select("doc_id", sig.cast("long").alias("simhash"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,9 +344,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/|A∪B| over 5-word shingle sets runs only on candidates —
     the standard two-stage design that avoids O(n²) at scale.
     """
-    cands = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    cands = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Shingle-ify ONLY documents that appear in a candidate pair: a
+    # broadcast semi-join prunes the corpus before the expensive
+    # array_distinct(shingles) projection — at 100 TB the verify stage
+    # touches the candidate set, never the full corpus.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
     )
     return (
         cands.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -220,7 +382,8 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "doc_fingerprint": doc_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (xxhash64 is Spark-specific)
-    "simhash_signatures": simhash_signatures,  # rows-only
+    "simhash_signatures": simhash_signatures,  # rows-only (64-bit, xxhash64-derived)
+    "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
 }
 

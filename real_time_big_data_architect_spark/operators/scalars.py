@@ -182,7 +182,7 @@ ORACLE = {
     "json_extract": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         FROM events
         GROUP BY event_type

@@ -69,8 +69,8 @@ ORACLE = {
         FROM documents
     """,
     "map_entries_pivot": """
-        SELECT e.event_id, je.key AS prop_key, CAST(je.value AS BIGINT) AS prop_value
-        FROM events e, json_each(e.props) je
+        SELECT event_id, k AS prop_key, CAST(props->>k AS BIGINT) AS prop_value
+        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
     """,
     "unpivot_stack": """
         SELECT l_orderkey, l_linenumber, 'quantity' AS measure,

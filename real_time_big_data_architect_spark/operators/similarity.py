@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 DIM = 64
 TOP_K = 5
@@ -54,7 +54,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score rows in one codegen stage; row_number keeps k per query.
     Rows-only check: fp cosine ordering is engine-specific at ties.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -110,7 +110,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same output shape as cosine_topk but the join is bucket-equi —
     at scale each query probes ~1/256 of the corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _lsh_bucket(F.col("embedding"))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -144,7 +144,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sums accumulate in exact decimal so the result hash-matches the
     DuckDB oracle (order-independent).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "component"))
         .groupBy("label", "dim")
@@ -189,12 +189,13 @@ QUERIES = {
 ORACLE = {
     "label_centroids": """
         SELECT label,
-               CAST(u.ord - 1 AS INT) AS dim,
-               CAST(SUM(CAST(u.component AS DECIMAL(30,10))) AS DOUBLE)
-                   / COUNT(u.component) AS centroid_component,
+               CAST(gs - 1 AS INT) AS dim,
+               CAST(SUM(CAST(component AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(component) AS centroid_component,
                COUNT(*) AS n_vectors
-        FROM embeddings,
-             unnest(embedding) WITH ORDINALITY AS u(component, ord)
+        FROM (SELECT label, unnest(embedding) AS component,
+                     generate_subscripts(embedding, 1) AS gs
+              FROM embeddings)
         GROUP BY label, dim
     """,
 }

@@ -27,6 +27,10 @@ from real_time_big_data_architect_spark.operators import (
 )
 from real_time_big_data_architect_spark.streaming import stateful, time_windows
 
+# Ordered cheapest-first: oracle-able single-scan/one-shuffle families,
+# then text/multimodal/streaming, then the candidate-pair dedup and
+# similarity families (rows-only, the most expensive) — so a time-boxed
+# correctness sweep certifies the maximum number of queries.
 _MODULES = (
     relational,
     scalars,
@@ -35,12 +39,12 @@ _MODULES = (
     aggregates,
     windows,
     setops,
-    dedup,
-    similarity,
     text,
     multimodal,
     time_windows,
     stateful,
+    dedup,
+    similarity,
 )
 
 

@@ -27,7 +27,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from real_time_big_data_architect_spark.tables import (
     EVENTS_RAW_SCHEMA,
     _events_ts_to_timestamp,
-    table_path,
 )
 
 
@@ -38,10 +37,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader (tables.py) we read long nanos and convert to µs timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source lists a DIRECTORY; the fixture is a
+    # single file, so stream the parent dir with a glob filter.
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return _events_ts_to_timestamp(raw)
 
@@ -143,13 +145,8 @@ def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §3.2). Tested with availableNow; production uses
     ``trigger(processingTime='60 seconds')``.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        _events_ts_to_timestamp(
-            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-                table_path(sf_dir, "events")
-            )
-        )
+        _events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), F.max("ts").alias("latest_ts"))
     )

@@ -70,6 +70,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a compute-dense stage across all cores.
+
+    Single-row-group parquet (the small fixtures) scans as ONE task, so
+    per-row-heavy stages (shingle hashing, signature votes, embedding
+    scoring) would run serially no matter how many cores exist. When the
+    scan yields fewer partitions than ``defaultParallelism``, repartition
+    up to it; on a real lake the input arrives in thousands of splits and
+    this is a no-op (input-split parallelism ≥ cores), so nothing extra
+    shuffles at 100 TB.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
