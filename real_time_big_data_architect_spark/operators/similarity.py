@@ -26,6 +26,19 @@ DIM = 64
 TOP_K = 5
 N_QUERIES = 10  # first 10 vec_ids serve as the query set
 N_PLANES = 8  # LSH: 8 hyperplanes → 256 buckets
+#: multi-probe radius (Lv et al. 2007): also probe every bucket within
+#: Hamming distance ≤ 2 of the query's bucket — 37 of 256 buckets
+#: (~14% of the corpus). Measured recall@5 ≈ 0.3 on the fixture
+#: embeddings (weakly clustered: true top-5 cosine ≈ 0.37), vs 0.04 for
+#: single-bucket probing; see tests/test_similarity.py for the floor.
+PROBE_RADIUS = 2
+
+#: XOR masks for all probe buckets within PROBE_RADIUS bit flips
+_PROBE_MASKS = [0]
+_PROBE_MASKS += [1 << p for p in range(N_PLANES)]
+_PROBE_MASKS += [
+    (1 << p) | (1 << q) for p in range(N_PLANES) for q in range(p + 1, N_PLANES)
+]
 
 
 def _dot(a, b):
@@ -105,10 +118,15 @@ def _lsh_bucket(emb_col):
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: cosine top-k restricted to matching LSH buckets.
+    """Approximate NN: cosine top-k over multi-probe LSH buckets.
 
-    Same output shape as cosine_topk but the join is bucket-equi —
-    at scale each query probes ~1/256 of the corpus.
+    Same output shape as cosine_topk but the join is bucket-equi: each
+    query probes its own bucket plus every bucket within Hamming
+    distance ≤ PROBE_RADIUS (multi-probe LSH) — 37/256 buckets, so at
+    scale each query scores ~14% of the corpus instead of all of it,
+    while recall stays usable on weakly-clustered data. Each corpus
+    vector matches at most one probe of a given query (bucket distance
+    is unique), so no pair dedup is needed.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _lsh_bucket(F.col("embedding"))
@@ -118,8 +136,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        "q_bucket",
+        F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+    ).select(
+        "query_id",
+        "q_emb",
+        F.col("q_bucket").bitwiseXOR(F.col("mask")).alias("probe_bucket"),
+    )
     scored = (
-        e.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        e.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -27,14 +27,15 @@ SOURCES: dict[str, SourceSpec] = {
         SourceSpec(
             "openaq",
             "Air quality (OpenAQ)",
-            "https://api.openaq.org/v1/latest?limit=20",
+            "https://api.openaq.org/v2/latest?limit=20&sort=desc",  # app.py:42
             "city/parameter measurements",
             row_cap=20,
         ),
         SourceSpec(
             "open_meteo",
-            "Weather (Open-Meteo)",
-            "https://api.open-meteo.com/v1/forecast?latitude=52.52&longitude=13.41&current=temperature_2m,wind_speed_10m",
+            "Weather (Open-Meteo, London)",
+            # London coords, matching the reference catalog (app.py:43)
+            "https://api.open-meteo.com/v1/forecast?latitude=51.5072&longitude=-0.1276&current=temperature_2m,wind_speed_10m",
             "current weather snapshot",
         ),
         SourceSpec(
@@ -73,8 +74,9 @@ SOURCES: dict[str, SourceSpec] = {
         ),
         SourceSpec(
             "fx_rates",
-            "FX rates (Frankfurter)",
-            "https://api.frankfurter.app/latest",
+            "FX rates (exchangerate.host)",
+            # the reference's endpoint incl. base/symbols params (app.py:49)
+            "https://api.exchangerate.host/latest?base=USD&symbols=EUR,GBP,JPY,INR",
             "rates keyed by currency",
         ),
         SourceSpec(

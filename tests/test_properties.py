@@ -1,0 +1,85 @@
+"""Property-style invariants over the fixture tables (SURVEY §5.2 item 5).
+
+Cheap cross-operator consistency checks: rollup subtotals reconcile to
+the grand total, UNION ALL counts add, top-k is a prefix of the full
+sort, pivot cells sum to group counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import (
+    aggregates,
+    relational,
+    setops,
+    windows,
+)
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_rollup_subtotals_reconcile(spark, sf_small):
+    out = aggregates.rollup_agg(spark, sf_small).collect()
+    grand = [r for r in out if r.l_returnflag is None and r.l_linestatus is None]
+    leaves = [r for r in out if r.l_returnflag is not None and r.l_linestatus is not None]
+    subtotals = [r for r in out if r.l_returnflag is not None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n_rows == sum(r.n_rows for r in leaves)
+    assert abs(grand[0].sum_qty - sum(r.sum_qty for r in leaves)) < 1e-6
+    # each flag's subtotal equals the sum of its leaves
+    for s in subtotals:
+        mine = [r for r in leaves if r.l_returnflag == s.l_returnflag]
+        assert s.n_rows == sum(r.n_rows for r in mine)
+
+
+def test_cube_contains_all_grouping_sets(spark, sf_small):
+    out = aggregates.cube_agg(spark, sf_small).collect()
+    o = load_table(spark, sf_small, "orders")
+    total = o.count()
+    grand = [r for r in out if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1 and grand[0].n_orders == total
+    # status-only marginals sum to total
+    status_only = [r for r in out if r.o_orderstatus is not None and r.o_orderpriority is None]
+    assert sum(r.n_orders for r in status_only) == total
+
+
+def test_union_all_count_is_sum(spark, sf_small):
+    n_union_all = setops.set_union_all(spark, sf_small).count()
+    n_union = setops.set_union(spark, sf_small).count()
+    assert n_union <= n_union_all  # dedup can only shrink
+
+
+def test_pivot_cells_sum_to_group_count(spark, sf_small):
+    piv = aggregates.pivot_agg(spark, sf_small).collect()
+    li = load_table(spark, sf_small, "lineitem")
+    per_flag = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for r in piv:
+        assert r.n_open + r.n_finished == per_flag[r.l_returnflag]
+
+
+def test_topk_is_prefix_of_full_sort(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    full = [
+        r.event_id
+        for r in ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("event_id")
+        .collect()
+    ]
+    tail30 = [r.event_id for r in relational.lastk_tail(spark, sf_small).collect()]
+    assert tail30 == full[:30]
+
+
+def test_window_rank_one_per_group_at_rank1(spark, sf_small):
+    ranked = windows.topk_per_group(spark, sf_small)
+    rank_col = next(c for c in ("rn", "rnk", "rank") if c in ranked.columns)
+    grp = next(c for c in ("o_custkey", "c_custkey") if c in ranked.columns)
+    top1 = ranked.filter(F.col(rank_col) == 1).groupBy(grp).count().collect()
+    assert all(r["count"] == 1 for r in top1)
+
+
+def test_distinct_le_total(spark, sf_small):
+    out = aggregates.distinct_count(spark, sf_small).collect()
+    assert all(r.n_users <= r.n_events for r in out)
