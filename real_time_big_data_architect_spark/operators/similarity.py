@@ -42,9 +42,20 @@ _PROBE_MASKS += [
 
 
 def _dot(a, b):
-    """JVM-side dot product of two array<float> columns (no UDF)."""
+    """JVM-side dot product of two array<float> columns (no UDF).
+
+    A per-row LEFT FOLD over the array in element order: float32→double
+    casts are exact, each product is one IEEE double multiply, and
+    additions run in array order — fully deterministic regardless of
+    partitioning (this is a scalar expression, not a distributed agg).
+    The DuckDB oracle reproduces the identical fold with ``list_reduce``
+    (0.0 + p1 == p1 exactly, so the sequences match), making cosine
+    scores bit-identical cross-engine. Double→decimal casts are NOT
+    portable here: Spark rounds the double's shortest decimal repr
+    (Java semantics) while DuckDB rounds the exact binary value.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -53,7 +64,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -65,7 +76,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query set (10 vectors) broadcasts; the corpus scan computes
     score rows in one codegen stage; row_number keeps k per query.
-    Rows-only check: fp cosine ordering is engine-specific at ties.
+    Scores are bit-reproducible cross-engine (see _dot), so this query
+    is fully oracle-checked including rank order.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -208,13 +220,70 @@ def knn_count_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "cosine_topk": cosine_topk,  # rows-only: fp tie-ordering is engine-specific
-    "ann_lsh_topk": ann_lsh_topk,  # rows-only
+    "cosine_topk": cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
     "label_centroids": label_centroids,
-    "knn_count_per_label": knn_count_per_label,  # rows-only
+    "knn_count_per_label": knn_count_per_label,
 }
 
+#: dot/norm CTEs shared by the cosine oracles: list_reduce reproduces
+#: Spark's in-order left fold over the 64 element products, so scores
+#: are bit-identical cross-engine — rank and hash both match.
+_COSINE_CTE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 10
+    ),
+    dots AS (
+        SELECT e.vec_id, q.query_id,
+               list_reduce(
+                   list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.q_emb[i] AS DOUBLE)),
+                   (x, y) -> x + y) AS dot
+        FROM embeddings e CROSS JOIN q
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT d.query_id, d.vec_id, d.dot / (nv.nrm * nq.nrm) AS cosine
+        FROM dots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id
+        WHERE d.vec_id != d.query_id
+    ),
+    topk AS (
+        SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    )
+"""
+
 ORACLE = {
+    "cosine_topk": _COSINE_CTE
+    + """
+        SELECT query_id, vec_id, cosine, rn FROM topk
+    """,
+    "knn_count_per_label": _COSINE_CTE
+    + """
+        SELECT t.query_id, ql.label AS query_label,
+               CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label
+        FROM topk t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings nl ON nl.vec_id = t.vec_id
+        GROUP BY t.query_id, ql.label
+    """,
     "label_centroids": """
         SELECT label,
                CAST(gs - 1 AS INT) AS dim,

@@ -46,10 +46,11 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 15 minutes (NS5, rows-only).
+    """1-hour window sliding every 15 minutes (NS5).
 
-    Each event lands in 4 overlapping windows — the row-multiplying
-    assignment is Spark-specific in shape, so no SQL oracle.
+    Each event lands in exactly 4 overlapping windows (window/slide =
+    4), so the oracle reproduces the assignment by cross-joining each
+    event with k∈0..3 and flooring to the slide boundary.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -89,11 +90,25 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tumbling_window_agg": tumbling_window_agg,
-    "sliding_window_agg": sliding_window_agg,  # rows-only
+    "sliding_window_agg": sliding_window_agg,
     "session_window_agg": session_window_agg,
 }
 
 ORACLE = {
+    "sliding_window_agg": """
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                     + INTERVAL (CAST(floor(epoch(ts)/900) AS BIGINT)*900
+                                 - r.range*900) SECOND AS window_start,
+                   event_type
+            FROM events CROSS JOIN range(4) r
+        )
+        GROUP BY 1, 2, 3
+    """,
     "tumbling_window_agg": """
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,
