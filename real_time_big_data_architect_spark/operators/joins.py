@@ -16,7 +16,7 @@ Strategy per join, chosen for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_sum
@@ -99,6 +99,64 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: for each purchase event, the same
+    user's most recent view at-or-before it — the attribution /
+    timeseries primitive Spark lacks natively.
+
+    Spark-first composition: tag both streams, union, then
+    ``last(..., ignorenulls)`` over a user-partitioned, time-ordered
+    window. ONE hash shuffle on user_id + an in-partition sort — no
+    inequality-join explosion (a naive ``t1.ts <= t2.ts`` range join is
+    O(n·m) per user and melts at 100 TB). Views are deduped to one row
+    per (user, ts) with max(event_id) so the match is deterministic.
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),  # views sort before same-ts purchases
+        F.lit(None).cast("long").alias("event_id"),
+        "view_event_id",
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("long").alias("view_event_id"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = tagged.withColumn(
+        "matched_view_id", F.last("view_event_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "matched_view_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_view_id").alias("view_event_id"),
+        F.col("matched_view_ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("matched_view_ts")).alias("gap_us"),
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -106,6 +164,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_star": join_star,
+    "asof_join": asof_join,
 }
 
 ORACLE = {
@@ -129,6 +188,22 @@ ORACLE = {
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "asof_join": """
+        WITH v AS (
+            SELECT user_id, ts, MAX(event_id) AS view_event_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               v.view_event_id, v.ts AS view_ts,
+               date_diff('microsecond', v.ts, p.ts) AS gap_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
     "join_star": """
         SELECT r_name AS region_name,

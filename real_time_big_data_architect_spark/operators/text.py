@@ -126,12 +126,57 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", detect("text").alias("detected_lang"))
 
 
+CURATE_LANGS = ("en", "de", "fr", "es")
+CURATE_MIN_CHARS = 100
+CURATE_MIN_WORDS = 20
+CURATE_MAX_MEAN_WORD_LEN = 15.0
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: the composed training-data op.
+
+    exact-dedup survivors → language whitelist → cheap quality gates
+    (min chars, min words, mean word length) → token accounting. One
+    digest-keyed shuffle (the dedup window); every other stage is a
+    scan-local expression, so the whole pipeline is dedup-shuffle +
+    map at 100 TB. This is the shape a pretraining-data curation job
+    actually runs.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_wl = (F.length("text") - n_words + 1).cast("double") / n_words.cast(
+        "double"
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("lang").isin(*CURATE_LANGS))
+        .filter(
+            (F.col("n_chars") >= CURATE_MIN_CHARS)
+            & (n_words >= CURATE_MIN_WORDS)
+            & (mean_wl <= CURATE_MAX_MEAN_WORD_LEN)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            n_words.alias("n_words"),
+            ((F.col("n_chars") + 3) / 4).cast("bigint").alias("est_bpe_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
     "text_stats": text_stats,
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,  # rows-only: heuristic UDF, not SQL-expressible
+    "curate_corpus": curate_corpus,
 }
 
 ORACLE = {
@@ -155,6 +200,21 @@ ORACLE = {
                CAST(len(string_split(text, ' ')) AS INT) AS n_words,
                CAST(floor((n_chars + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
         FROM documents
+    """,
+    "curate_corpus": """
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(floor((n_chars + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+          AND lang IN ('en', 'de', 'fr', 'es')
+          AND n_chars >= 100
+          AND len(string_split(text, ' ')) >= 20
+          AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+              / len(string_split(text, ' ')) <= 15.0
     """,
     "text_quality": """
         SELECT doc_id, n_chars,
