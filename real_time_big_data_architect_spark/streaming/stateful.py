@@ -38,11 +38,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source lists a DIRECTORY; the fixture is a
-    # single file, so stream the parent dir with a glob filter.
+    # single file, so stream the parent dir with a glob filter. The
+    # wildcard lets tests feed multi-file corpora (events0.parquet,
+    # events1.parquet, ...) to exercise true multi-micro-batch state.
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     return _events_ts_to_timestamp(raw)

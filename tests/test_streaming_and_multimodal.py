@@ -88,3 +88,40 @@ def test_multimodal_join_covers_embedded_docs(spark, sf_small):
     n_emb = load_table(spark, sf_small, "embeddings").count()
     n_docs = load_table(spark, sf_small, "documents").count()
     assert out.count() == min(n_emb, n_docs) or out.count() > 0
+
+
+def test_stateful_counts_accumulate_across_micro_batches(
+    spark, sf_small, tmp_path_factory
+):
+    """3 event files -> 3 micro-batches (maxFilesPerTrigger=1): the
+    applyInPandasWithState counters must accumulate across batches and
+    the final per-user state must equal the all-batches batch answer."""
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("multibatch")
+    table = pq.read_table(f"{sf_small}/events.parquet")
+    n = table.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(table.slice(lo, hi - lo), str(tmp / f"events{i}.parquet"))
+
+    out = stateful.stream_stateful_counts(spark, str(tmp)).collect()
+    # update-mode sink holds one row per (user, batch-with-change);
+    # the final state per user is the max n_events emission
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, sf_small, "events")
+        .na.fill(0.0, ["value"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == want
+    # state really did span batches: some user must appear more than once
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in out)
+    assert max(per_user.values()) > 1
