@@ -79,9 +79,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are bit-reproducible cross-engine (see _dot), so this query
     is fully oracle-checked including rank order.
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # Norms are per-VECTOR, so compute them once before the join — not
+    # per pair (which would fold each 64-element array Q extra times).
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -91,7 +97,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cosine"),
         )
     )
@@ -140,22 +146,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector matches at most one probe of a given query (bucket distance
     is unique), so no pair dedup is needed.
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _lsh_bucket(F.col("embedding"))
+    e = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("bucket", _lsh_bucket(F.col("embedding")))
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     probes = q.select(
         "query_id",
         "q_emb",
+        "q_nrm",
         "q_bucket",
         F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
     ).select(
         "query_id",
         "q_emb",
+        "q_nrm",
         F.col("q_bucket").bitwiseXOR(F.col("mask")).alias("probe_bucket"),
     )
     scored = (
@@ -166,7 +177,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cosine"),
         )
     )
