@@ -106,6 +106,43 @@ def minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (NS2).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both compute
+    the linear-interpolation quantile at index (n-1)*p over the sorted
+    values, so the result is oracle-exact. At 100 TB exact percentiles
+    require a per-group sort — ``approx_quantiles`` below is the
+    sketch-based scale path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.25)).alias("p25"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch — the
+    100 TB path (mergeable partial sketches, no per-group sort).
+    Rows-only: sketch estimates are implementation-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        )
+    )
+
+
 QUERIES = {
     "group_agg": group_agg,
     "distinct_count": distinct_count,
@@ -114,6 +151,8 @@ QUERIES = {
     "cube_agg": cube_agg,
     "pivot_agg": pivot_agg,
     "minmax_agg": minmax_agg,
+    "percentile_agg": percentile_agg,
+    "approx_quantiles": approx_quantiles,  # rows-only (sketch estimates)
 }
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
@@ -161,6 +200,16 @@ ORACLE = {
                COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "percentile_agg": """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               COUNT(*) AS n
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
     """,
     "minmax_agg": """
         SELECT l_returnflag,

@@ -175,11 +175,35 @@ QUERIES = {
     "text_stats": text_stats,
     "token_count": token_count,
     "text_quality": text_quality,
-    "lang_id": lang_id,  # rows-only: heuristic UDF, not SQL-expressible
+    "lang_id": lang_id,  # oracle replicates the heuristic in SQL
     "curate_corpus": curate_corpus,
 }
 
+
+def _lang_id_oracle() -> str:
+    """SQL twin of the lang_id pandas UDF, generated from the same
+    profile table so the two can never drift: per-language score =
+    distinct first-200-words ∩ profile; argmax with ties broken by
+    profile order (Python max returns the first maximum)."""
+    score_cols = []
+    for lang, prof in _LANG_PROFILES.items():
+        words = ", ".join(f"'{w}'" for w in sorted(prof))
+        score_cols.append(
+            f"len(list_distinct(list_intersect("
+            f"list_slice(string_split(text, ' '), 1, 200), [{words}]))) AS s_{lang}"
+        )
+    langs = list(_LANG_PROFILES)
+    m = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = {m} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        SELECT doc_id, lang, {case} AS detected_lang
+        FROM (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
+    """
+
 ORACLE = {
+    "lang_id": _lang_id_oracle(),
     "text_wordcount": """
         SELECT word, COUNT(*) AS n_occurrences
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

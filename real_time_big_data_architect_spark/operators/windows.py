@@ -84,11 +84,38 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sum per user — an interval RANGE frame (NS3).
+
+    The timeseries staple ("rolling 1h spend"). The frame is expressed
+    over ``unix_micros(ts)`` so the range bound is an exact integer in
+    both engines (Spark range frames need a numeric ORDER BY; DuckDB
+    mirrors with ``epoch_us``). All rows with equal ts are frame peers
+    in both engines. Decimal accumulation keeps the sum hash-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # 1 hour in microseconds
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag": window_lag,
     "topk_per_group": topk_per_group,
+    "window_range_frame": window_range_frame,
 }
 
 ORACLE = {
@@ -114,6 +141,14 @@ ORACLE = {
                epoch(ts) - LAG(epoch(ts)) OVER w AS gap_seconds
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "window_range_frame": """
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_1h_value
+        FROM events
     """,
     "topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn

@@ -83,3 +83,40 @@ def test_window_rank_one_per_group_at_rank1(spark, sf_small):
 def test_distinct_le_total(spark, sf_small):
     out = aggregates.distinct_count(spark, sf_small).collect()
     assert all(r.n_users <= r.n_events for r in out)
+
+
+def test_percentiles_ordered_and_approx_close(spark, sf_small):
+    exact = {r.event_type: (r.p25, r.p50, r.p90) for r in aggregates.percentile_agg(spark, sf_small).collect()}
+    for p25, p50, p90 in exact.values():
+        assert p25 <= p50 <= p90
+    approx = {r.event_type: (r.ap50, r.ap95) for r in aggregates.approx_quantiles(spark, sf_small).collect()}
+    for et, (ap50, _) in approx.items():
+        lo, hi = exact[et][0], exact[et][2]
+        assert lo <= ap50 <= hi  # sketch median within the exact p25..p90 band
+
+
+def test_range_frame_matches_python_recompute(spark, sf_small):
+    out = windows.window_range_frame(spark, sf_small)
+    uid = out.first().user_id
+    rows = sorted(
+        load_table(spark, sf_small, "events").filter(F.col("user_id") == uid).collect(),
+        key=lambda r: r.ts,
+    )
+    got = {r.event_id: r.trailing_1h_value
+           for r in out.filter(F.col("user_id") == uid).collect()}
+    import datetime
+    for r in rows:
+        window = [x.value for x in rows
+                  if x.value is not None
+                  and r.ts - datetime.timedelta(hours=1) <= x.ts <= r.ts]
+        want = round(sum(window), 4) if window else None
+        have = got[r.event_id]
+        assert (have is None and want is None) or abs(have - want) < 1e-6
+
+
+def test_lang_id_outputs_valid_profiles(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import text as text_ops
+
+    out = text_ops.lang_id(spark, sf_small).collect()
+    valid = set(text_ops._LANG_PROFILES)
+    assert all(r.detected_lang in valid for r in out)
