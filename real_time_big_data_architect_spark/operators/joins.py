@@ -157,6 +157,38 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALTS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting — enrich every event with its
+    type's total count.
+
+    ``event_type`` has 5 values over 100k+ rows: a textbook skewed key.
+    The fact side appends a deterministic salt (``xxhash64(event_id)
+    mod 8``); the dim side replicates 8× (one row per salt); the join
+    key becomes ``(event_type, salt)``, spreading each hot key over 8
+    reducers. This is the manual pattern for when the dim is too large
+    to broadcast and AQE's skew split isn't available; the oracle is
+    the plain unsalted join — salting must not change semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n_type_events"))
+    salted_fact = ev.select(
+        "event_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("salt"),
+    )
+    salted_dim = dim.select(
+        "event_type",
+        "n_type_events",
+        F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)])).alias("salt"),
+    )
+    return salted_fact.join(salted_dim, ["event_type", "salt"]).select(
+        "event_id", "event_type", "n_type_events"
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -165,6 +197,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_star": join_star,
     "asof_join": asof_join,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLE = {
@@ -188,6 +221,13 @@ ORACLE = {
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_skew_salted": """
+        SELECT e.event_id, e.event_type, c.n_type_events
+        FROM events e
+        JOIN (SELECT event_type, COUNT(*) AS n_type_events
+              FROM events GROUP BY event_type) c
+          USING (event_type)
     """,
     "asof_join": """
         WITH v AS (

@@ -162,4 +162,15 @@ QUERIES = {
     "stream_poll_tick": stream_poll_tick,
 }
 
-ORACLE: dict[str, str] = {}  # streaming semantics — rows-only by design
+# Watermark-emission and update-mode outputs are engine-timing-specific
+# (rows-only by design), but the poll tick runs in COMPLETE mode: after
+# the availableNow stream drains, the memory sink holds exactly the
+# final snapshot — which must equal the batch answer (integer counts +
+# max timestamp are hash-safe).
+ORACLE: dict[str, str] = {
+    "stream_poll_tick": """
+        SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -68,3 +68,25 @@ def test_curate_corpus_no_duplicate_texts(spark, sf_small):
     d = load_table(spark, sf_small, "documents")
     joined = curated.join(d, "doc_id").select(F.md5("text").alias("h"))
     assert joined.count() == joined.distinct().count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    """Salting must not change semantics, only the shuffle layout."""
+    salted = sorted(map(tuple, joins.join_skew_salted(spark, sf_small).collect()))
+    ev = load_table(spark, sf_small, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n_type_events"))
+    plain = sorted(map(tuple, ev.join(dim, "event_type")
+                       .select("event_id", "event_type", "n_type_events").collect()))
+    assert salted == plain
+
+
+def test_salt_spreads_keys(spark, sf_small):
+    """Each hot key must actually occupy all N_SALTS sub-keys."""
+    ev = load_table(spark, sf_small, "events")
+    salts = (
+        ev.select("event_type", F.pmod(F.xxhash64("event_id"), F.lit(joins.N_SALTS)).alias("salt"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    )
+    assert all(r.n_salts == joins.N_SALTS for r in salts)
