@@ -128,6 +128,28 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / nullif / is-null flags (the
+    reference's dropna/guard logic generalized, A6 + C4/C5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.col("value").isNull().alias("was_null"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )
+
+
+def regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction and global replacement over customer names."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+    )
+
+
 QUERIES = {
     "ts_format": ts_format,
     "date_parts": date_parts,
@@ -137,6 +159,8 @@ QUERIES = {
     "cast_str_double": cast_str_double,
     "math_expr": math_expr,
     "json_extract": json_extract,
+    "null_fns": null_fns,
+    "regex_fns": regex_fns,
 }
 
 ORACLE = {
@@ -178,6 +202,19 @@ ORACLE = {
                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                     AS DOUBLE) AS net_price
         FROM lineitem
+    """,
+    "null_fns": """
+        SELECT event_id,
+               coalesce(value, 0.0) AS value_filled,
+               value IS NULL AS was_null,
+               nullif(event_type, 'error') AS type_or_null
+        FROM events
+    """,
+    "regex_fns": """
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+        FROM customer
     """,
     "json_extract": """
         SELECT event_type,

@@ -57,10 +57,26 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized documents: size, membership,
+    distinct cardinality, lexicographic min (binary collation in both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.array_min(words).alias("first_word_sorted"),
+    )
+
+
 QUERIES = {
     "explode_nested": explode_nested,
     "map_entries_pivot": map_entries_pivot,
     "unpivot_stack": unpivot_stack,
+    "array_fns": array_fns,
 }
 
 ORACLE = {
@@ -71,6 +87,15 @@ ORACLE = {
     "map_entries_pivot": """
         SELECT event_id, k AS prop_key, CAST(props->>k AS BIGINT) AS prop_value
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+    "array_fns": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               list_contains(string_split(text, ' '), 'the') AS has_the,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                   AS n_distinct_words,
+               list_min(string_split(text, ' ')) AS first_word_sorted
+        FROM documents
     """,
     "unpivot_stack": """
         SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
