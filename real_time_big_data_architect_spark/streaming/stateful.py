@@ -155,11 +155,57 @@ def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "complete")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition
+    (NS5): each purchase joins the same user's views from the
+    preceding hour.
+
+    Both sides carry a 10-minute watermark, which bounds the join
+    state (Spark evicts buffered view rows once the watermark passes
+    ``view_ts + 1 hour``) — the canonical bounded-state stream-stream
+    join. An inner join emits every qualifying pair, so the drained
+    availableNow output equals the batch time-range join exactly and
+    the query is fully oracle-checked.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id AND
+            view_ts >= ts - INTERVAL 1 HOUR AND
+            view_ts <= ts
+            """
+        ),
+    ).select("purchase_id", "user_id", "ts", "view_id", "view_ts")
+    return _run_to_memory(joined, "append")
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
     "stream_poll_tick": stream_poll_tick,
+    "stream_stream_join": stream_stream_join,
 }
 
 # Watermark-emission and update-mode outputs are engine-timing-specific
@@ -172,5 +218,16 @@ ORACLE: dict[str, str] = {
         SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
         FROM events
         GROUP BY event_type
+    """,
+    "stream_stream_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+               v.event_id AS view_id, v.ts AS view_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts <= p.ts
     """,
 }

@@ -125,3 +125,28 @@ def test_stateful_counts_accumulate_across_micro_batches(
 
     per_user = Counter(r.user_id for r in out)
     assert max(per_user.values()) > 1
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_small):
+    """The drained stream-stream join equals the batch time-range join."""
+    got = sorted(
+        (r.purchase_id, r.view_id)
+        for r in stateful.stream_stream_join(spark, sf_small).collect()
+    )
+    ev = load_table(spark, sf_small, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = sorted(
+        (r.pid, r.vid)
+        for r in p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("vts") <= F.col("pts")),
+        ).collect()
+    )
+    assert got == want
