@@ -157,6 +157,37 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical join+agg+top-k shape.
+
+    customer(BUILDING) ⋈ orders ⋈ lineitem, revenue per (order, date,
+    priority), top 10 by revenue. Spark plan: two shuffled joins + hash
+    agg + TakeOrderedAndProject — the classic interactive-BI query at
+    any scale. Revenue in exact decimal for hash stability.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    net = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(net).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
 N_SALTS = 8
 
 
@@ -198,6 +229,7 @@ QUERIES = {
     "join_star": join_star,
     "asof_join": asof_join,
     "join_skew_salted": join_skew_salted,
+    "tpch_q3": tpch_q3,
 }
 
 ORACLE = {
@@ -221,6 +253,22 @@ ORACLE = {
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "tpch_q3": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
     """,
     "join_skew_salted": """
         SELECT e.event_id, e.event_type, c.n_type_events

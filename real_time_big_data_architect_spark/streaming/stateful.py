@@ -138,6 +138,27 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(counts, "update")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: enrich the event stream with each
+    type's static total (dim computed once from the batch table and
+    broadcast into every micro-batch — the standard enrichment join;
+    no state, no watermark needed). Inner-join output is the complete
+    pair set, so the drained stream equals the batch join exactly.
+    """
+    from real_time_big_data_architect_spark.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_type_events"))
+    )
+    ev = _events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "user_id", "n_type_events"
+    )
+    return _run_to_memory(joined, "append")
+
+
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Port of the reference's 60 s poll loop (app.py:37).
 
@@ -153,6 +174,61 @@ def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.max("ts").alias("latest_ts"))
     )
     return _run_to_memory(stream, "complete")
+
+
+try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
+    # Its driver worker imports google.protobuf (state-server protocol),
+    # which this container lacks — probe both so the query registers
+    # only where it can actually run.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _UserActivityProcessor(StatefulProcessor):
+        """Per-user running counters in a ValueState — the Spark 4
+        successor to applyInPandasWithState (explicit state handles,
+        timers, TTL support)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._acc.exists():
+                n, total = self._acc.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._acc.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    TWS_AVAILABLE = True
+except ImportError:  # pragma: no cover - older Spark
+    TWS_AVAILABLE = False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running counters via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (explicit ValueState handle), the
+    production successor to ``applyInPandasWithState``. Rows-only:
+    update-mode emission timing is engine-specific; the multi-batch
+    state semantics are locked by the batch-equivalence test instead.
+    """
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas unavailable")
+    ev = _events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").transformWithStateInPandas(
+        _UserActivityProcessor(),
+        outputStructType=_STATE_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(counts, "update")
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +282,14 @@ QUERIES = {
     "stream_stateful_counts": stream_stateful_counts,
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
+    "stream_static_join": stream_static_join,
 }
+
+if TWS_AVAILABLE:
+    # registered only where the TWS protobuf dependency exists; the
+    # applyInPandasWithState twin (stream_stateful_counts) covers the
+    # same semantics everywhere else
+    QUERIES["stream_transform_with_state"] = stream_transform_with_state
 
 # Watermark-emission and update-mode outputs are engine-timing-specific
 # (rows-only by design), but the poll tick runs in COMPLETE mode: after
@@ -218,6 +301,13 @@ ORACLE: dict[str, str] = {
         SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
         FROM events
         GROUP BY event_type
+    """,
+    "stream_static_join": """
+        SELECT e.event_id, e.event_type, e.user_id, c.n_type_events
+        FROM events e
+        JOIN (SELECT event_type, COUNT(*) AS n_type_events
+              FROM events GROUP BY event_type) c
+          USING (event_type)
     """,
     "stream_stream_join": """
         SELECT p.event_id AS purchase_id, p.user_id, p.ts,

@@ -150,3 +150,37 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_small):
         ).collect()
     )
     assert got == want
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not stateful.TWS_AVAILABLE,
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_transform_with_state_matches_batch(spark, sf_small):
+    got = {}
+    for r in stateful.stream_transform_with_state(spark, sf_small).collect():
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, sf_small, "events")
+        .na.fill(0.0, ["value"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_small):
+    got = sorted(
+        (r.event_id, r.n_type_events)
+        for r in stateful.stream_static_join(spark, sf_small).collect()
+    )
+    ev = load_table(spark, sf_small, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    want = sorted((r.event_id, r.n) for r in ev.join(dim, "event_type").collect())
+    assert got == want
