@@ -230,11 +230,85 @@ def knn_count_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (NS6b storage path).
+
+    q_i = round(x_i * 127 / max|x|) — the standard scalar quantizer
+    that shrinks a float32 corpus 4× before indexing. Both engines
+    round half-away-from-zero and evaluate the identical expression
+    tree, so the int arrays are oracle-exact; zero vectors quantize to
+    nulls via nullif.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    with_mx = e.select(
+        "vec_id", "embedding", F.nullif(mx, F.lit(0.0)).alias("max_abs")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("int"),
+    )
+    return with_mx.select("vec_id", "max_abs", q.alias("q_embedding"))
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell assignment: each vector → nearest label centroid.
+
+    The building block of inverted-file ANN indexes: centroids come
+    from :func:`label_centroids` (exact-decimal means, so both engines
+    hold identical centroid values); squared-L2 distance is a per-row
+    left fold (portable, see _dot); ties break to the smallest label.
+    The 10-row centroid table broadcasts — at 100 TB this is one
+    map-side pass over the corpus.
+    """
+    cents = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "centroid_component"))
+                ),
+                lambda s: s.centroid_component,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "c_label", dist2.alias("dist2")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+            "dist2",
+        )
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
     "label_centroids": label_centroids,
     "knn_count_per_label": knn_count_per_label,
+    "embedding_quantize": embedding_quantize,
+    "ivf_assign": ivf_assign,
 }
 
 #: dot/norm CTEs shared by the cosine oracles: list_reduce reproduces
@@ -281,6 +355,60 @@ _COSINE_CTE = """
 """
 
 ORACLE = {
+    "embedding_quantize": """
+        SELECT vec_id, max_abs,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT))
+                   AS q_embedding
+        FROM (
+            SELECT vec_id, embedding,
+                   nullif(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 0.0) AS max_abs
+            FROM embeddings
+        )
+    """,
+    "ivf_assign": """
+        WITH cents AS (
+            SELECT label AS c_label,
+                   list(centroid_component ORDER BY dim) AS centroid
+            FROM (
+                SELECT label,
+                       CAST(gs - 1 AS INT) AS dim,
+                       -- DOUBLE hop + explicit round: Spark widens
+                       -- float->double then rounds HALF_UP at scale 10;
+                       -- DuckDB's direct FLOAT->DECIMAL scales in float
+                       -- space (lossy) and its DOUBLE->DECIMAL cast
+                       -- rounds ties half-even, but round(x, 10) is
+                       -- half-away-from-zero - matching Spark on dyadic
+                       -- ties like -0.27392578125
+                       CAST(SUM(CAST(round(CAST(component AS DOUBLE), 10)
+                                     AS DECIMAL(30,10))) AS DOUBLE)
+                           / COUNT(component) AS centroid_component
+                FROM (SELECT label, unnest(embedding) AS component,
+                             generate_subscripts(embedding, 1) AS gs
+                      FROM embeddings)
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.c_label,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                                * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+                       (x, y) -> x + y) AS dist2
+            FROM embeddings e CROSS JOIN cents c
+        )
+        SELECT vec_id, label AS true_label, assigned_label, dist2
+        FROM (
+            SELECT vec_id, label, c_label AS assigned_label, dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    """,
     "cosine_topk": _COSINE_CTE
     + """
         SELECT query_id, vec_id, cosine, rn FROM topk
@@ -298,7 +426,10 @@ ORACLE = {
     "label_centroids": """
         SELECT label,
                CAST(gs - 1 AS INT) AS dim,
-               CAST(SUM(CAST(component AS DECIMAL(30,10))) AS DOUBLE)
+               -- DOUBLE hop + round matches Spark's widen-then-
+               -- HALF_UP float->decimal semantics (see ivf_assign note)
+               CAST(SUM(CAST(round(CAST(component AS DOUBLE), 10)
+                             AS DECIMAL(30,10))) AS DOUBLE)
                    / COUNT(component) AS centroid_component,
                COUNT(*) AS n_vectors
         FROM (SELECT label, unnest(embedding) AS component,

@@ -90,3 +90,34 @@ def test_knn_same_label_counts_bounded(spark, sf_small):
     out = similarity.knn_count_per_label(spark, sf_small).collect()
     assert len(out) == similarity.N_QUERIES
     assert all(0 <= r.n_same_label <= similarity.TOP_K for r in out)
+
+
+def test_quantize_roundtrip_bounds(spark, sf_small):
+    out = similarity.embedding_quantize(spark, sf_small).collect()
+    for r in out:
+        assert r.max_abs is None or r.max_abs > 0
+        if r.q_embedding is not None and r.max_abs is not None:
+            assert all(q is None or -127 <= q <= 127 for q in r.q_embedding)
+            assert any(abs(q) == 127 for q in r.q_embedding if q is not None)
+
+
+def test_ivf_assign_is_argmin(spark, sf_small):
+    """Each vector's assigned centroid must beat its own label's centroid."""
+    import numpy as np
+
+    cents = {}
+    for r in similarity.label_centroids(spark, sf_small).collect():
+        cents.setdefault(r.label, {})[r.dim] = r.centroid_component
+    cent_vecs = {l: np.array([d[i] for i in range(similarity.DIM)]) for l, d in cents.items()}
+    vecs = {
+        r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    out = similarity.ivf_assign(spark, sf_small).collect()
+    assert len(out) == len(vecs)
+    for r in out[:50]:
+        v, true_label = vecs[r.vec_id]
+        d_assigned = float(((v - cent_vecs[r.assigned_label]) ** 2).sum())
+        best = min(float(((v - c) ** 2).sum()) for c in cent_vecs.values())
+        assert abs(d_assigned - best) < 1e-6
+        assert r.true_label == true_label
