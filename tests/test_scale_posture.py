@@ -92,3 +92,26 @@ def test_unbucketed_join_does_shuffle(spark, sf_small):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_curated_corpus_lake_roundtrip(spark, sf_small, tmp_path_factory):
+    """Write the curated corpus lang-partitioned (the lake sink a
+    curation job actually ends with) and read it back intact."""
+    from real_time_big_data_architect_spark.operators import text
+
+    out_path = str(tmp_path_factory.mktemp("sink") / "curated")
+    curated = text.curate_corpus(spark, sf_small)
+    curated.write.partitionBy("lang").mode("overwrite").parquet(out_path)
+
+    back = spark.read.parquet(out_path)
+    assert back.count() == curated.count()
+    # partition pruning works on the written layout
+    one_lang = back.filter(F.col("lang") == "en")
+    plan = explain.formatted_plan(one_lang)
+    assert "PartitionFilters" in plan
+    assert one_lang.count() == curated.filter(F.col("lang") == "en").count()
+    # values survive the roundtrip (column order may differ)
+    cols = sorted(curated.columns)
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, curated.select(*cols).collect())
+    )
