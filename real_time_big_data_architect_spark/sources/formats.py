@@ -1,0 +1,59 @@
+"""File-format readers beyond parquet: CSV and JSON-lines.
+
+The reference ingests JSON over HTTP only (app.py:67-81); a standalone
+engine also needs the standard lake interchange formats. Everything is
+schema-explicit — inference is disabled deliberately: at 100 TB a
+schema-inference pass is a full extra scan, and silent type drift
+between files is how pipelines corrupt downstream tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: schema per fixture table, usable for csv/jsonl round-trips
+TABLE_SCHEMAS = {
+    "events": (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ),
+    "documents": "doc_id long, text string, lang string, source string, n_chars long",
+    "region": "r_regionkey long, r_name string, r_comment string",
+    "nation": "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+}
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, *, header: bool = True
+) -> DataFrame:
+    """Strict CSV reader: explicit schema, FAILFAST on malformed rows
+    (a silent PERMISSIVE null is a correctness bug at scale)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines reader: explicit schema, FAILFAST, no inference scan."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).mode("overwrite").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).mode("overwrite").json(path)

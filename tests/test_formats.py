@@ -1,0 +1,55 @@
+"""CSV / JSON-lines round-trips and malformed-input behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.sources import formats
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def _events(spark, sf_small):
+    # drop sub-microsecond noise: csv/json serialize at micro precision
+    return load_table(spark, sf_small, "events")
+
+
+@pytest.mark.parametrize("fmt", ["csv", "jsonl"])
+def test_events_roundtrip(spark, sf_small, tmp_path_factory, fmt):
+    ev = _events(spark, sf_small)
+    path = str(tmp_path_factory.mktemp(f"fmt_{fmt}") / "events")
+    if fmt == "csv":
+        formats.write_csv(ev, path)
+        back = formats.read_csv(spark, path, formats.TABLE_SCHEMAS["events"])
+    else:
+        formats.write_jsonl(ev, path)
+        back = formats.read_jsonl(spark, path, formats.TABLE_SCHEMAS["events"])
+    cols = sorted(ev.columns)
+    a = sorted(map(tuple, ev.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bad_csv")
+    (d / "part.csv").write_text("event_id,ts\n1,2024-01-01T00:00:00.000000Z\nnot_a_long,x\n")
+    df = formats.read_csv(spark, str(d), "event_id long, ts timestamp")
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_jsonl_failfast_on_malformed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bad_jsonl")
+    (d / "part.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+    df = formats.read_jsonl(spark, str(d), "doc_id long, text string")
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_csv_schema_prevents_inference_drift(spark, tmp_path_factory):
+    """A column of digits stays a string when the schema says so."""
+    d = tmp_path_factory.mktemp("strict")
+    (d / "p.csv").write_text("price\n0100\n")
+    df = formats.read_csv(spark, str(d), "price string")
+    assert df.collect()[0].price == "0100"  # leading zero preserved

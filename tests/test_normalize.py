@@ -106,3 +106,35 @@ def test_malformed_json_yields_null_rows_not_crash(spark):
     df = spark.createDataFrame([("{not json",)], "payload string")
     out = N.normalize(df, "openaq")
     assert out.count() == 0
+
+
+def test_partial_payload_missing_fields_yield_nulls(spark):
+    """Missing keys in a payload → null columns, never a crash (C4)."""
+    df = spark.createDataFrame(
+        [('{"iss_position": {"latitude": "10.0"}}',)], "payload string"
+    )
+    out = N.normalize(df, "iss_now").collect()
+    assert out[0].latitude == "10.0"
+    assert out[0].longitude is None and out[0].timestamp is None
+
+
+def test_partial_openaq_missing_measurements(spark):
+    """A result with no measurements array contributes zero rows."""
+    df = spark.createDataFrame(
+        [('{"results": [{"city": "X"}, {"city": "Y", "measurements": '
+          '[{"parameter": "pm25", "value": 1.0, "unit": "u", '
+          '"lastUpdated": "t"}]}]}',)],
+        "payload string",
+    )
+    got = [tuple(r) for r in N.normalize(df, "openaq").collect()]
+    assert got == [("Y", "pm25", 1.0, "u", "t")]
+
+
+def test_payload_extra_fields_ignored(spark):
+    """Unknown payload keys are dropped by the explicit schema."""
+    df = spark.createDataFrame(
+        [('{"symbol": "BTCUSDT", "price": "1.0", "bogus": 42}',)],
+        "payload string",
+    )
+    got = [tuple(r) for r in N.normalize(df, "binance").collect()]
+    assert got == [("BTCUSDT", "1.0")]
