@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.functions.numeric import dec_sum
 from real_time_big_data_architect_spark.tables import load_table
 
 

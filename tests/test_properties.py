@@ -120,3 +120,30 @@ def test_lang_id_outputs_valid_profiles(spark, sf_small):
     out = text_ops.lang_id(spark, sf_small).collect()
     valid = set(text_ops._LANG_PROFILES)
     assert all(r.detected_lang in valid for r in out)
+
+
+def test_sql_surface_over_registered_views(spark, sf_small):
+    """The SQL API works over the registered catalog: spark.sql answers
+    must match the DataFrame API on the same session."""
+    from real_time_big_data_architect_spark.tables import register_views
+
+    register_views(spark, sf_small)
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    via_df = (
+        load_table(spark, sf_small, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+    # joins work across registered views too
+    n = spark.sql(
+        "SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0][0]
+    assert n == load_table(spark, sf_small, "orders").count()
