@@ -106,6 +106,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
+RESIZE_TARGET = (224, 224)  # the ubiquitous vision-model input size
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, out_width int, out_height int,"
+    " scale_x double, scale_y double, out_bytes long"
+)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage as an Arrow-batched mapInPandas kernel (NS6d).
+
+    The geometry math (scale factors, output byte estimate) is real;
+    the pixel resampling is the honestly-stubbed part (no codecs in
+    this container — production swaps in PIL/torchvision inside the
+    same kernel). Only image rows pass through: the filter prunes
+    before the Python stage so audio/video bytes never cross Arrow.
+    """
+    media = build_media_table(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tw, th = RESIZE_TARGET
+        for pdf in batches:
+            meta = pdf["meta"]
+            out = pdf[["doc_id", "media_type"]].copy()
+            out["out_width"] = tw
+            out["out_height"] = th
+            out["scale_x"] = [tw / m["width"] for m in meta]
+            out["scale_y"] = [th / m["height"] for m in meta]
+            # stub: a real kernel returns the resampled payload; the
+            # deterministic fake sizes it as 3 bytes/pixel RGB
+            out["out_bytes"] = tw * th * 3
+            yield out
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_EVERY = 1024  # stub: one "frame" per KiB of payload
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_bytes long"
+)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one video row → N frame rows (NS6d).
+
+    The row-expanding mapInPandas shape of every frame-extraction
+    pipeline: the kernel emits a row per sampled frame (here one per
+    KiB of payload, deterministic stub; production replaces the body
+    with an ffmpeg/PyAV seek loop). Frame count and offsets derive
+    only from payload length, so the expansion is oracle-checkable.
+    """
+    media = build_media_table(spark, sf_dir).filter(
+        F.col("media_type") == "video"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                n_frames = max((n + FRAME_SAMPLE_EVERY - 1) // FRAME_SAMPLE_EVERY, 1)
+                for i in range(n_frames):
+                    off = i * FRAME_SAMPLE_EVERY
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(min(FRAME_SAMPLE_EVERY, n - off) if n else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings on doc_id=vec_id: the text+vector bundle.
 
@@ -149,6 +223,8 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "media_resize": media_resize,  # rows-only (xxhash-derived geometry)
+    "media_frame_sample": media_frame_sample,
     "multimodal_join": multimodal_join,
     "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
     "multimodal_features": multimodal_features,  # rows-only (stub kernel)
@@ -156,6 +232,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "media_frame_sample": """
+        SELECT doc_id,
+               CAST(r.range AS INT) AS frame_idx,
+               r.range * 1024 AS frame_offset,
+               CASE WHEN n = 0 THEN 0
+                    ELSE least(1024, n - r.range * 1024) END AS frame_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS n
+              FROM documents WHERE doc_id % 3 = 2) v
+        CROSS JOIN range(0, 100000) r
+        WHERE r.range < greatest(CAST(ceil(n / 1024.0) AS BIGINT), 1)
+    """,
     "multimodal_join": """
         SELECT doc_id, lang, source, n_chars, label
         FROM documents JOIN embeddings ON doc_id = vec_id

@@ -126,6 +126,26 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", detect("text").alias("detected_lang"))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other marks.
+#: Kept to constructs with identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB) — no lookarounds, no \\w ambiguity.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization counts (the 'BPE-ish regex' path): letter
+    runs + digit runs + individual punctuation marks, the shape of a
+    GPT-style pre-tokenizer's first split. Compare with token_count's
+    chars/4 heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
 CURATE_LANGS = ("en", "de", "fr", "es")
 CURATE_MIN_CHARS = 100
 CURATE_MIN_WORDS = 20
@@ -177,6 +197,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,  # oracle replicates the heuristic in SQL
     "curate_corpus": curate_corpus,
+    "token_count_regex": token_count_regex,
 }
 
 
@@ -204,6 +225,14 @@ def _lang_id_oracle() -> str:
 
 ORACLE = {
     "lang_id": _lang_id_oracle(),
+    "token_count_regex": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                    AS INT) AS n_regex_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '{TOKEN_PATTERN}')))
+                    AS INT) AS n_unique_tokens
+        FROM documents
+    """,
     "text_wordcount": """
         SELECT word, COUNT(*) AS n_occurrences
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -184,3 +184,31 @@ def test_stream_static_join_matches_batch(spark, sf_small):
     dim = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     want = sorted((r.event_id, r.n) for r in ev.join(dim, "event_type").collect())
     assert got == want
+
+
+def test_media_resize_geometry(spark, sf_small):
+    out = multimodal.media_resize(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.out_width, r.out_height) == multimodal.RESIZE_TARGET
+        assert r.scale_x > 0 and r.scale_y > 0
+        assert r.out_bytes == 224 * 224 * 3
+
+
+def test_media_frame_sample_expands_and_covers(spark, sf_small):
+    frames = multimodal.media_frame_sample(spark, sf_small).collect()
+    videos = {
+        r.doc_id: len(bytes(r.payload))
+        for r in multimodal.build_media_table(spark, sf_small)
+        .filter(F.col("media_type") == "video")
+        .collect()
+    }
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(videos)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        n = videos[doc_id]
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.frame_bytes for r in rows) == n  # frames tile the payload
