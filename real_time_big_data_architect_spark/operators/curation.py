@@ -1,0 +1,219 @@
+"""Corpus-curation operators for training-data pipelines (north star NS6).
+
+Absent from the reference (SURVEY §2.5); these are the shapes a 100 TB
+pretraining-data pipeline runs between raw crawl and tokenizer:
+
+- **stratified sampling** — deterministic per-language rates via a
+  modulo residue on the document key: a pure filter, no shuffle, same
+  rows on every run and every partitioning. Production swaps the
+  residue for ``xxhash64(key) % 100`` — identical plan shape.
+- **sequence packing** — greedy token-budget packing into fixed-size
+  training sequences via an exclusive prefix sum: ``seq_id =
+  prefix_tokens div BUDGET``, partitioned by language so the window
+  (and the packing) parallelizes per stratum instead of serializing
+  on a single global ordering.
+- **per-source quota capping** — row_number over (source, length desc)
+  keeps the N best documents per domain: one shuffle on ``source``,
+  skew absorbed by AQE.
+- **PII scrubbing** — regex redaction of emails/phones. The synthetic
+  corpus contains no PII, so the query plants deterministic PII derived
+  from ``doc_id`` and then scrubs it — the redaction regexes do real
+  work and the oracle replicates plant + scrub exactly. Regexes stay in
+  the Java-regex ∩ RE2 common subset (no lookarounds, no shorthand
+  classes), so both engines match identically.
+- **shard shuffling** — a deterministic affine permutation
+  ``(key·A) mod 2^20`` (A odd → bijective) orders documents
+  pseudo-randomly into K shards: the "shuffle the corpus before
+  training" step without a nondeterministic ``rand()``, reproducible
+  across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+#: per-language sampling rates, percent of documents kept
+SAMPLE_RATES = {"en": 50, "de": 30}
+SAMPLE_RATE_DEFAULT = 20
+
+TOKENS_PER_SEQ = 2048
+
+CAP_PER_SOURCE = 10
+
+#: Java-regex ∩ RE2 subset: explicit classes only
+EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+
+SHARD_MOD = 1 << 20  # permutation domain (production: 2^44)
+SHARD_MULT = 2654435761 % SHARD_MOD  # Knuth multiplier, odd → bijective
+N_SHARDS = 8
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep doc_id%100 < rate(lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", SAMPLE_RATES["en"])
+        .when(F.col("lang") == "de", SAMPLE_RATES["de"])
+        .otherwise(SAMPLE_RATE_DEFAULT)
+    )
+    return d.filter(F.pmod("doc_id", F.lit(100)) < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into TOKENS_PER_SEQ-token training sequences.
+
+    Token estimate = ceil(n_chars/4); ``seq_id`` = exclusive prefix sum
+    of tokens div budget, per language — a document straddling a budget
+    boundary starts inside the sequence its prefix lands in (contiguous
+    packing, the streaming-friendly variant of greedy bin packing).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.expr("(n_chars + 3) div 4")
+    by_lang = Window.partitionBy("lang").orderBy("doc_id")
+    prefix = F.coalesce(
+        F.sum("tok_est").over(by_lang.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    packed = d.select("doc_id", "lang", tok.alias("tok_est")).withColumn(
+        "prefix_tok", prefix
+    )
+    packed = packed.select(
+        "doc_id",
+        "lang",
+        "tok_est",
+        F.expr(f"prefix_tok div {TOKENS_PER_SEQ}").alias("seq_id"),
+    )
+    in_seq = Window.partitionBy("lang", "seq_id").orderBy("doc_id")
+    return packed.withColumn("seq_pos", F.row_number().over(in_seq))
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the CAP_PER_SOURCE longest docs per source."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= CAP_PER_SOURCE)
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant deterministic PII, then scrub it with redaction regexes."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine-permutation shuffle into N_SHARDS with within-shard order."""
+    d = load_table(spark, sf_dir, "documents")
+    perm = F.pmod(F.pmod("doc_id", F.lit(SHARD_MOD)) * SHARD_MULT, F.lit(SHARD_MOD))
+    sharded = d.select("doc_id", perm.alias("shuffle_key")).withColumn(
+        "shard", F.pmod("shuffle_key", F.lit(N_SHARDS)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return sharded.select(
+        "doc_id", "shard", "shuffle_key", F.row_number().over(w).alias("shard_pos")
+    )
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "pack_sequences": pack_sequences,
+    "cap_per_source": cap_per_source,
+    "pii_scrub": pii_scrub,
+    "shuffle_shards": shuffle_shards,
+}
+
+ORACLE = {
+    "sample_stratified": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 50
+                                   WHEN lang = 'de' THEN 30
+                                   ELSE 20 END)
+    """,
+    "pack_sequences": """
+        WITH toks AS (
+          SELECT doc_id, lang, (n_chars + 3) // 4 AS tok_est
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, lang, tok_est,
+                 COALESCE(SUM(tok_est) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) // 2048 AS seq_id
+          FROM toks
+        )
+        SELECT doc_id, lang, tok_est, seq_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, seq_id ORDER BY doc_id
+               ) AS INT) AS seq_pos
+        FROM packed
+    """,
+    "cap_per_source": """
+        SELECT * FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ) AS INT) AS quota_rank
+          FROM documents
+        ) WHERE quota_rank <= 10
+    """,
+    "pii_scrub": """
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     AS aug
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+                    AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '\\+1-555-[0-9]{4}'))
+                    AS INT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                    '<EMAIL>', 'g'),
+                     '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        FROM planted
+    """,
+    "shuffle_shards": f"""
+        SELECT doc_id, shard, shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY shuffle_key
+               ) AS INT) AS shard_pos
+        FROM (
+          SELECT doc_id,
+                 (doc_id % {SHARD_MOD}) * {SHARD_MULT} % {SHARD_MOD}
+                     AS shuffle_key,
+                 CAST((doc_id % {SHARD_MOD}) * {SHARD_MULT} % {SHARD_MOD}
+                      % {N_SHARDS} AS INT) AS shard
+          FROM documents
+        )
+    """,
+}

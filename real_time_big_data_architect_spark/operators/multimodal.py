@@ -227,11 +227,49 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "multimodal_join": multimodal_join,
     "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
-    "multimodal_features": multimodal_features,  # rows-only (stub kernel)
+    "multimodal_features": multimodal_features,
     "media_meta_stats": media_meta_stats,
 }
 
+
+def _features_oracle() -> str:
+    """SQL twin of ``decode_media_batch``: the 8-bucket byte histogram.
+
+    Bucket of a byte is its high hex nibble // 2 — computed from
+    ``hex(encode(text))`` so the oracle is UTF-8-byte-exact even for
+    non-ASCII text. Shares are int/int double divisions, which both
+    engines evaluate identically (same IEEE operands → same bits).
+    """
+    buckets = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE bucket = {k}) AS DOUBLE)"
+        " / greatest(any_value(n), 1)"
+        for k in range(8)
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, n,
+                 (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(r.range*2+1 AS INT), 1)) - 1) // 2
+                     AS bucket
+          FROM h CROSS JOIN range(0, 100000) r
+          WHERE r.range < n
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               [{buckets}] AS features
+        FROM b GROUP BY doc_id
+    """
+
+
 ORACLE = {
+    "multimodal_features": _features_oracle(),
     "media_frame_sample": """
         SELECT doc_id,
                CAST(r.range AS INT) AS frame_idx,

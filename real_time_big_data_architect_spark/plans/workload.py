@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_big_data_architect_spark.operators import (
     aggregates,
+    curation,
     dedup,
     joins,
     multimodal,
@@ -40,6 +41,7 @@ _MODULES = (
     windows,
     setops,
     text,
+    curation,
     multimodal,
     time_windows,
     stateful,

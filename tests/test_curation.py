@@ -1,0 +1,103 @@
+"""Invariant tests for the corpus-curation operators (NS6).
+
+The oracle gate already certifies value-exactness vs DuckDB; these
+tests pin the *semantic* invariants the SQL twin can't express:
+packing respects the token budget, quotas cap every domain, the shard
+permutation is a bijection, and the scrub removes every planted PII
+token.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import curation
+from real_time_big_data_architect_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def sf_small():
+    return "/root/testdata/sf0.001"
+
+
+def test_sample_stratified_rates(spark, sf_small):
+    total = load_table(spark, sf_small, "documents").groupBy("lang").count()
+    sampled = (
+        curation.sample_stratified(spark, sf_small).groupBy("lang").count()
+    )
+    tot = {r.lang: r["count"] for r in total.collect()}
+    got = {r.lang: r["count"] for r in sampled.collect()}
+    # deterministic modulo sampling: rates land near the target percent
+    for lang, n in got.items():
+        rate = curation.SAMPLE_RATES.get(lang, curation.SAMPLE_RATE_DEFAULT)
+        assert 0 < n <= tot[lang]
+        assert abs(n / tot[lang] - rate / 100) < 0.2
+    # rerun is identical (no rand() anywhere)
+    again = {
+        r.lang: r["count"]
+        for r in curation.sample_stratified(spark, sf_small)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert again == got
+
+
+def test_pack_sequences_budget_and_contiguity(spark, sf_small):
+    rows = curation.pack_sequences(spark, sf_small).collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.lang, r.seq_id), []).append(r)
+    for (lang, seq_id), docs in by_seq.items():
+        docs.sort(key=lambda r: r.seq_pos)
+        # positions are 1..n dense
+        assert [d.seq_pos for d in docs] == list(range(1, len(docs) + 1))
+        # all but the straddling last doc fit inside the budget
+        tok_sum = sum(d.tok_est for d in docs)
+        assert tok_sum - docs[-1].tok_est < curation.TOKENS_PER_SEQ
+    # seq ids per lang are dense from 0
+    for lang in {r.lang for r in rows}:
+        ids = sorted({r.seq_id for r in rows if r.lang == lang})
+        assert ids == list(range(len(ids)))
+
+
+def test_cap_per_source_keeps_longest(spark, sf_small):
+    capped = curation.cap_per_source(spark, sf_small).collect()
+    per_src = {}
+    for r in capped:
+        per_src.setdefault(r.source, []).append(r)
+    docs = load_table(spark, sf_small, "documents").collect()
+    lengths = {}
+    for d in docs:
+        lengths.setdefault(d.source, []).append(d.n_chars)
+    for src, kept in per_src.items():
+        assert len(kept) <= curation.CAP_PER_SOURCE
+        floor_kept = min(r.n_chars for r in kept)
+        dropped = sorted(lengths[src], reverse=True)[len(kept):]
+        assert all(n <= floor_kept for n in dropped)
+
+
+def test_pii_scrub_removes_all_planted(spark, sf_small):
+    out = curation.pii_scrub(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_emails == 1 and r.n_phones == 1
+        assert len(r.scrub_md5) == 32
+
+
+def test_shuffle_shards_is_a_permutation(spark, sf_small):
+    rows = curation.shuffle_shards(spark, sf_small).collect()
+    keys = [r.shuffle_key for r in rows]
+    # affine map with odd multiplier is injective on distinct doc_ids
+    assert len(set(keys)) == len(keys)
+    assert set(r.shard for r in rows) == set(range(curation.N_SHARDS))
+    # the shuffle actually reorders: sharded order != doc_id order
+    by_key = [r.doc_id for r in sorted(rows, key=lambda r: r.shuffle_key)]
+    assert by_key != sorted(by_key)
+    # within-shard positions are dense
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
