@@ -33,6 +33,9 @@ HEADLINE = [
     "tumbling_window_agg",
     "session_window_agg",
     "json_extract",
+    "asof_join",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 

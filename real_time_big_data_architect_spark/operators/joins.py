@@ -187,6 +187,75 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS (the fixtures lack commit/receipt
+    dates, so the correlated predicate is ``l_shipdate > o_orderdate``).
+
+    A correlated EXISTS with a non-equi conjunct is more than a plain
+    semi join on keys: Catalyst plans it as a left-semi hash join with
+    the inequality as a join residual — no subquery re-execution per
+    row, one shuffle on the order key.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped_late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        shipped_late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries through the SQL surface: parts
+    priced above the global average.
+
+    The comparison is the multiplication form ``price·n > sum`` in
+    exact decimal — dividing would put a double rounding boundary
+    between engines right where rows are kept or dropped. Catalyst
+    plans the two scalar subqueries once each (ReusedSubquery), then
+    broadcasts the 1-row results into the scan's filter.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_sq
+        WHERE CAST(p_retailprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM part_sq)
+              > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                 FROM part_sq)
+        """
+    )
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN + scalar subquery through the SQL surface: suppliers in
+    EUROPE nations. Catalyst rewrites the IN to a semi join and the
+    scalar to a broadcast 1-row filter — subqueries are plan sugar,
+    not per-row re-execution."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sq")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_sq")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier_sq
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation_sq
+            WHERE n_regionkey = (SELECT r_regionkey FROM region_sq
+                                 WHERE r_name = 'EUROPE')
+        )
+        """
+    )
+
+
 N_SALTS = 8
 
 
@@ -229,6 +298,9 @@ QUERIES = {
     "asof_join": asof_join,
     "join_skew_salted": join_skew_salted,
     "tpch_q3": tpch_q3,
+    "subquery_exists": subquery_exists,
+    "subquery_scalar": subquery_scalar,
+    "subquery_in": subquery_in,
 }
 
 ORACLE = {
@@ -304,5 +376,31 @@ ORACLE = {
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "subquery_exists": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "subquery_scalar": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE CAST(p_retailprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM part)
+              > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+    """,
+    "subquery_in": """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                 WHERE r_name = 'EUROPE')
+        )
     """,
 }

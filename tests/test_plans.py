@@ -97,3 +97,30 @@ def test_json_extract_stays_jvm_side(spark, sf_small):
 def test_no_python_udf_in_builtin_paths(spark, sf_small, fn):
     plan = explain.formatted_plan(fn(spark, sf_small))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_subquery_exists_plans_as_semi_join(spark, sf_small):
+    """Correlated EXISTS must decorrelate to one semi join — no
+    per-row subquery re-execution survives in the physical plan."""
+    plan = explain.formatted_plan(joins.subquery_exists(spark, sf_small))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_subquery_scalar_reuses_subquery(spark, sf_small):
+    """Both scalar subqueries scan `part`; the second should reuse the
+    first's result (Subquery/ReusedSubquery), and the filter must not
+    re-execute per row via Python."""
+    plan = explain.formatted_plan(joins.subquery_scalar(spark, sf_small))
+    assert "Subquery" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_data_shuffle(spark, sf_small):
+    """Both windows cluster on lang (the second refines to lang+seq_id),
+    so the plan must not shuffle the data more than twice."""
+    from real_time_big_data_architect_spark.operators import curation
+
+    plan = explain.formatted_plan(curation.pack_sequences(spark, sf_small))
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan
