@@ -381,6 +381,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_survivors": dedup_survivors,
     "doc_fingerprint": doc_fingerprint,
+    "minhash_signatures": minhash_signatures,  # rows-only (xxhash64-derived)
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (xxhash64 is Spark-specific)
     "simhash_signatures": simhash_signatures,  # rows-only (64-bit, xxhash64-derived)
     "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)

@@ -1,0 +1,97 @@
+"""User-defined function surface: pandas UDF, grouped-agg UDF, UDTF.
+
+The reference has no UDF machinery (plain Python helpers only,
+app.py:67,84,192,230); this module is the north-star's sanctioned
+Python escape hatch, Arrow-batched end to end:
+
+- ``udf_scalar`` — a vectorized ``pandas_udf`` scalar. The kernel
+  keeps to +,-,*,/ and clamping, so the DuckDB oracle reproduces it
+  bit-for-bit (same IEEE-754 operations; no libm calls whose last-ulp
+  behavior differs between engines).
+- ``weighted_mean_agg`` — a grouped-aggregate ``pandas_udf`` (UDAF).
+  Float accumulation order differs between numpy's pairwise sum and
+  any SQL engine's sequential sum, so this one is locked by a unit
+  test against a tolerance instead of a hash oracle.
+- ``sentences_udtf`` — a Python UDTF exploding text into numbered
+  sentence rows (arrow-enabled); exercised by the test suite.
+
+Scale: all three run scan-side over Arrow batches — no shuffle is
+introduced by the Python stage itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from real_time_big_data_architect_spark.tables import load_table
+
+VALUE_LO = 5.0
+VALUE_SPAN = 90.0
+
+
+@pandas_udf(DoubleType())
+def _minmax_score(v: pd.Series) -> pd.Series:
+    # exact-arithmetic kernel: (v - lo) / span clamped to [0, 1]
+    return ((v - VALUE_LO) / VALUE_SPAN).clip(lower=0.0, upper=1.0)
+
+
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: min-max score per event (SURVEY
+    §2.5 UDF row). Oracle = the same arithmetic as a SQL expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        _minmax_score("value").alias("value_score"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    total = float(w.sum())
+    return float((v * w).sum() / total) if total else 0.0
+
+
+def weighted_mean_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF): event-value mean weighted by
+    user_id (an arbitrary deterministic weight present in the fixture).
+    Not oracle-hashed: numpy's pairwise float summation order differs
+    from a SQL engine's sequential fold; semantics locked by unit test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _weighted_mean("value", "user_id").alias("weighted_mean_value")
+    )
+
+
+class SentencesUDTF:
+    """Python UDTF: text → (sentence_idx, sentence) rows.
+
+    The UDTF shape for row-expanding Python logic when the expansion
+    isn't expressible as a generator expression (here it is — the
+    point is the API surface; see tests for registration + SQL use).
+    """
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        for i, s in enumerate(t for t in text.split(". ") if t):
+            yield doc_id, i, s
+
+
+QUERIES = {
+    "udf_scalar": udf_scalar,
+    "weighted_mean_agg": weighted_mean_agg,  # rows-only (float-sum order)
+}
+
+ORACLE = {
+    "udf_scalar": """
+        SELECT event_id, event_type,
+               least(greatest((value - 5.0) / 90.0, 0.0), 1.0) AS value_score
+        FROM events
+    """,
+}

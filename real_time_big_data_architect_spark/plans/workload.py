@@ -24,6 +24,7 @@ from real_time_big_data_architect_spark.operators import (
     setops,
     similarity,
     text,
+    udfs,
     windows,
 )
 from real_time_big_data_architect_spark.streaming import stateful, time_windows
@@ -42,6 +43,7 @@ _MODULES = (
     setops,
     text,
     curation,
+    udfs,
     multimodal,
     time_windows,
     stateful,

@@ -20,6 +20,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Python workers must be able to import this package to unpickle
+# module-level pandas UDFs, whatever directory the driver runs from.
+# Workers inherit PYTHONPATH from the driver environment, so extend it
+# before the JVM launches.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _REPO_ROOT not in parts:
+        os.environ["PYTHONPATH"] = (
+            os.pathsep.join([_REPO_ROOT, existing]) if existing else _REPO_ROOT
+        )
+
 
 def get_spark(
     app_name: str = "real_time_big_data_architect_spark",
@@ -34,6 +49,7 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    _ensure_worker_pythonpath()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
