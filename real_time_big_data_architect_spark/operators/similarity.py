@@ -253,17 +253,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_mx.select("vec_id", "max_abs", q.alias("q_embedding"))
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style cell assignment: each vector → nearest label centroid.
+def _centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_label, centroid array) — label centroids pivoted to vectors.
 
-    The building block of inverted-file ANN indexes: centroids come
-    from :func:`label_centroids` (exact-decimal means, so both engines
-    hold identical centroid values); squared-L2 distance is a per-row
-    left fold (portable, see _dot); ties break to the smallest label.
-    The 10-row centroid table broadcasts — at 100 TB this is one
-    map-side pass over the corpus.
+    Exact-decimal means (see :func:`label_centroids`), so both engines
+    hold bit-identical centroid values; everything derived from them
+    (cell assignment, probe order) is cross-engine deterministic.
     """
-    cents = (
+    return (
         label_centroids(spark, sf_dir)
         .groupBy("label")
         .agg(
@@ -276,18 +273,52 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "centroid")
     )
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    dist2 = F.aggregate(
+
+
+def _centroid_dist2(emb: str = "embedding"):
+    """Squared-L2 distance ``emb``↔centroid as a portable left fold."""
+    return F.aggregate(
         F.zip_with(
-            F.col("embedding"),
+            F.col(emb),
             F.col("centroid"),
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _with_cell(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Tag each vector row with its IVF cell (nearest centroid's label).
+
+    ``e`` must carry ``vec_id`` and ``embedding``; extra columns pass
+    through. The centroid table broadcasts, so at scale this is one
+    map-side pass plus the per-vector argmin window.
+    """
+    scored = e.crossJoin(F.broadcast(cents)).withColumn("dist2", _centroid_dist2())
+    w = W.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist2", "centroid")
+        .withColumnRenamed("c_label", "cell")
+    )
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell assignment: each vector → nearest label centroid.
+
+    The building block of inverted-file ANN indexes: centroids come
+    from :func:`label_centroids` (exact-decimal means, so both engines
+    hold identical centroid values); squared-L2 distance is a per-row
+    left fold (portable, see _dot); ties break to the smallest label.
+    The 10-row centroid table broadcasts — at 100 TB this is one
+    map-side pass over the corpus.
+    """
+    cents = _centroid_table(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "c_label", dist2.alias("dist2")
+        "vec_id", "label", "c_label", _centroid_dist2().alias("dist2")
     )
     w = W.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_label").asc())
     return (
@@ -302,6 +333,112 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 3  # IVF search: probe the 3 nearest cells per query
+NEAR_DUP_COS = 0.35  # embedding near-dup threshold (fixture top pairs ≈ 0.47)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search: the inverted-file scale path for top-k.
+
+    Each query ranks the centroids and probes its NPROBE nearest cells;
+    candidates are only the corpus vectors assigned to those cells, so
+    at scale each query scores ~NPROBE/num_cells of the corpus instead
+    of all of it (here 3/10; real deployments use thousands of cells).
+    Unlike the hash-seeded LSH variant this is fully oracle-checked:
+    centroids are exact-decimal means, assignment and probe order are
+    deterministic argmins, and cosine is the bit-reproducible fold of
+    :func:`_dot` — rank order hash-matches DuckDB.
+    """
+    cents = _centroid_table(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    corpus = _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("q_dist2", _centroid_dist2("q_emb"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("q_dist2").asc(), F.col("c_label").asc()
+    )
+    probes = (
+        probes.withColumn("p_rn", F.row_number().over(wq))
+        .filter(F.col("p_rn") <= NPROBE)
+        .select("query_id", "q_emb", "q_nrm", F.col("c_label").alias("probe_cell"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by IVF cell (NS6a/NS6b).
+
+    The embedding-based member of the dedup family: candidate pairs are
+    vectors sharing a cell (one corpus shuffle keyed by the cell id —
+    vectors land where their pairs are), scored with the exact cosine
+    fold, kept when cosine ≥ NEAR_DUP_COS with vec_id_a < vec_id_b
+    canonical ordering. At 100 TB the cell count scales up (thousands of
+    centroids) so per-cell pair work stays bounded; deterministic
+    centroids make the whole pipeline oracle-checkable, unlike the
+    hash-seeded MinHash/SimHash paths.
+    """
+    cents = _centroid_table(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    v = _with_cell(e.select("vec_id", "embedding", "nrm"), cents).repartition(
+        "cell"
+    )
+    a = v.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "cell",
+            "vec_id_a",
+            "vec_id_b",
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
@@ -309,7 +446,52 @@ QUERIES = {
     "knn_count_per_label": knn_count_per_label,
     "embedding_quantize": embedding_quantize,
     "ivf_assign": ivf_assign,
+    "ivf_topk": ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+
+#: centroid + cell-assignment + norm CTEs shared by the IVF oracles;
+#: mirrors _centroid_table/_with_cell/_norm (see ivf_assign's oracle for
+#: the decimal-rounding rationale on centroid components).
+_IVF_CTE = """
+    WITH cents AS (
+        SELECT label AS c_label,
+               list(centroid_component ORDER BY dim) AS centroid
+        FROM (
+            SELECT label,
+                   CAST(gs - 1 AS INT) AS dim,
+                   CAST(SUM(CAST(round(CAST(component AS DOUBLE), 10)
+                                 AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(component) AS centroid_component
+            FROM (SELECT label, unnest(embedding) AS component,
+                         generate_subscripts(embedding, 1) AS gs
+                  FROM embeddings)
+            GROUP BY label, dim
+        )
+        GROUP BY label
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)) AS nrm
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.c_label AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+                           (x, y) -> x + y), c.c_label) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+"""
 
 #: dot/norm CTEs shared by the cosine oracles: list_reduce reproduces
 #: Spark's in-order left fold over the 64 element products, so scores
@@ -422,6 +604,59 @@ ORACLE = {
         JOIN embeddings ql ON ql.vec_id = t.query_id
         JOIN embeddings nl ON nl.vec_id = t.vec_id
         GROUP BY t.query_id, ql.label
+    """,
+    "ivf_topk": _IVF_CTE
+    + """
+        , probes AS (
+            SELECT query_id, probe_cell FROM (
+                SELECT e.vec_id AS query_id, c.c_label AS probe_cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_reduce(
+                               list_transform(range(1, 65),
+                                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                                        * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+                               (x, y) -> x + y), c.c_label) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id < 10
+            ) WHERE rn <= 3
+        ),
+        scored AS (
+            SELECT p.query_id, cl.vec_id,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(cv.embedding[i] AS DOUBLE)
+                                * CAST(qv.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y) / (nv.nrm * nq.nrm) AS cosine
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.probe_cell
+            JOIN embeddings cv ON cv.vec_id = cl.vec_id
+            JOIN embeddings qv ON qv.vec_id = p.query_id
+            JOIN norms nv ON nv.vec_id = cl.vec_id
+            JOIN norms nq ON nq.vec_id = p.query_id
+            WHERE cl.vec_id != p.query_id
+        )
+        SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "dedup_embedding_cosine": _IVF_CTE
+    + """
+        SELECT cell, vec_id_a, vec_id_b, cosine FROM (
+            SELECT ca.cell, ca.vec_id AS vec_id_a, cb.vec_id AS vec_id_b,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(a.embedding[i] AS DOUBLE)
+                                * CAST(b.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y) / (na.nrm * nb.nrm) AS cosine
+            FROM cells ca
+            JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+            JOIN embeddings a ON a.vec_id = ca.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+            JOIN norms na ON na.vec_id = ca.vec_id
+            JOIN norms nb ON nb.vec_id = cb.vec_id
+        ) WHERE cosine >= 0.35
     """,
     "label_centroids": """
         SELECT label,

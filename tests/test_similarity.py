@@ -121,3 +121,37 @@ def test_ivf_assign_is_argmin(spark, sf_small):
         best = min(float(((v - c) ** 2).sum()) for c in cent_vecs.values())
         assert abs(d_assigned - best) < 1e-6
         assert r.true_label == true_label
+
+
+def test_ivf_topk_recall_vs_ground_truth(spark, sf_small):
+    """recall@K of IVF-probed search against brute force, measured."""
+    truth = {}
+    for r in similarity.cosine_topk(spark, sf_small).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf = {}
+    for r in similarity.ivf_topk(spark, sf_small).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(ivf.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    # probing 3/10 cells must beat the single-bucket LSH floor
+    assert recall >= RECALL_FLOOR, f"IVF recall@{similarity.TOP_K} = {recall:.2f}"
+    assert len(ivf) == similarity.N_QUERIES  # every query produced rows
+
+
+def test_dedup_embedding_cosine_pairs(spark, sf_small):
+    """Canonical ordering, threshold, and same-cell blocking all hold."""
+    cells = {
+        r.vec_id: r.assigned_label
+        for r in similarity.ivf_assign(spark, sf_small).collect()
+    }
+    out = similarity.dedup_embedding_cosine(spark, sf_small).collect()
+    assert out, "fixture should contain near-dup embedding pairs"
+    seen = set()
+    for r in out:
+        assert r.vec_id_a < r.vec_id_b  # canonical pair order, no mirrors
+        assert r.cosine >= similarity.NEAR_DUP_COS
+        assert r.cosine <= 1.0 + 1e-12
+        assert cells[r.vec_id_a] == cells[r.vec_id_b] == r.cell
+        assert (r.vec_id_a, r.vec_id_b) not in seen  # no duplicate pairs
+        seen.add((r.vec_id_a, r.vec_id_b))
