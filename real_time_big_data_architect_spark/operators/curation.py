@@ -125,6 +125,47 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: md5-first-byte split thresholds over 256 buckets: train gets
+#: buckets 00..e5 (230/256 ≈ 89.8%), val e6..f2 (13/256 ≈ 5.1%),
+#: test f3..ff (13/256 ≈ 5.1%).
+TRAIN_HEX = "e6"
+VAL_HEX = "f3"
+
+
+def _split_of(key):
+    """'train'/'val'/'test' from the first md5 byte of ``key``.
+
+    Hex strings compare bytewise identically in both engines, so the
+    assignment is cross-engine exact; being hash-based (not id-modulo)
+    it stays uniform under any key distribution and is stable when the
+    corpus grows — a document never changes split as rows are added.
+    """
+    h = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(h < TRAIN_HEX, "train")
+        .when(h < VAL_HEX, "val")
+        .otherwise("test")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment, per-doc and leakage-safe.
+
+    ``doc_split`` buckets each document independently; ``source_split``
+    keys the hash on the source domain so every document from one
+    source lands in the same split (no near-duplicate leakage across
+    train/test). Pure map-side expressions — no shuffle, no stored
+    state, same answer on any cluster layout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        _split_of(F.col("doc_id")).alias("doc_split"),
+        _split_of(F.col("source")).alias("source_split"),
+    )
+
+
 def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Affine-permutation shuffle into N_SHARDS with within-shard order."""
     d = load_table(spark, sf_dir, "documents")
@@ -143,6 +184,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "cap_per_source": cap_per_source,
     "pii_scrub": pii_scrub,
+    "train_test_split": train_test_split,
     "shuffle_shards": shuffle_shards,
 }
 
@@ -201,6 +243,20 @@ ORACLE = {
                                     '<EMAIL>', 'g'),
                      '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
         FROM planted
+    """,
+    "train_test_split": f"""
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < '{TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < '{VAL_HEX}' THEN 'val'
+                    ELSE 'test' END AS doc_split,
+               CASE WHEN substr(md5(source), 1, 2)
+                        < '{TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5(source), 1, 2)
+                        < '{VAL_HEX}' THEN 'val'
+                    ELSE 'test' END AS source_split
+        FROM documents
     """,
     "shuffle_shards": f"""
         SELECT doc_id, shard, shuffle_key,

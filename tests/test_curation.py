@@ -101,3 +101,22 @@ def test_shuffle_shards_is_a_permutation(spark, sf_small):
         per_shard.setdefault(r.shard, []).append(r.shard_pos)
     for poss in per_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_train_test_split_properties(spark, sf_small):
+    """Ratios near 90/5/5, exhaustive assignment, leakage-safe grouping."""
+    rows = curation.train_test_split(spark, sf_small).collect()
+    n = len(rows)
+    assert n == load_table(spark, sf_small, "documents").count()
+    by_split = {}
+    source_split = {}
+    for r in rows:
+        assert r.doc_split in ("train", "val", "test")
+        by_split[r.doc_split] = by_split.get(r.doc_split, 0) + 1
+        # every doc of a source gets the same source_split (no leakage)
+        assert source_split.setdefault(r.source, r.source_split) == r.source_split
+    assert 0.85 <= by_split["train"] / n <= 0.93
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+    # deterministic: a second run assigns identically
+    again = {r.doc_id: r.doc_split for r in curation.train_test_split(spark, sf_small).collect()}
+    assert all(again[r.doc_id] == r.doc_split for r in rows)
