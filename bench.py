@@ -28,7 +28,9 @@ HEADLINE = [
     "distinct_count",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "cosine_topk",
+    "ivf_topk",
     "text_wordcount",
     "tumbling_window_agg",
     "session_window_agg",
