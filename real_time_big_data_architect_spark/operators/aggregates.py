@@ -148,6 +148,28 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces the
+    hour-grain rows plus their day-level and grand-total rollups
+    (``ROLLUP(day, hour)``) — the multi-resolution materialization a
+    timeseries store keeps per hypertable.
+
+    Spark computes this with partial aggregation at every level before
+    the single shuffle; sums accumulate in exact decimal so the rolled
+    values are order-independent and hash-match the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return d.rollup("day", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"),
+    )
+
+
 def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (NS2).
 
@@ -197,6 +219,7 @@ QUERIES = {
     "approx_quantiles": approx_quantiles,  # rows-only (sketch estimates)
     "tpch_q6": tpch_q6,
     "grouping_sets_agg": grouping_sets_agg,
+    "rollup_time_hierarchy": rollup_time_hierarchy,
 }
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
@@ -254,6 +277,15 @@ ORACLE = {
           AND l_shipdate < TIMESTAMP '1995-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "rollup_time_hierarchy": """
+        SELECT day, hour, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        -- DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+        FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     date_trunc('hour', ts) AS hour, value
+              FROM events)
+        GROUP BY ROLLUP(day, hour)
     """,
     "grouping_sets_agg": """
         SELECT l_returnflag, l_linestatus,

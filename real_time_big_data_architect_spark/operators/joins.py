@@ -256,6 +256,53 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRICE_BAND = 1.0  # range-join half-width; also the bucket width
+
+
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range self-join via bucket banding — the scalable plan
+    for ``|a.value - b.value| <= band`` predicates Spark would otherwise
+    execute as a nested-loop O(n·m) join.
+
+    Bucket = ``floor(price / band)``; the probe side explodes to its own
+    bucket ±1, the build side keeps one bucket, and the join becomes an
+    equi-join on the bucket id followed by the exact band filter. Each
+    qualifying pair matches in exactly one probe bucket (the build row's
+    bucket is unique), so no dedup pass is needed. This is the same
+    strategy range-join optimizers apply internally; at 100 TB it
+    shuffles on a dense integer key instead of looping per row.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    probe = part.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_retailprice").alias("a_price"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).select(
+        "a_key",
+        "a_price",
+        (F.floor(F.col("a_price") / PRICE_BAND) + F.col("off")).alias("bucket"),
+    )
+    build = part.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("b_price"),
+        F.floor(F.col("p_retailprice") / PRICE_BAND).alias("bucket"),
+    )
+    return (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_price") - F.col("b_price")) <= PRICE_BAND)
+        )
+        .select(
+            "a_key",
+            "b_key",
+            "a_price",
+            "b_price",
+            (F.col("b_price") - F.col("a_price")).alias("price_delta"),
+        )
+    )
+
+
 N_SALTS = 8
 
 
@@ -296,6 +343,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_star": join_star,
     "asof_join": asof_join,
+    "range_join_banded": range_join_banded,
     "join_skew_salted": join_skew_salted,
     "tpch_q3": tpch_q3,
     "subquery_exists": subquery_exists,
@@ -340,6 +388,14 @@ ORACLE = {
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+    """,
+    "range_join_banded": """
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               a.p_retailprice AS a_price, b.p_retailprice AS b_price,
+               b.p_retailprice - a.p_retailprice AS price_delta
+        FROM part a JOIN part b
+          ON a.p_partkey < b.p_partkey
+         AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
     """,
     "join_skew_salted": """
         SELECT e.event_id, e.event_type, c.n_type_events

@@ -147,3 +147,44 @@ def test_sql_surface_over_registered_views(spark, sf_small):
         "SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     ).collect()[0][0]
     assert n == load_table(spark, sf_small, "orders").count()
+
+
+def test_time_rollup_levels_reconcile(spark, sf_small):
+    """Hour rows sum to their day row; day rows sum to the grand total."""
+    from real_time_big_data_architect_spark.operators.aggregates import (
+        rollup_time_hierarchy,
+    )
+
+    rows = rollup_time_hierarchy(spark, sf_small).collect()
+    hours = [(r.day, r.hour, r.n_events) for r in rows if r.hour is not None]
+    days = {r.day: r.n_events for r in rows if r.hour is None and r.day is not None}
+    total = [r.n_events for r in rows if r.day is None and r.hour is None]
+    assert len(total) == 1
+    by_day = {}
+    for d, _, n in hours:
+        by_day[d] = by_day.get(d, 0) + n
+    assert by_day == days
+    assert sum(days.values()) == total[0]
+
+
+def test_range_join_banded_equals_naive(spark, sf_small):
+    """The bucket-banded plan must reproduce the naive range join."""
+    from real_time_big_data_architect_spark.operators.joins import (
+        PRICE_BAND,
+        range_join_banded,
+    )
+
+    got = {
+        (r.a_key, r.b_key) for r in range_join_banded(spark, sf_small).collect()
+    }
+    parts = [
+        (r.p_partkey, r.p_retailprice)
+        for r in load_table(spark, sf_small, "part").collect()
+    ]
+    want = {
+        (ka, kb)
+        for ka, pa in parts
+        for kb, pb in parts
+        if ka < kb and abs(pa - pb) <= PRICE_BAND
+    }
+    assert got == want and len(got) > 0
