@@ -124,3 +124,15 @@ def test_pack_sequences_single_data_shuffle(spark, sf_small):
     plan = explain.formatted_plan(curation.pack_sequences(spark, sf_small))
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_range_join_banded_is_equi_not_nested_loop(spark, sf_small):
+    """The banding must turn the range predicate into an equi-join —
+    a BroadcastNestedLoopJoin/CartesianProduct here melts at scale."""
+    plan = explain.formatted_plan(joins.range_join_banded(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
