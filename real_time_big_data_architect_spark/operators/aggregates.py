@@ -17,12 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_avg, dec_sum
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 
 def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped hash aggregation over lineitem (NS2)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """TPC-H Q1-shaped hash aggregation over lineitem (NS2).
+
+    fan_out spreads the decimal-heavy partial aggregation across cores
+    when the input arrives as one parquet row group (the local fixture);
+    with real input-split parallelism it is a no-op.
+    """
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     one = F.lit(1).cast("decimal(18,2)")
