@@ -110,12 +110,75 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per event_type (NS3): quartile
+    bucket (ntile), percent_rank, cume_dist, and the partition's first
+    value — the analytics staples beyond rank/row_number.
+
+    The ORDER BY carries the unique event_id tiebreak, so every row is
+    its own peer group and all four functions are deterministic and
+    oracle-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id")
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("event_id").over(w).alias("first_event_id"),
+    )
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-fill + LOCF — the hypertable interpolation pair.
+
+    Hourly sums per event_type have empty hours; a per-type time spine
+    (``sequence(min_hour, max_hour, 1 hour)``) reinstates them with
+    n_events = 0, and last-observation-carried-forward fills the value
+    from the most recent non-empty hour. Spine generation is a per-group
+    explode off a 5-row bounds table — at 100 TB the spine is dimension-
+    sized (groups × hours), never corpus-sized, and the LOCF window
+    shuffles once on the group key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    w = W.partitionBy("event_type").orderBy("hour")
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag": window_lag,
     "topk_per_group": topk_per_group,
     "window_range_frame": window_range_frame,
+    "window_distribution": window_distribution,
+    "gapfill_locf": gapfill_locf,
 }
 
 ORACLE = {
@@ -149,6 +212,50 @@ ORACLE = {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS trailing_1h_value
         FROM events
+    """,
+    "window_distribution": """
+        -- DuckDB defaults to NULLS LAST on ASC; Spark to NULLS FIRST
+        SELECT event_type, event_id, value,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(event_id) OVER w AS first_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value ASC NULLS FIRST, event_id)
+    """,
+    "gapfill_locf": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(hour) AS lo, max(hour) AS hi
+            FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        filled AS (
+            SELECT s.event_type, s.hour, h.n, h.sum_value
+            FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        ),
+        grp AS (
+            -- LOCF the portable way: count of non-nulls so far defines
+            -- a carry group holding exactly one observation
+            SELECT *, COUNT(sum_value) OVER (
+                PARTITION BY event_type ORDER BY hour) AS g
+            FROM filled
+        )
+        SELECT event_type, hour,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               MAX(sum_value) OVER (PARTITION BY event_type, g) AS locf_value
+        FROM grp
     """,
     "topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn

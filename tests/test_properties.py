@@ -188,3 +188,43 @@ def test_range_join_banded_equals_naive(spark, sf_small):
         if ka < kb and abs(pa - pb) <= PRICE_BAND
     }
     assert got == want and len(got) > 0
+
+
+def test_window_distribution_invariants(spark, sf_small):
+    rows = windows.window_distribution(spark, sf_small).collect()
+    by_type = {}
+    for r in rows:
+        assert 1 <= r.quartile <= 4
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        # one shared first_event_id per partition; quartiles near-equal size
+        assert len({r.first_event_id for r in grp}) == 1
+        sizes = [sum(1 for r in grp if r.quartile == q) for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_gapfill_locf_dense_spine_and_carry(spark, sf_small):
+    rows = sorted(
+        windows.gapfill_locf(spark, sf_small).collect(),
+        key=lambda r: (r.event_type, r.hour),
+    )
+    import datetime
+
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    saw_gap = False
+    for grp in by_type.values():
+        # spine is dense: consecutive hours, no holes
+        for a, b in zip(grp, grp[1:]):
+            assert b.hour - a.hour == datetime.timedelta(hours=1)
+        # LOCF: empty hours inherit the previous non-empty hour's value
+        prev = None
+        for r in grp:
+            if r.n_events == 0:
+                saw_gap = True
+                assert r.locf_value == prev
+            prev = r.locf_value
+    assert saw_gap  # the fixture must actually exercise the fill
