@@ -187,6 +187,44 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join with the
+    customer-nation = supplier-nation correlation — the hardest join
+    ordering in the small TPC-H set.
+
+    Plan posture at scale: lineitem⋈orders⋈customer shuffle on their
+    keys; supplier joins on (suppkey) then the nation/region dims
+    broadcast; the c_nationkey = s_nationkey correlation is a residual
+    equi-condition, not an extra shuffle. Fixture order dates span
+    1995-2001, so the selective year is 1996 (reference Q5 uses 1994).
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(
+            su,
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped correlated EXISTS (the fixtures lack commit/receipt
     dates, so the correlated predicate is ``l_shipdate > o_orderdate``).
@@ -346,6 +384,7 @@ QUERIES = {
     "range_join_banded": range_join_banded,
     "join_skew_salted": join_skew_salted,
     "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
     "subquery_exists": subquery_exists,
     "subquery_scalar": subquery_scalar,
     "subquery_in": subquery_in,
@@ -396,6 +435,24 @@ ORACLE = {
         FROM part a JOIN part b
           ON a.p_partkey < b.p_partkey
          AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
     """,
     "join_skew_salted": """
         SELECT e.event_id, e.event_type, c.n_type_events
