@@ -1,0 +1,56 @@
+"""Checkpointed incremental ingest: the production ETL primitive.
+
+The reference re-fetches and recomputes everything each 60 s tick
+(app.py:37 — stateless by design); the Spark-native equivalent is a
+checkpointed file-source stream writing an exactly-once file sink:
+restarts resume from the offset log, already-processed input is never
+re-read, and the output commit log suppresses duplicate files even if a
+batch is retried.
+
+Scale notes: this is how a 100 TB lake ingests — the source lists only
+NEW files per trigger (the checkpoint holds the seen-set), each
+micro-batch is a bounded unit of work, and the sink's `_spark_metadata`
+commit log makes downstream reads see exactly-once output. State on
+disk, nothing driver-resident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import (
+    EVENTS_RAW_SCHEMA,
+    _events_ts_to_timestamp,
+)
+
+
+def incremental_etl(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all currently-available input into the output, resumably.
+
+    Each call processes exactly the files not yet recorded in
+    ``checkpoint_dir`` (availableNow trigger), applies the normalization
+    (ts → timestamp, a derived hour column for partition pruning
+    downstream), and appends to the parquet sink. Calling again after
+    new files land processes only the delta.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in_dir)
+    )
+    normalized = _events_ts_to_timestamp(raw).withColumn(
+        "event_hour", F.date_trunc("hour", "ts")
+    )
+    q = (
+        normalized.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
