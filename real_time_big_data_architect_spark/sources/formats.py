@@ -1,4 +1,4 @@
-"""File-format readers beyond parquet: CSV and JSON-lines.
+"""File-format readers beyond parquet: CSV, JSON-lines, and ORC.
 
 The reference ingests JSON over HTTP only (app.py:67-81); a standalone
 engine also needs the standard lake interchange formats. Everything is
@@ -45,6 +45,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """ORC reader (the other columnar lake format): explicit schema so a
+    drifted file fails analysis instead of silently widening types. ORC
+    scans get the same pushdown/pruning treatment as parquet in Spark.
+    """
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:

@@ -80,6 +80,33 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming session windows per user (NS5).
+
+    ``session_window`` in a true streaming query: 30-minute inactivity
+    gap, 10-minute watermark bounding the session state; append mode
+    emits a session once the watermark passes its close. Rows-only —
+    which sessions finalize depends on per-batch watermark advancement.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within the watermark horizon (NS5).
 
@@ -278,6 +305,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
+    "stream_session_watermark": stream_session_watermark,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
     "stream_poll_tick": stream_poll_tick,

@@ -14,13 +14,16 @@ def _events(spark, sf_small):
     return load_table(spark, sf_small, "events")
 
 
-@pytest.mark.parametrize("fmt", ["csv", "jsonl"])
+@pytest.mark.parametrize("fmt", ["csv", "jsonl", "orc"])
 def test_events_roundtrip(spark, sf_small, tmp_path_factory, fmt):
     ev = _events(spark, sf_small)
     path = str(tmp_path_factory.mktemp(f"fmt_{fmt}") / "events")
     if fmt == "csv":
         formats.write_csv(ev, path)
         back = formats.read_csv(spark, path, formats.TABLE_SCHEMAS["events"])
+    elif fmt == "orc":
+        formats.write_orc(ev, path)
+        back = formats.read_orc(spark, path, formats.TABLE_SCHEMAS["events"])
     else:
         formats.write_jsonl(ev, path)
         back = formats.read_jsonl(spark, path, formats.TABLE_SCHEMAS["events"])
@@ -53,3 +56,31 @@ def test_csv_schema_prevents_inference_drift(spark, tmp_path_factory):
     (d / "p.csv").write_text("price\n0100\n")
     df = formats.read_csv(spark, str(d), "price string")
     assert df.collect()[0].price == "0100"  # leading zero preserved
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_small, tmp_path_factory):
+    from real_time_big_data_architect_spark.sources import lake
+
+    base = tmp_path_factory.mktemp("compact")
+    frag, out = str(base / "frag"), str(base / "out")
+    ev = _events(spark, sf_small)
+    ev.repartition(20).write.parquet(frag)  # simulate streaming small files
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) == 20
+    n = lake.compact_parquet(spark, frag, out)
+    assert n == 1  # tiny fixture fits one 128MB-target file
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_with_ingest_metrics_counts_without_extra_scan(spark, sf_small):
+    from real_time_big_data_architect_spark.sources import lake
+
+    ev = _events(spark, sf_small)
+    observed, obs = lake.with_ingest_metrics(ev, ["value", "props"])
+    observed.write.format("noop").mode("overwrite").save()  # one action
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["null_value"] == ev.filter(F.col("value").isNull()).count()
+    assert got["null_props"] == ev.filter(F.col("props").isNull()).count()
