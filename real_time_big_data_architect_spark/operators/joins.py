@@ -225,6 +225,75 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter — join + agg + global top-20.
+
+    lineitem(R) ⋈ orders(quarter) ⋈ customer ⋈ broadcast(nation); the
+    final top-20 runs as TakeOrderedAndProject (no full result sort).
+    Fixture order dates span 1995-2001, so the quarter is 1996-Q1.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q18_MIN_QTY = 250  # ≈ p99 of per-order quantity in the fixture
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate
+    feeding a semi-join — orders whose total quantity exceeds the
+    threshold, with their customer and full quantity.
+
+    The qualifying-keys aggregate is tiny (p99 cut), so it broadcasts
+    into the semi-join; lineitem is scanned twice (qualify + re-agg),
+    the standard Q18 shape — at scale the first pass is a partial agg
+    whose output is keys only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("q"))
+        .filter(F.col("q") > Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(qualifying), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped correlated EXISTS (the fixtures lack commit/receipt
     dates, so the correlated predicate is ``l_shipdate > o_orderdate``).
@@ -385,6 +454,8 @@ QUERIES = {
     "join_skew_salted": join_skew_salted,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q10": tpch_q10,
+    "tpch_q18": tpch_q18,
     "subquery_exists": subquery_exists,
     "subquery_scalar": subquery_scalar,
     "subquery_in": subquery_in,
@@ -453,6 +524,41 @@ ORACLE = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        FROM (
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        )
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "tpch_q18": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                   AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(30,4))) > 250)
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """,
     "join_skew_salted": """
         SELECT e.event_id, e.event_type, c.n_type_events
