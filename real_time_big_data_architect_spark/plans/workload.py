@@ -29,10 +29,12 @@ from real_time_big_data_architect_spark.operators import (
 )
 from real_time_big_data_architect_spark.streaming import stateful, time_windows
 
-# Ordered cheapest-first: oracle-able single-scan/one-shuffle families,
-# then text/multimodal/streaming, then the candidate-pair dedup and
-# similarity families (rows-only, the most expensive) — so a time-boxed
-# correctness sweep certifies the maximum number of queries.
+# Ordered cheapest-and-most-certifiable-first: oracle-able single-scan /
+# one-shuffle families, then text/multimodal/batch-window families, then
+# the candidate-pair dedup and similarity families, and LAST the true
+# streaming queries (each drives a full micro-batch run and most are
+# rows-only) — so a time-boxed correctness sweep certifies the maximum
+# number of oracle-backed queries before spending seconds per stream.
 _MODULES = (
     relational,
     scalars,
@@ -46,9 +48,9 @@ _MODULES = (
     udfs,
     multimodal,
     time_windows,
-    stateful,
     dedup,
     similarity,
+    stateful,
 )
 
 
