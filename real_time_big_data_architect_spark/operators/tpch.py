@@ -1,0 +1,437 @@
+"""TPC-H batch 2 — deeper relational coverage (SURVEY §2.5 NS1/NS2).
+
+The reference (app.py:192-247) answers single-table questions only; these
+queries exercise the multi-join / correlated-subquery / histogram shapes a
+warehouse engine must plan well. Q3/Q5/Q6/Q10/Q18 live in joins.py and
+aggregates.py; this module adds Q7, Q8, Q9, Q13, Q14, Q15, Q19, Q22,
+adapted to the fixture schema where columns are missing (no partsupp, no
+ship modes, no phone numbers — each docstring states the substitution).
+
+Scale posture shared by all eight: fact⋈fact edges shuffle once on their
+keys, dimension edges broadcast, money accumulates in exact decimal
+(order-independent, hash-stable), and single-row scalar subqueries
+broadcast into the scan filter rather than re-executing per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+#: exact-decimal net revenue l_extendedprice * (1 - l_discount)
+def _net():
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return price * (F.lit(1).cast("decimal(18,2)") - disc)
+
+
+_NET_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations,
+    by supplier nation, customer nation, and ship year.
+
+    The two nation dims broadcast; the OR'd nation-pair predicate is a
+    post-broadcast filter, so the big fact edges (lineitem⋈orders⋈
+    customer, lineitem⋈supplier) each shuffle exactly once on their key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_net()).cast("double").alias("revenue"))
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue sold to AMERICA customers, by order year.
+
+    Share = promo-nation decimal sum / total decimal sum, both cast to
+    double before one IEEE division — exact-rounded and identical across
+    engines because the operands are bit-identical (see
+    [[spark-duckdb-determinism]]: division is portable, libm is not).
+    """
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _net()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n2), su.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the fixtures have no
+    partsupp/supplycost, so profit = net revenue for parts whose name
+    contains 'red', by supplier nation and order year.
+
+    The LIKE-filtered part side (~13% of parts) broadcasts; nation
+    broadcasts; lineitem⋈orders shuffles on the order key — one big
+    shuffle total, same as the canonical Q9 plan minus partsupp.
+    """
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_net()).cast("double").alias("sum_profit"))
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of orders-per-customer
+    (adapted: no o_comment column, so no comment exclusion).
+
+    Two hash aggregations back to back: count per customer (shuffle on
+    custkey — already the join's partitioning, so AQE coalesces), then
+    the tiny histogram agg. The left join keeps zero-order customers in
+    the c_count=0 bucket.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): % of March-1996 revenue from PROMO
+    parts — one row, numerator/denominator kept as audit columns.
+
+    part broadcasts into the month-filtered lineitem scan (the shipdate
+    range is pushed to parquet); promo share computed as
+    (100·promo)/total in double, deterministic because both operands are
+    exact decimal sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    pa = load_table(spark, sf_dir, "part")
+    vol = _net()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (
+                (F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose 1996-Q1 revenue equals
+    the maximum — the classic view + scalar-max shape.
+
+    Revenue stays in exact decimal through the max-equality comparison
+    (a double equality would be fragile at the boundary); the 1-row max
+    broadcasts. Supplier dim broadcasts into the tiny qualifying set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_net()).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == F.col("max_rev"))
+        .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: no p_container, so the
+    three disjunctive arms combine brand, size band, and quantity band.
+
+    The join is a clean equi-join on partkey with the OR-of-ANDs as a
+    residual filter — Catalyst must NOT fall back to a nested loop for
+    the disjunction (the equi conjunct is common to all arms). part
+    broadcasts; one row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.sum(_net()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: no phone column, so
+    the group key is the customer's nation, and — since every fixture
+    customer has orders — "dormant" means no order on/after 2000-01-01.
+
+    The above-average-balance threshold uses the multiplication form
+    ``bal·n > sum`` in exact decimal (no division boundary); the 1-row
+    aggregate broadcasts into the scan filter. The dormancy check is a
+    left-anti join against the date-filtered orders (the filter pushes
+    to parquet, so the anti build side is small).
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(bal).alias("sum_pos"),
+    )
+    return (
+        cu.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
+    "tpch_q13": tpch_q13,
+    "tpch_q14": tpch_q14,
+    "tpch_q15": tpch_q15,
+    "tpch_q19": tpch_q19,
+    "tpch_q22": tpch_q22,
+}
+
+ORACLE = {
+    "tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               CAST(SUM({_NET_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8": f"""
+        SELECT o_year, nation_volume, total_volume,
+               nation_volume / total_volume AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                                 THEN {_NET_SQL}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS nation_volume,
+                   CAST(SUM({_NET_SQL}) AS DOUBLE) AS total_volume
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO'
+              AND r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY o_year
+        )
+    """,
+    "tpch_q9": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM({_NET_SQL}) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+    """,
+    "tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q14": f"""
+        SELECT promo_revenue, total_revenue,
+               (100.0 * promo_revenue) / total_revenue AS promo_pct
+        FROM (
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN {_NET_SQL}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS promo_revenue,
+                   CAST(SUM({_NET_SQL}) AS DOUBLE) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        )
+    """,
+    "tpch_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey, SUM({_NET_SQL}) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    """,
+    "tpch_q19": f"""
+        SELECT CAST(SUM({_NET_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22": """
+        SELECT n_name,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
+    """,
+}

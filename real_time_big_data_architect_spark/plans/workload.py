@@ -24,6 +24,7 @@ from real_time_big_data_architect_spark.operators import (
     setops,
     similarity,
     text,
+    tpch,
     udfs,
     windows,
 )
@@ -40,6 +41,7 @@ _MODULES = (
     scalars,
     semistructured,
     joins,
+    tpch,
     aggregates,
     windows,
     setops,

@@ -1,0 +1,85 @@
+"""TPC-H batch-2 invariants (operators/tpch.py) — value properties the
+oracle hash can't see, plus the plan shapes that must hold at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import tpch
+from real_time_big_data_architect_spark.plans import explain
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_q13_histogram_accounts_for_every_customer(spark, sf_small):
+    hist = tpch.tpch_q13(spark, sf_small).agg(F.sum("custdist")).first()[0]
+    n_cust = load_table(spark, sf_small, "customer").count()
+    assert hist == n_cust
+
+
+def test_q14_promo_share_bounded_and_consistent(spark, sf_small):
+    row = tpch.tpch_q14(spark, sf_small).first()
+    assert 0.0 <= row.promo_pct <= 100.0
+    assert row.promo_revenue <= row.total_revenue
+    assert row.promo_pct == (100.0 * row.promo_revenue) / row.total_revenue
+
+
+def test_q15_returns_the_actual_max_supplier(spark, sf_small):
+    rows = tpch.tpch_q15(spark, sf_small).collect()
+    assert len(rows) >= 1
+    li = load_table(spark, sf_small, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    net = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    best = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(net).cast("double").alias("r"))
+        .agg(F.max("r"))
+        .first()[0]
+    )
+    assert rows[0].total_revenue == best
+
+
+def test_q8_share_is_volume_ratio(spark, sf_small):
+    for row in tpch.tpch_q8(spark, sf_small).collect():
+        assert 0.0 <= row.mkt_share <= 1.0
+        assert row.mkt_share == row.nation_volume / row.total_volume
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_small):
+    """The OR-of-ANDs is a residual on a partkey equi-join — a nested
+    loop here would be O(n·m) at scale."""
+    df = tpch.tpch_q19(spark, sf_small)
+    hits = explain.plan_has(
+        df, "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"
+    )
+    assert hits["BroadcastHashJoin"]
+    assert not hits["BroadcastNestedLoopJoin"]
+    assert not hits["CartesianProduct"]
+
+
+def test_q7_q9_broadcast_the_dims(spark, sf_small):
+    explain.assert_broadcast_join(tpch.tpch_q7(spark, sf_small))
+    explain.assert_broadcast_join(tpch.tpch_q9(spark, sf_small))
+
+
+def test_q22_threshold_matches_plain_average(spark, sf_small):
+    """The decimal bal·n > sum form must select exactly the customers a
+    plain above-average filter would."""
+    cu = load_table(spark, sf_small, "customer")
+    avg_pos = (
+        cu.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    expected = cu.filter(F.col("c_acctbal") > avg_pos).count()
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(bal).alias("sum_pos")
+    )
+    got = (
+        cu.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n_pos") > F.col("sum_pos"))
+        .count()
+    )
+    assert got == expected
