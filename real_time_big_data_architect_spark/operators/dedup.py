@@ -377,6 +377,99 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ROUNDS = 16  # backstop only; min-propagation + pointer jumping
+                    # converges in O(log diameter) rounds
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the embedding-
+    cosine near-dup pair graph, labeling the whole corpus (NS6a).
+
+    Pairs alone under-deduplicate: if A≈B and B≈C, all three are one
+    duplicate group even when A-C scores below threshold. This operator
+    closes the pair relation into components and emits, per vector, its
+    component id (min member id), the cluster size, and the survivor
+    flag — i.e. the actual "keep one per group" decision a curation
+    pipeline applies before training.
+
+    Distributed algorithm (the GraphX/"hash-to-min" shape, no driver-side
+    graph): iterate (1) label = min(label, neighbors' labels) — one
+    shuffle on the edge dst — then (2) pointer-jump label = label[label]
+    — one self-join — until a round changes nothing. Jumping halves the
+    label-tree depth each round, so rounds grow with log(diameter), not
+    diameter; near-dup clusters are tight (fixture max size 4 → 1-2
+    rounds). Per round the driver sees ONE scalar (the changed-row
+    count) and ``localCheckpoint`` truncates the growing lineage — the
+    standard iterative-Spark pattern. Edges persist once; at 100 TB the
+    edge list is the (small) LSH/IVF candidate output, not the corpus.
+
+    Oracle: DuckDB recursive CTE computes min-reachable-id per node over
+    the same (deterministic, oracle-exact) pair set.
+    """
+    from real_time_big_data_architect_spark.operators import similarity
+    from pyspark.sql import Window as W
+
+    pairs = similarity.dedup_embedding_cosine(spark, sf_dir).select(
+        "vec_id_a", "vec_id_b"
+    )
+    edges = pairs.select(
+        F.col("vec_id_a").alias("u"), F.col("vec_id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("vec_id_b").alias("u"), F.col("vec_id_a").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("vec_id"), F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.vec_id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        lowered = labels.join(nbr_min, labels.vec_id == nbr_min.u, "left").select(
+            labels.vec_id,
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        ptr = lowered.select(
+            F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            lowered.join(ptr, lowered.comp == ptr.p_vec, "left")
+            .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("comp", "new_comp")
+            .join(labels, "vec_id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    labeled = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("comp", F.col("vec_id")).alias("component_id")
+        )
+    )
+    w = W.partitionBy("component_id")
+    return labeled.select(
+        "vec_id",
+        "component_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component_id")).alias("is_survivor"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_survivors": dedup_survivors,
@@ -386,7 +479,54 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,  # rows-only (64-bit, xxhash64-derived)
     "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
+    "dedup_clusters": dedup_clusters,
 }
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE twin of dedup_clusters: min reachable id per node
+    over the (oracle-exact) embedding-cosine pair graph."""
+    from real_time_big_data_architect_spark.operators import similarity
+
+    return similarity._IVF_CTE.replace("WITH cents", "WITH RECURSIVE cents", 1) + """
+        , pairs AS (
+            SELECT vec_id_a, vec_id_b FROM (
+                SELECT ca.vec_id AS vec_id_a, cb.vec_id AS vec_id_b,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> CAST(a.embedding[i] AS DOUBLE)
+                                    * CAST(b.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y) / (na.nrm * nb.nrm) AS cosine
+                FROM cells ca
+                JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+                JOIN embeddings a ON a.vec_id = ca.vec_id
+                JOIN embeddings b ON b.vec_id = cb.vec_id
+                JOIN norms na ON na.vec_id = ca.vec_id
+                JOIN norms nb ON nb.vec_id = cb.vec_id
+            ) WHERE cosine >= 0.35
+        ),
+        edges AS (
+            SELECT vec_id_a AS u, vec_id_b AS v FROM pairs
+            UNION ALL
+            SELECT vec_id_b AS u, vec_id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (
+            SELECT u AS vec_id, LEAST(u, MIN(v)) AS component_id
+            FROM reach GROUP BY u
+        )
+        SELECT emb.vec_id,
+               COALESCE(c.component_id, emb.vec_id) AS component_id,
+               COUNT(*) OVER (
+                   PARTITION BY COALESCE(c.component_id, emb.vec_id)
+               ) AS cluster_size,
+               emb.vec_id = COALESCE(c.component_id, emb.vec_id) AS is_survivor
+        FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
+    """
 
 ORACLE = {
     "dedup_exact": """
@@ -410,4 +550,5 @@ ORACLE = {
                CAST(length(text) AS INT) AS text_len
         FROM documents
     """,
+    "dedup_clusters": _clusters_oracle(),
 }

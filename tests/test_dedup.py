@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.operators import dedup
+from real_time_big_data_architect_spark.tables import load_table
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
@@ -102,3 +103,40 @@ def test_fixture_pair_counts_locked(spark, sf_small):
     assert mh.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0  # canonical order
     n = mh.count()
     assert n == dedup.dedup_minhash_lsh(spark, sf_small).count()  # deterministic
+
+
+def test_dedup_clusters_matches_union_find(spark, sf_small):
+    """Component labels equal a driver-side union-find over the same
+    near-dup pair graph — transitivity (A~B, B~C => same cluster) holds
+    even when the A-C edge itself scores below threshold."""
+    from real_time_big_data_architect_spark.operators import similarity
+
+    pairs = [
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.dedup_embedding_cosine(spark, sf_small).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = dedup.dedup_clusters(spark, sf_small).collect()
+    n_vecs = load_table(spark, sf_small, "embeddings").count()
+    assert len(got) == n_vecs  # every vector labeled, singletons included
+    for r in got:
+        expect = find(r.vec_id) if r.vec_id in parent else r.vec_id
+        assert r.component_id == expect, (r.vec_id, r.component_id, expect)
+        assert r.is_survivor == (r.vec_id == r.component_id)
+    sizes: dict[int, int] = {}
+    for r in got:
+        sizes[r.component_id] = sizes.get(r.component_id, 0) + 1
+    assert all(r.cluster_size == sizes[r.component_id] for r in got)
+    assert sum(1 for r in got if r.is_survivor) == len(sizes)
