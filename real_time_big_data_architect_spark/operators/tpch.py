@@ -307,7 +307,306 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier), adapted: no partsupp, so the
+    part↔supplier relation is the distinct (l_partkey, l_suppkey) pairs
+    observed in lineitem, and "best" supplier = max s_acctbal (no
+    ps_supplycost column) among a part's EUROPE suppliers, for STANDARD
+    parts of size < 10.
+
+    The correlated-max shape: per-part max broadcasts back into the
+    candidate set as an equality join (acctbals are doubles copied
+    unchanged from the dim, so cross-engine equality is exact). All
+    dims broadcast; the only shuffle is the supplies distinct.
+    """
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supplies = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = (
+        supplies.join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return cand.join(
+        F.broadcast(best),
+        (cand.p_partkey == F.col("b_partkey"))
+        & (cand.s_acctbal == F.col("max_bal")),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: no l_commitdate /
+    l_receiptdate, so "late" = a lineitem shipped more than 30 days
+    after the order date; window = 1996-Q3 orders.
+
+    EXISTS compiles to a left-semi join on the order key with the
+    lateness predicate as the join residual — one shuffle, no
+    per-order re-execution; the quarter filter pushes to the orders
+    parquet scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: no partsupp availqty/cost,
+    so a part's "value" = net revenue shipped by EUROPE suppliers, and
+    the threshold is above-average value (value·n_parts > total in
+    exact decimal — the multiplication form avoids a division
+    boundary; canonical Q11's fixed fraction would not survive a
+    change of scale factor).
+
+    The group-then-global-scalar shape: per-part decimal sums shuffle
+    once on partkey; the 1-row total/count aggregate broadcasts into
+    the HAVING filter.
+    """
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("l_partkey")
+        # stay at the product's natural scale 4: rounding down to 2
+        # decimals ties at .xx50, where Spark (HALF_UP) and DuckDB
+        # disagree — see [[spark-duckdb-determinism]]
+        .agg(F.sum(_net()).cast("decimal(24,4)").alias("val_dec"))
+    )
+    tot = vals.agg(
+        F.sum(F.col("val_dec")).cast("decimal(30,4)").alias("total"),
+        F.count("*").cast("decimal(10,0)").alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_dec") * F.col("n_parts") > F.col("total"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("value"))
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: no l_shipmode or
+    receipt/commit dates, so lines ship-dated in 1996 bucket into
+    FAST (≤30 days after order) vs SLOW, counting urgent/high vs
+    other priorities per bucket.
+
+    orders⋈lineitem shuffles on the order key; the CASE sums are
+    map-side partial aggregates into a 2-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30,
+                "FAST",
+            )
+            .otherwise("SLOW")
+            .alias("ship_bucket"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship), adapted: the supplies
+    relation comes from lineitem (no partsupp), and the "complaints"
+    exclusion becomes suppliers with negative account balance.
+
+    distinct-supplier counts per (brand, type, size) over the
+    size-IN-list filtered parts; the excluded-supplier set is a
+    broadcast anti join before the count-distinct shuffle.
+    """
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    supplies = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        supplies.join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: no
+    p_container, so the scope is all Brand#3 parts; revenue lost to
+    small orders = Σ price of lines with quantity < 20% of the part's
+    average quantity, divided by 7.
+
+    The correlated-avg threshold uses the multiplication form
+    qty·5·cnt < Σqty in exact decimal (quantities are integral) —
+    no division, no float-average divergence. Per-part sums shuffle
+    once; the per-part thresholds broadcast back onto the lines.
+    """
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    lines = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(qty_dec).alias("sum_qty"),
+        F.count("*").cast("decimal(10,0)").alias("cnt"),
+    )
+    return (
+        lines.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(qty_dec * F.lit(5).cast("decimal(2,0)") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (part promotion), adapted: no partsupp availqty, so
+    "excess" suppliers = those whose 1996 shipped quantity of
+    blue-named parts exceeds the per-supplier average (decimal
+    multiplication form, as in Q11/Q17).
+
+    part broadcasts into the year-filtered scan; per-supplier sums
+    shuffle once; the 1-row average broadcasts; supplier dim
+    broadcasts onto the survivors.
+    """
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    qty = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+    )
+    tot = qty.agg(
+        F.sum("qty_dec").cast("decimal(24,2)").alias("total"),
+        F.count("*").cast("decimal(10,0)").alias("n_supp"),
+    )
+    return (
+        qty.crossJoin(F.broadcast(tot))
+        .filter(F.col("qty_dec") * F.col("n_supp") > F.col("total"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("qty_dec").cast("double").alias("total_qty")
+        )
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    shipped > 60 days after the order date (no receipt/commit dates),
+    on finished ('F') orders. A supplier waits an order when it was
+    late, at least one other supplier fed the same order (EXISTS), and
+    no other supplier was late on it (NOT EXISTS).
+
+    EXISTS → left-semi, NOT EXISTS → left-anti, both on the order key
+    against the distinct (order, supplier) pair sets — three shuffles
+    on the same key, which AQE plans as one exchange reused.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ol_okey"), F.col("l_suppkey").alias("ol_skey")
+    )
+    waiting = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_okey"))
+            & (F.col("l_suppkey") != F.col("o_skey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("ol_okey"))
+            & (F.col("l_suppkey") != F.col("ol_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
+    "tpch_q2": tpch_q2,
+    "tpch_q4": tpch_q4,
+    "tpch_q11": tpch_q11,
+    "tpch_q12": tpch_q12,
+    "tpch_q16": tpch_q16,
+    "tpch_q17": tpch_q17,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
     "tpch_q7": tpch_q7,
     "tpch_q8": tpch_q8,
     "tpch_q9": tpch_q9,
@@ -319,6 +618,138 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q2": """
+        WITH supplies AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+            FROM supplies
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND p_type = 'STANDARD' AND p_size < 10
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM cand c
+        WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM cand c2
+                           WHERE c2.p_partkey = c.p_partkey)
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q11": f"""
+        WITH vals AS (
+            SELECT l_partkey,
+                   CAST(SUM({_NET_SQL}) AS DECIMAL(24,4)) AS val_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(val_dec) AS DECIMAL(30,4)) AS total,
+                   CAST(COUNT(*) AS DECIMAL(10,0)) AS n_parts
+            FROM vals
+        )
+        SELECT l_partkey, CAST(val_dec AS DOUBLE) AS value
+        FROM vals, tot
+        WHERE val_dec * n_parts > total
+    """,
+    "tpch_q12": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY ship_bucket
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q17": """
+        WITH lines AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ),
+        thresh AS (
+            SELECT l_partkey AS t_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt
+            FROM lines GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lines JOIN thresh ON l_partkey = t_partkey
+        WHERE CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(5 AS DECIMAL(2,0)) * cnt < sum_qty
+    """,
+    "tpch_q20": """
+        WITH qty AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%blue%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(qty_dec) AS DECIMAL(24,2)) AS total,
+                   CAST(COUNT(*) AS DECIMAL(10,0)) AS n_supp
+            FROM qty
+        )
+        SELECT s_suppkey, s_name, CAST(qty_dec AS DOUBLE) AS total_qty
+        FROM qty, tot
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE qty_dec * n_supp > total
+    """,
+    "tpch_q21": """
+        WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        ),
+        pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.l_orderkey = l1.l_orderkey
+                        AND p.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+    """,
     "tpch_q7": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
