@@ -1,0 +1,281 @@
+"""Behavioral / timeseries analytics — absent from the reference.
+
+The reference renders one snapshot table per poll tick (app.py:274) and
+computes no history-aware analytics at all. These are the event-log
+staples a real-time architecture is normally built to answer:
+gap-based sessionization, funnel conversion, cohort retention, and
+OHLC bars. All four are window/groupBy compositions over `events` —
+pure built-in expressions, fully oracle-checked.
+
+Scale notes: every query here shuffles on `user_id` or
+`(event_type, hour)` — bounded-cardinality keys that partition evenly.
+Sessionization and SCD-style windows are one shuffle + one in-stage
+sort; the funnel reuses the `user_id` partitioning across all three
+stages, so AQE coalesces rather than re-shuffles. No floats are
+accumulated: sums run in exact decimal and are cast to double at the
+end, so results are bit-stable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+#: session gap threshold: a pause longer than this starts a new session
+SESSION_GAP_US = 1_800_000_000  # 30 minutes in microseconds
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min pause starts a new session.
+
+    The classic clickstream operator (Timescale/ClickHouse `session`
+    idiom): lag the event time per user, flag gaps over the threshold,
+    and running-sum the flags into a session sequence number. One
+    window shuffle on ``user_id``, then a groupBy on the same key —
+    the agg reuses the window's partitioning, so at 100 TB this is a
+    single-shuffle pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int"),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: view -> click-after-view ->
+    purchase-after-click, counting users who reach each stage in strict
+    time order (not merely "did all three").
+
+    Each stage is a groupBy on ``user_id`` joined back on the same key,
+    so the per-user partitioning is established once and reused; the
+    stage frontiers (one row per qualifying user) shrink monotonically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count("*").alias("users")).select(
+            F.lit("1_view").alias("stage"), "users"
+        )
+        .unionAll(
+            clicks.agg(F.count("*").alias("users")).select(
+                F.lit("2_click_after_view").alias("stage"), "users"
+            )
+        )
+        .unionAll(
+            purchases.agg(F.count("*").alias("users")).select(
+                F.lit("3_purchase_after_click").alias("stage"), "users"
+            )
+        )
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent activity week.
+
+    ``date_trunc('week')`` lands on Monday midnight in both engines
+    (timestamps are UTC — no DST drift), so the week offset is an exact
+    integer division of the epoch difference. The distinct-users agg
+    shuffles on (cohort_week, week_offset) — dozens of cells regardless
+    of corpus size; the user-level distinct runs map-side first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    joined = activity.join(cohort, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("activity_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604_800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the candlestick rollup.
+
+    open/close are `first_value`/`last_value` over a fully-ordered
+    window (ts, event_id tiebreak) so they are deterministic; high/low
+    are plain min/max. Raw double values pass through un-accumulated,
+    so every output cell is bit-identical to the oracle. The window and
+    the groupBy share the (event_type, hour) key — one shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.withColumn("hour", F.date_trunc("hour", "ts"))
+    w = (
+        W.partitionBy("event_type", "hour")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    framed = ev.select(
+        "event_type",
+        "hour",
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w).alias("close_v"),
+    )
+    return framed.groupBy("event_type", "hour").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "sessionize": sessionize,
+    "funnel_steps": funnel_steps,
+    "retention_cohorts": retention_cohorts,
+    "ohlc_bars": ohlc_bars,
+}
+
+ORACLE = {
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS INT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                   AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "funnel_steps": """
+        WITH views AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        clicks AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN views v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        purchases AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN clicks c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, COUNT(*) AS users FROM views
+        UNION ALL
+        SELECT '2_click_after_view', COUNT(*) FROM clicks
+        UNION ALL
+        SELECT '3_purchase_after_click', COUNT(*) FROM purchases
+    """,
+    "retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP)
+                       AS activity_week
+            FROM events
+        )
+        SELECT c.cohort_week,
+               CAST((epoch(a.activity_week) - epoch(c.cohort_week))
+                    / 604800 AS INT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "ohlc_bars": """
+        WITH framed AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                   FIRST_VALUE(value) OVER w AS open_v,
+                   LAST_VALUE(value) OVER w AS close_v
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (
+                PARTITION BY event_type, date_trunc('hour', ts)
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT event_type, hour,
+               MIN(open_v) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(close_v) AS close,
+               COUNT(*) AS n_events
+        FROM framed
+        GROUP BY event_type, hour
+    """,
+}

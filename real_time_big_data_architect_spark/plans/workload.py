@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_big_data_architect_spark.operators import (
     aggregates,
+    behavioral,
     curation,
     dedup,
     joins,
@@ -44,6 +45,7 @@ _MODULES = (
     tpch,
     aggregates,
     windows,
+    behavioral,
     setops,
     text,
     curation,
