@@ -212,6 +212,70 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept of extendedprice vs
+    quantity per returnflag — the statistical aggregates (NS2).
+
+    Built-in ``corr``/``regr_slope`` accumulate doubles in partition
+    order, which is not reproducible cross-engine; instead the five
+    moment sums run in exact decimal (values carry <=2 decimals, so the
+    decimal cast is lossless), and the closed-form estimators are
+    evaluated in double with an expression tree mirrored token-for-token
+    in the oracle — every fp op is then IEEE-correctly-rounded from
+    identical inputs, so the result hash-matches. Map-side partial
+    aggregation applies to every sum; one shuffle of 3×6 cells.
+    """
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("decimal(7,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+def histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: floor(x / 25000) bins.
+
+    The profiling staple. The bin key is computed from the raw double
+    (one correctly-rounded divide + floor, identical cross-engine), so
+    the groupBy shuffles an int key; counts and min/max pass through
+    exactly, and the per-bin sum runs in lossless decimal.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 QUERIES = {
     "group_agg": group_agg,
     "distinct_count": distinct_count,
@@ -225,6 +289,8 @@ QUERIES = {
     "tpch_q6": tpch_q6,
     "grouping_sets_agg": grouping_sets_agg,
     "rollup_time_hierarchy": rollup_time_hierarchy,
+    "corr_regression": corr_regression,
+    "histogram_fixed": histogram_fixed,
 }
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
@@ -318,5 +384,42 @@ ORACLE = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    # expression tree mirrors corr_regression token-for-token: exact
+    # decimal moment sums -> double, then IEEE-rounded arithmetic
+    "corr_regression": """
+        WITH sums AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))
+                            * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS corr_qty_price,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                   AS intercept
+        FROM sums
+    """,
+    "histogram_fixed": """
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bin,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY 1
     """,
 }

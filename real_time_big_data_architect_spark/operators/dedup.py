@@ -470,6 +470,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: levenshtein blocking: same lang + 32-char length bucket
+LEV_BUCKET = 32
+LEV_PREFIX = 64
+LEV_MAX_DIST = 8
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking (NS6a).
+
+    The string-similarity complement to the hash-based families:
+    candidate pairs are generated only within a blocking key
+    (lang, n_chars DIV 32) — the classic record-linkage bound on the
+    quadratic pair space — then scored with exact ``levenshtein`` over
+    a 64-char prefix. The prefix is projected *before* the self-join,
+    so the block shuffle carries 64-byte strings, not documents. Both
+    engines implement the same textbook DP edit distance on identical
+    prefixes, so the query is fully oracle-checked (unlike the
+    hash-seeded MinHash/SimHash paths). At 100 TB block sizes stay
+    bounded by the key cardinality; near-boundary misses are the
+    standard blocking trade-off (the MinHash path has no such blind
+    spot and runs alongside).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / LEV_BUCKET).alias("len_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= LEV_MAX_DIST)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_survivors": dedup_survivors,
@@ -480,6 +527,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
     "dedup_clusters": dedup_clusters,
+    "dedup_levenshtein": dedup_levenshtein,
 }
 
 
@@ -529,6 +577,20 @@ def _clusters_oracle() -> str:
     """
 
 ORACLE = {
+    "dedup_levenshtein": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR(n_chars / 32) AS BIGINT) AS len_bucket,
+                   substr(text, 1, 64) AS prefix
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev_dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 8
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                MIN(doc_id) AS keep_doc_id,

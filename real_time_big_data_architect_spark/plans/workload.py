@@ -19,6 +19,7 @@ from real_time_big_data_architect_spark.operators import (
     dedup,
     joins,
     multimodal,
+    mutations,
     relational,
     scalars,
     semistructured,
@@ -43,6 +44,7 @@ _MODULES = (
     semistructured,
     joins,
     tpch,
+    mutations,
     aggregates,
     windows,
     behavioral,

@@ -1,0 +1,60 @@
+"""Unit tests: MERGE upsert and SCD2 history on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from real_time_big_data_architect_spark.operators import mutations
+
+
+def test_merge_upsert_actions(spark, monkeypatch):
+    # keys: 7 -> update, 3 -> insert under 100000003, 5 -> keep
+    base = spark.createDataFrame(
+        [
+            Row(o_orderkey=7, o_custkey=1, o_orderstatus="O", o_totalprice=10.0),
+            Row(o_orderkey=3, o_custkey=2, o_orderstatus="O", o_totalprice=20.0),
+            Row(o_orderkey=5, o_custkey=3, o_orderstatus="F", o_totalprice=30.0),
+        ]
+    )
+    monkeypatch.setattr(
+        "real_time_big_data_architect_spark.operators.mutations.load_table",
+        lambda spark, sf_dir, name: base,
+    )
+    out = {
+        r.o_orderkey: (r.o_orderstatus, r.o_totalprice, r.merge_action)
+        for r in mutations.merge_upsert(spark, "ignored").collect()
+    }
+    assert out == {
+        7: ("R", 110.0, "update"),
+        3: ("O", 20.0, "keep"),  # key 3 itself is untouched...
+        100000003: ("N", 20.0, "insert"),  # ...its shifted copy inserts
+        5: ("F", 30.0, "keep"),
+    }
+
+
+def test_scd2_versions(spark, monkeypatch):
+    t = [dt.datetime(2024, 1, 1, 0, m) for m in range(4)]
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=0, ts=t[0], user_id=1, event_type="view", value=0.0, props="{}"),
+            Row(event_id=1, ts=t[1], user_id=1, event_type="view", value=0.0, props="{}"),
+            Row(event_id=2, ts=t[2], user_id=1, event_type="click", value=0.0, props="{}"),
+            Row(event_id=3, ts=t[3], user_id=1, event_type="view", value=0.0, props="{}"),
+        ]
+    )
+    monkeypatch.setattr(
+        "real_time_big_data_architect_spark.operators.mutations.load_table",
+        lambda spark, sf_dir, name: ev,
+    )
+    rows = sorted(
+        mutations.scd2_history(spark, "ignored").collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.event_type, r.valid_from, r.valid_to) for r in rows] == [
+        ("view", t[0], t[2]),   # repeated 'view' at t[1] is NOT a new version
+        ("click", t[2], t[3]),
+        ("view", t[3], None),
+    ]
+    assert [r.version for r in rows] == [1, 2, 3]

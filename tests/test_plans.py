@@ -136,3 +136,58 @@ def test_range_join_banded_is_equi_not_nested_loop(spark, sf_small):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_sessionize_single_shuffle(spark, sf_small):
+    """Lag-flag window, cumsum window, and the session groupBy all key
+    on user_id — the plan must shuffle the events once, not three
+    times (plus AQE may append a post-agg coalesce read)."""
+    from real_time_big_data_architect_spark.operators import behavioral
+
+    plan = explain.formatted_plan(behavioral.sessionize(spark, sf_small))
+    # (a single-partition fixture scan already satisfies the clustered
+    # distribution, so 0 exchanges is legal there)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_small):
+    """Change-detection and validity windows share the user_id
+    partitioning: one shuffle total."""
+    from real_time_big_data_architect_spark.operators import mutations
+
+    plan = explain.formatted_plan(mutations.scd2_history(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_merge_upsert_no_nested_loop(spark, sf_small):
+    """The MERGE kernel must plan as a key-partitioned join (sort-merge
+    or shuffled-hash), never a nested loop / cartesian."""
+    from real_time_big_data_architect_spark.operators import mutations
+
+    plan = explain.formatted_plan(mutations.merge_upsert(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_corr_regression_partial_agg(spark, sf_small):
+    """The moment sums must partial-aggregate map-side (HashAggregate
+    before AND after the exchange) so only 3 rows/partition shuffle."""
+    from real_time_big_data_architect_spark.operators import aggregates
+
+    plan = explain.formatted_plan(aggregates.corr_regression(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_levenshtein_is_blocked_equi_join(spark, sf_small):
+    """The pair generation must be an equi-join on the blocking key —
+    an unblocked O(n^2) comparison would plan as nested-loop."""
+    from real_time_big_data_architect_spark.operators import dedup
+
+    plan = explain.formatted_plan(dedup.dedup_levenshtein(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
