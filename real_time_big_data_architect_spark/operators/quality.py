@@ -1,0 +1,240 @@
+"""Corpus-quality and anomaly operators for training-data pipelines (NS6).
+
+Absent from the reference (the reference never inspects document content;
+SURVEY §2.5) — these are the quality gates a pretraining pipeline runs
+after dedup and before tokenization:
+
+- **repetition ratios** (Gopher-style repetition filters): per-document
+  distinct-word ratio and top-bigram fraction. Both computed entirely
+  inside per-row JVM array expressions (``array_distinct``, a sorted-run
+  fold with ``aggregate``) — a *shuffle-free map-only* pass, the only
+  shape that survives 100 TB: each task reads its parquet split, emits
+  one row per document, and nothing ever moves between executors.
+- **n-gram contamination check**: fraction of each document's word
+  8-grams that appear in a benchmark set (the eval-set decontamination
+  step every training pipeline runs). The benchmark n-gram set is tiny
+  (a curated eval suite, not the corpus), so it becomes a *broadcast*
+  hash side; the corpus side streams through map-side, then one shuffle
+  on ``doc_id`` re-aggregates hit counts. At 100 TB the plan is
+  unchanged: benchmark grams still fit in memory (~1e6 rows).
+- **z-score outlier detection** on the events stream: per-type moment
+  sums in exact decimal (lossless: values carry ≤4 decimals), the
+  mean/std/z expression tree evaluated in double and mirrored
+  token-for-token in the oracle so every fp op is IEEE-correctly-rounded
+  from identical inputs — bit-stable where built-in ``stddev`` (double
+  accumulation in partition order) is not. Five stat rows broadcast back
+  onto the 10k-row event scan: one tiny shuffle + one broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+#: contamination n-gram width (word-level); 8 is the common eval-decontam
+#: choice (BIG-bench / GPT-3 used 13-gram chars, Llama 8-gram words)
+NGRAM_N = 8
+
+#: every 97th document stands in for the benchmark/eval set
+BENCH_MOD = 97
+
+#: |z| threshold flagging an event value as an outlier
+Z_THRESHOLD = 2.0
+
+
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — shuffle-free map-only pass.
+
+    ``distinct_ratio`` = |distinct words| / |words|; ``top_bigram_frac``
+    = occurrences of the most frequent bigram / bigram count. The top
+    bigram is found without any groupBy: sort the bigram array, then a
+    single ``aggregate`` fold counts the longest equal run — O(B log B)
+    per row, zero exchanges in the plan. Ratios are a single IEEE
+    division of exact integers, so they hash-match cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split("text", " "))
+    bigrams = F.expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
+    )
+    d = d.withColumn("bs", F.array_sort(bigrams))
+    # fold state (prev, run, best): longest run of equal adjacent values
+    top_cnt = F.expr(
+        """
+        aggregate(
+          bs,
+          struct(cast('' as string) as prev, 0L as run, 0L as best),
+          (s, x) -> struct(
+            x as prev,
+            if(x = s.prev, s.run + 1, 1L) as run,
+            greatest(s.best, if(x = s.prev, s.run + 1, 1L)) as best),
+          s -> s.best)
+        """
+    )
+    return d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        (
+            F.size(F.array_distinct("w")).cast("double")
+            / F.size("w").cast("double")
+        ).alias("distinct_ratio"),
+        top_cnt.alias("top_bigram_cnt"),
+        (top_cnt.cast("double") / (F.size("w") - 1).cast("double")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: word 8-gram hit fraction.
+
+    The benchmark side (docs with ``doc_id % 97 == 0``) distills to a
+    distinct-gram set and broadcasts; corpus docs explode to (doc_id,
+    gram), probe the broadcast hash map-side, and re-aggregate per doc.
+    One shuffle (doc_id re-agg), no corpus-vs-corpus join.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {NGRAM_N}),"
+        f" i -> concat_ws(' ', slice(w, i + 1, {NGRAM_N})))"
+    )
+    with_grams = d.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    bench = (
+        with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = with_grams.join(F.broadcast(bench), "gram", "left")
+    agg = probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination_frac"
+        ),
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_benchmark"),
+    )
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates >2 sample standard deviations from
+    their event-type mean — the anomaly gate of a metrics pipeline.
+
+    Moments accumulate in exact decimal(18,4) (lossless for these
+    values), then mean/std/z evaluate in double with the identical token
+    sequence as the oracle — bit-stable filter boundary included.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    std = F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    z = (F.col("value") - mean) / std
+    return (
+        joined.select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > Z_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "repetition_ratios": repetition_ratios,
+    "contamination_ngram": contamination_ngram,
+    "zscore_outliers": zscore_outliers,
+}
+
+ORACLE = {
+    "repetition_ratios": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws))) AS g FROM w
+        ),
+        bg AS (
+          SELECT doc_id, ws[g] || ' ' || ws[g + 1] AS b FROM pos
+        ),
+        cnt AS (
+          SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+        ),
+        top AS (
+          SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+               CAST(len(list_distinct(ws)) AS DOUBLE)
+                 / CAST(len(ws) AS DOUBLE) AS distinct_ratio,
+               top.top_cnt AS top_bigram_cnt,
+               CAST(top.top_cnt AS DOUBLE)
+                 / CAST(len(ws) - 1 AS DOUBLE) AS top_bigram_frac
+        FROM w JOIN top ON w.doc_id = top.doc_id
+    """,
+    "contamination_ngram": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws,
+                 unnest(range(1, len(ws) - {NGRAM_N} + 2)) AS i
+          FROM w
+        ),
+        g AS (
+          SELECT doc_id,
+                 array_to_string(ws[i : i + {NGRAM_N} - 1], ' ') AS gram
+          FROM pos
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS contamination_frac,
+               (g.doc_id % {BENCH_MOD} = 0) AS is_benchmark
+        FROM g LEFT JOIN bench ON g.gram = bench.gram
+        GROUP BY g.doc_id
+    """,
+    "zscore_outliers": f"""
+        WITH stats AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS zscore
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE abs((e.value - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > {Z_THRESHOLD}
+    """,
+}

@@ -20,6 +20,7 @@ from real_time_big_data_architect_spark.operators import (
     joins,
     multimodal,
     mutations,
+    quality,
     relational,
     scalars,
     semistructured,
@@ -49,6 +50,7 @@ _MODULES = (
     windows,
     behavioral,
     setops,
+    quality,
     text,
     curation,
     udfs,

@@ -1,0 +1,86 @@
+"""Invariant tests for the corpus-quality/anomaly operators (NS6).
+
+The oracle gate certifies value-exactness vs DuckDB; these pin the
+semantic invariants: ratio ranges, benchmark self-contamination, the
+shuffle-free plan shape of the repetition pass, and the z-score filter's
+two-sidedness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import quality
+from real_time_big_data_architect_spark.plans.explain import formatted_plan
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_repetition_ratios_ranges(spark, sf_small):
+    rows = quality.repetition_ratios(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_words
+        assert 0 < r.distinct_ratio <= 1.0
+        assert 1 <= r.top_bigram_cnt <= r.n_words - 1
+        assert 0 < r.top_bigram_frac <= 1.0
+
+
+def test_repetition_top_bigram_matches_groupby(spark, sf_small):
+    """The aggregate-fold run counter equals a real groupBy top-1."""
+    d = load_table(spark, sf_small, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    exploded = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> concat(w[i], ' ', w[i+1]))"
+            )
+        ).alias("pos", "bg"),
+    )
+    expected = {
+        r.doc_id: r.top
+        for r in exploded.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top"))
+        .collect()
+    }
+    got = {
+        r.doc_id: r.top_bigram_cnt
+        for r in quality.repetition_ratios(spark, sf_small).collect()
+    }
+    assert got == expected
+
+
+def test_repetition_plan_is_shuffle_free(spark, sf_small):
+    plan = formatted_plan(quality.repetition_ratios(spark, sf_small))
+    assert "Exchange" not in plan
+
+
+def test_contamination_benchmark_is_fully_contaminated(spark, sf_small):
+    rows = quality.contamination_ngram(spark, sf_small).collect()
+    assert rows
+    bench = [r for r in rows if r.is_benchmark]
+    assert bench, "mod-97 must select at least one benchmark doc"
+    for r in bench:
+        assert r.n_hit == r.n_grams and r.contamination_frac == 1.0
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert 0.0 <= r.contamination_frac <= 1.0
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_small):
+    plan = formatted_plan(quality.contamination_ngram(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_outliers_two_sided_and_rare(spark, sf_small):
+    ev_total = load_table(spark, sf_small, "events").count()
+    rows = quality.zscore_outliers(spark, sf_small).collect()
+    assert 0 < len(rows) < 0.2 * ev_total
+    assert all(abs(r.zscore) > quality.Z_THRESHOLD for r in rows)
+    # value distribution is skewed-positive: both tails would be ideal,
+    # but at minimum the high tail must be present
+    assert any(r.zscore > 0 for r in rows)
