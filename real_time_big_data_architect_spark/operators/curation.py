@@ -179,6 +179,122 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: char-window chunking geometry: 120-char windows every 90 chars
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90
+
+#: language-mix temperature (alpha=0.5 → sqrt scaling, the multilingual
+#: rebalancing exponent from the XLM-R / mT5 recipes)
+MIX_MOD = 1 << 20
+
+#: incremental-dedup batch residue: every 10th doc arrives as "new"
+BATCH_MOD = 10
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks — the context-window splitter.
+
+    ``posexplode(sequence(1, len, stride))`` generates chunk starts
+    row-locally (no shuffle, no driver loop); ``substring`` slices each
+    window. Row count grows ~len/stride per doc, which is exactly how a
+    100 TB chunker behaves: output scales with corpus size, every task
+    emits its own chunks, and nothing synchronizes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.expr(f"sequence(1, length(text), {CHUNK_STRIDE})")
+    return d.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.expr(f"substring(text, chunk_start, {CHUNK_SIZE})").alias("chunk_text"),
+        F.length(
+            F.expr(f"substring(text, chunk_start, {CHUNK_SIZE})")
+        ).cast("bigint").alias("chunk_len"),
+    )
+
+
+def mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mix rebalancing (downsample-only).
+
+    Target weights ∝ count^0.5 flatten the language skew; the keep rate
+    per language is ``sqrt(min_count / count_l)`` (rarest language keeps
+    everything). The sampler is the deterministic affine permutation
+    ``(doc_id·A) mod 2^20`` scaled to [0,1) — exact integer arithmetic
+    plus one IEEE division, reproducible on any engine and cluster
+    layout. Counts are one tiny agg broadcast back onto the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").count()
+    min_cnt = counts.agg(F.min("count").alias("min_cnt"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        "lang",
+        (
+            F.sqrt(F.col("min_cnt").cast("double"))
+            / F.sqrt(F.col("count").cast("double"))
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.pmod(F.pmod("doc_id", F.lit(MIX_MOD)) * SHARD_MULT, F.lit(MIX_MOD))
+        .cast("double")
+        / F.lit(float(MIX_MOD))
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "lang", "source", "keep_rate")
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: new batch vs existing corpus.
+
+    Docs with ``doc_id % 10 == 0`` arrive as the new batch; the rest are
+    the standing corpus. The synthetic corpus has no natural exact
+    duplicates, so half the batch (``doc_id % 20 == 0``) deterministically
+    *plants* one by borrowing its successor's text — then the real kernel
+    runs: fingerprint the batch, LEFT ANTI join against the corpus
+    fingerprint set (a digest-only shuffle — at 100 TB the corpus side is
+    a bucketed fingerprint table, not a re-scan), and keep the first
+    batch doc per surviving fingerprint.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0).alias("b")
+    corpus = d.filter(F.col("doc_id") % BATCH_MOD != 0).alias("c")
+    planted = (
+        batch.join(
+            corpus.select(
+                F.col("doc_id").alias("n_id"), F.col("text").alias("n_text")
+            ),
+            F.col("n_id") == F.col("b.doc_id") + 1,
+            "left",
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.when(
+                (F.col("b.doc_id") % (2 * BATCH_MOD) == 0)
+                & F.col("n_text").isNotNull(),
+                F.col("n_text"),
+            )
+            .otherwise(F.col("b.text"))
+            .alias("text"),
+        )
+        .withColumn("fingerprint", F.md5("text"))
+    )
+    corpus_fp = corpus.select(F.md5("text").alias("fingerprint")).distinct()
+    fresh = planted.join(corpus_fp, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "pack_sequences": pack_sequences,
@@ -186,6 +302,9 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "train_test_split": train_test_split,
     "shuffle_shards": shuffle_shards,
+    "doc_chunks": doc_chunks,
+    "mix_reweight": mix_reweight,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE = {
@@ -271,5 +390,63 @@ ORACLE = {
                       % {N_SHARDS} AS INT) AS shard
           FROM documents
         )
+    """,
+    "doc_chunks": f"""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1, {CHUNK_STRIDE}))
+                     AS chunk_start
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((chunk_start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+               CAST(chunk_start AS INT) AS chunk_start,
+               substr(text, CAST(chunk_start AS INT), {CHUNK_SIZE})
+                   AS chunk_text,
+               CAST(length(substr(text, CAST(chunk_start AS INT),
+                                  {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+        FROM pos
+    """,
+    "mix_reweight": f"""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ),
+        rates AS (
+          SELECT lang,
+                 sqrt(CAST((SELECT MIN(cnt) FROM counts) AS DOUBLE))
+                   / sqrt(CAST(cnt AS DOUBLE)) AS keep_rate
+          FROM counts
+        )
+        SELECT d.doc_id, d.lang, d.source, r.keep_rate
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST((d.doc_id % {MIX_MOD}) * {SHARD_MULT} % {MIX_MOD}
+                   AS DOUBLE) / {float(MIX_MOD)} < r.keep_rate
+    """,
+    "dedup_incremental": f"""
+        WITH batch AS (
+          SELECT b.doc_id,
+                 CASE WHEN b.doc_id % {2 * BATCH_MOD} = 0
+                           AND n.text IS NOT NULL
+                      THEN n.text ELSE b.text END AS text
+          FROM (SELECT * FROM documents WHERE doc_id % {BATCH_MOD} = 0) b
+          LEFT JOIN (SELECT * FROM documents
+                     WHERE doc_id % {BATCH_MOD} <> 0) n
+            ON n.doc_id = b.doc_id + 1
+        ),
+        fp AS (
+          SELECT doc_id, md5(text) AS fingerprint FROM batch
+        ),
+        corpus_fp AS (
+          SELECT DISTINCT md5(text) AS fingerprint FROM documents
+          WHERE doc_id % {BATCH_MOD} <> 0
+        )
+        SELECT doc_id, fingerprint FROM (
+          SELECT f.doc_id, f.fingerprint,
+                 ROW_NUMBER() OVER (PARTITION BY f.fingerprint
+                                    ORDER BY f.doc_id) AS rn
+          FROM fp f
+          WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c
+                            WHERE c.fingerprint = f.fingerprint)
+        ) WHERE rn = 1
     """,
 }

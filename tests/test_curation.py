@@ -120,3 +120,64 @@ def test_train_test_split_properties(spark, sf_small):
     # deterministic: a second run assigns identically
     again = {r.doc_id: r.doc_split for r in curation.train_test_split(spark, sf_small).collect()}
     assert all(again[r.doc_id] == r.doc_split for r in rows)
+
+
+def test_doc_chunks_cover_and_overlap(spark, sf_small):
+    """Chunks tile each document: starts step by the stride, every char
+    of the doc appears in some chunk, and consecutive chunks overlap by
+    CHUNK_SIZE - CHUNK_STRIDE chars."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    rows = curation.doc_chunks(spark, sf_small).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        text = docs[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == 1 + c.chunk_id * curation.CHUNK_STRIDE
+            assert c.chunk_text == text[c.chunk_start - 1 : c.chunk_start - 1 + curation.CHUNK_SIZE]
+        # full coverage: last chunk reaches the end of the text
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len - 1 == len(text)
+
+
+def test_mix_reweight_flattens_skew(spark, sf_small):
+    before = {
+        r.lang: r["count"]
+        for r in load_table(spark, sf_small, "documents")
+        .groupBy("lang").count().collect()
+    }
+    rows = curation.mix_reweight(spark, sf_small).collect()
+    after = {}
+    for r in rows:
+        after[r.lang] = after.get(r.lang, 0) + 1
+        assert 0 < r.keep_rate <= 1.0
+    # rarest language keeps everything (rate 1.0)
+    rare = min(before, key=before.get)
+    assert after[rare] == before[rare]
+    # skew shrinks: max/min ratio after <= before
+    ratio_before = max(before.values()) / min(before.values())
+    ratio_after = max(after.values()) / min(after.values())
+    assert ratio_after <= ratio_before
+
+
+def test_dedup_incremental_drops_exactly_planted(spark, sf_small):
+    d = load_table(spark, sf_small, "documents")
+    batch_ids = [
+        r.doc_id
+        for r in d.filter(F.col("doc_id") % curation.BATCH_MOD == 0).collect()
+    ]
+    survivors = {r.doc_id for r in curation.dedup_incremental(spark, sf_small).collect()}
+    corpus_ids = {
+        r.doc_id
+        for r in d.filter(F.col("doc_id") % curation.BATCH_MOD != 0).collect()
+    }
+    for doc_id in batch_ids:
+        planted = doc_id % (2 * curation.BATCH_MOD) == 0 and (doc_id + 1) in corpus_ids
+        assert (doc_id in survivors) == (not planted)
