@@ -239,6 +239,68 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 free parameters (Robertson's defaults) and the fixed query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("table", "stream", "vector")
+
+
+def _bm25_term_expr(term: str) -> str:
+    """One BM25 term's score — the identical token sequence runs in both
+    engines (columns ``tf_<t>``, ``dfv_<t>``, ``n_docs``, ``dl``,
+    ``avgdl`` must be in scope), so every fp op rounds identically."""
+    return (
+        f"((CAST(n_docs AS DOUBLE) - CAST(dfv_{term} AS DOUBLE) + 0.5)"
+        f" / (CAST(dfv_{term} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{term} AS DOUBLE) * ({BM25_K1} + 1.0))"
+        f" / (CAST(tf_{term} AS DOUBLE)"
+        f" + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+
+
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query (NS6c).
+
+    Per-term tf comes from ``size(filter(words, ...))`` — per-row JVM
+    array expressions, no explode and no corpus-sized shuffle; the
+    corpus statistics (N, Σdl, per-term df) reduce to ONE row in a
+    single pass and broadcast back onto the scan. idf stays in the raw
+    rational form (N - df + 0.5)/(df + 0.5) — same reasoning as
+    ``tfidf_top_terms``: libm ``ln`` differs 1-2 ulp cross-engine and
+    would break the bit-exact oracle gate; the rational form preserves
+    the ranking for fixed tf. The 3 term scores add in fixed textual
+    order, so the sum is order-deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("w", F.split("text", " ")).withColumn(
+        "dl", F.size("w").cast("bigint")
+    )
+    for t in BM25_TERMS:
+        d = d.withColumn(
+            f"tf_{t}", F.expr(f"size(filter(w, x -> x = '{t}'))").cast("bigint")
+        )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"dfv_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl",
+        F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+    )
+    total = " + ".join(f"({_bm25_term_expr(t)})" for t in BM25_TERMS)
+    return scored.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{t}") for t in BM25_TERMS],
+        F.expr(total).alias("bm25"),
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
     "text_stats": text_stats,
@@ -248,7 +310,42 @@ QUERIES = {
     "curate_corpus": curate_corpus,
     "tfidf_top_terms": tfidf_top_terms,
     "token_count_regex": token_count_regex,
+    "bm25_score": bm25_score,
 }
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n                 ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n                 ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS dfv_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"({_bm25_term_expr(t)})" for t in BM25_TERMS)
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+        WITH per_doc AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                 {tf_cols}
+          FROM documents
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                 {df_cols}
+          FROM per_doc
+        )
+        SELECT doc_id, dl, {tf_out},
+               {total} AS bm25
+        FROM (SELECT per_doc.*, stats.*,
+                     CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+              FROM per_doc CROSS JOIN stats)
+    """
 
 
 def _lang_id_oracle() -> str:
@@ -355,4 +452,5 @@ ORACLE = {
                n_chars >= 100 AS len_ok
         FROM documents
     """,
+    "bm25_score": _bm25_oracle(),
 }

@@ -228,3 +228,28 @@ def test_gapfill_locf_dense_spine_and_carry(spark, sf_small):
                 assert r.locf_value == prev
             prev = r.locf_value
     assert saw_gap  # the fixture must actually exercise the fill
+
+
+def test_bm25_monotone_in_tf_and_zero_without_terms(spark, sf_small):
+    """BM25 invariants: score 0 iff no query term occurs; among docs of
+    equal length, more occurrences of a term never lower the score."""
+    from real_time_big_data_architect_spark.operators import text as text_ops
+
+    rows = text_ops.bm25_score(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        tf_total = sum(getattr(r, f"tf_{t}") for t in text_ops.BM25_TERMS)
+        assert (r.bm25 == 0.0) == (tf_total == 0)
+        assert r.bm25 >= 0.0
+    # single-term monotonicity at fixed dl
+    by_dl = {}
+    for r in rows:
+        if all(getattr(r, f"tf_{t}") == 0 for t in text_ops.BM25_TERMS[1:]):
+            by_dl.setdefault(r.dl, []).append(
+                (getattr(r, f"tf_{text_ops.BM25_TERMS[0]}"), r.bm25)
+            )
+    for pairs in by_dl.values():
+        pairs.sort()
+        for (tf1, s1), (tf2, s2) in zip(pairs, pairs[1:]):
+            if tf1 < tf2:
+                assert s1 <= s2
