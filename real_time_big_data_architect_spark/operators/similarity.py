@@ -454,6 +454,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast crossJoin + argmin window
+    (ties to the smallest cluster id) — the ivf_assign kernel with
+    arbitrary centroids."""
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "centroid")
+    )
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the iterative-algorithm
+    pattern on DataFrames, fully oracle-checked.
+
+    Deterministic throughout, so a SQL CTE chain can replay it exactly:
+    initial centroids are the first K vectors (float→double, exact);
+    each round assigns every vector to its nearest centroid (broadcast
+    K-row table, squared-L2 left fold, ties to the lowest cluster id)
+    and recomputes centroids as exact-decimal per-dimension means (the
+    label_centroids trick — order-independent sums, HALF_UP scale-10
+    rounding mirrored in the oracle). The fixed-count loop unrolls into
+    one lazy plan; per-iteration cost at 100 TB is one map-side pass
+    over the corpus (centroids always broadcast) plus a (cluster,
+    dim)-keyed agg whose cardinality is K×64 — independent of corpus
+    size. For many iterations, checkpoint/collect the K-row centroid
+    table per round to cap plan depth (the MLlib pattern); at ITERS=2
+    the unrolled plan is cheaper than eager per-round jobs (measured).
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        new_cents = (
+            assigned.select(
+                "c_id", F.posexplode("embedding").alias("dim", "component")
+            )
+            .groupBy("c_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("component").cast("decimal(30,10)")).cast(
+                        "double"
+                    )
+                    / F.count("component")
+                ).alias("comp")
+            )
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                    lambda s: s.comp,
+                ).alias("centroid")
+            )
+        )
+        cents = new_cents
+    final = _kmeans_assign(e, cents)
+    return final.select("vec_id", F.col("c_id").alias("cluster"), "dist2")
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
@@ -463,7 +544,64 @@ QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_topk": ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "kmeans_clusters": kmeans_clusters,
 }
+
+
+def _kmeans_oracle() -> str:
+    """Replay the deterministic Lloyd rounds as a CTE chain: c0 (init)
+    → s1/a1 (score/argmin) → c1 (decimal-exact means) → … — every fp
+    expression token-mirrored against the DataFrame side."""
+    dist = (
+        "list_reduce(list_transform(range(1, 65),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),"
+        " (x, y) -> x + y)"
+    )
+    parts = [
+        f"""c0 AS (
+            SELECT CAST(vec_id AS INT) AS c_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        )"""
+    ]
+    for i in range(1, KMEANS_ITERS + 2):
+        parts.append(
+            f"""s{i} AS (
+            SELECT e.vec_id, c.c_id, {dist} AS dist2
+            FROM embeddings e CROSS JOIN c{i - 1} c
+        )"""
+        )
+        parts.append(
+            f"""a{i} AS (
+            SELECT vec_id, c_id, dist2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+                FROM s{i}
+            ) WHERE rn = 1
+        )"""
+        )
+        if i <= KMEANS_ITERS:
+            parts.append(
+                f"""c{i} AS (
+            SELECT c_id, list(comp ORDER BY dim) AS centroid FROM (
+                SELECT a.c_id, CAST(x.gs - 1 AS INT) AS dim,
+                       CAST(SUM(CAST(round(CAST(x.component AS DOUBLE), 10)
+                                     AS DECIMAL(30,10))) AS DOUBLE)
+                           / COUNT(x.component) AS comp
+                FROM (SELECT vec_id, unnest(embedding) AS component,
+                             generate_subscripts(embedding, 1) AS gs
+                      FROM embeddings) x
+                JOIN a{i} a ON a.vec_id = x.vec_id
+                GROUP BY a.c_id, dim
+            ) GROUP BY c_id
+        )"""
+            )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, c_id AS cluster, dist2 FROM a{KMEANS_ITERS + 1}
+    """
 
 #: centroid + cell-assignment + norm CTEs shared by the IVF oracles;
 #: mirrors _centroid_table/_with_cell/_norm (see ivf_assign's oracle for
@@ -687,4 +825,5 @@ ORACLE = {
               FROM embeddings)
         GROUP BY label, dim
     """,
+    "kmeans_clusters": _kmeans_oracle(),
 }

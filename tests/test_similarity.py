@@ -155,3 +155,41 @@ def test_dedup_embedding_cosine_pairs(spark, sf_small):
         assert cells[r.vec_id_a] == cells[r.vec_id_b] == r.cell
         assert (r.vec_id_a, r.vec_id_b) not in seen  # no duplicate pairs
         seen.add((r.vec_id_a, r.vec_id_b))
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_small):
+    """Replay the deterministic Lloyd rounds in NumPy (float64, exact
+    decimal means approximated by np.mean — equal up to rounding at
+    scale 10, far below assignment decision boundaries) and check the
+    final assignment matches."""
+    import numpy as np
+
+    from real_time_big_data_architect_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_clusters,
+    )
+
+    e = load_table(spark, sf_small, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e}
+    ids = sorted(vecs)
+    cents = {k: vecs[k].copy() for k in range(KMEANS_K)}
+
+    def assign_all():
+        out = {}
+        for vid in ids:
+            d = {c: float(((vecs[vid] - cv) ** 2).sum()) for c, cv in cents.items()}
+            out[vid] = min(d, key=lambda c: (d[c], c))
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign_all()
+        for c in range(KMEANS_K):
+            members = [vecs[v] for v, cl in a.items() if cl == c]
+            if members:
+                cents[c] = np.round(np.mean(members, axis=0), 10)
+    expected = assign_all()
+
+    got = {r.vec_id: r.cluster for r in kmeans_clusters(spark, sf_small).collect()}
+    assert got == expected
+    assert set(got.values()) <= set(range(KMEANS_K))
