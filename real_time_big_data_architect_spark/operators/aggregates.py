@@ -17,17 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_avg, dec_sum
-from real_time_big_data_architect_spark.tables import fan_out, load_table
+from real_time_big_data_architect_spark.tables import load_table
 
 
 def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped hash aggregation over lineitem (NS2).
 
-    fan_out spreads the decimal-heavy partial aggregation across cores
-    when the input arrives as one parquet row group (the local fixture);
-    with real input-split parallelism it is a no-op.
+    No fan_out here: the decimal sums partial-aggregate map-side, so a
+    pre-shuffle of full rows costs more than the extra cores recover
+    (measured 0.5 s vs 0.8 s at sf0.1); the scan's own splits set the
+    parallelism, exactly as they would on a real lake.
     """
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     one = F.lit(1).cast("decimal(18,2)")
@@ -225,7 +226,7 @@ def corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs, so the result hash-matches. Map-side partial
     aggregation applies to every sum; one shuffle of 3×6 cells.
     """
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(7,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     sums = li.groupBy("l_returnflag").agg(

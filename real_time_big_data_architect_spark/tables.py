@@ -80,9 +80,18 @@ def fan_out(df: DataFrame) -> DataFrame:
     up to it; on a real lake the input arrives in thousands of splits and
     this is a no-op (input-split parallelism ≥ cores), so nothing extra
     shuffles at 100 TB.
+
+    Only worth it for per-row-EXPENSIVE stages (Python kernels, shingle
+    hashing, 64-dim folds): for built-in partial-aggregating operators
+    the full-row pre-shuffle costs more than the extra cores recover —
+    measured on Q1 (0.5 s unshuffled vs 0.8 s repartitioned at sf0.1).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a listing probe (~ms); df.rdd.getNumPartitions()
+    # would build the whole RDD conversion plan (~200 ms warm, seconds
+    # cold) on every call. Callers pass fresh scans, where file count
+    # bounds scan parallelism from below well enough for the decision.
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
