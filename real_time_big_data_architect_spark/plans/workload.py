@@ -17,6 +17,7 @@ from real_time_big_data_architect_spark.operators import (
     behavioral,
     curation,
     dedup,
+    graph,
     joins,
     multimodal,
     mutations,
@@ -51,6 +52,7 @@ _MODULES = (
     behavioral,
     setops,
     quality,
+    graph,
     text,
     curation,
     udfs,

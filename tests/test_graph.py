@@ -1,0 +1,59 @@
+"""Invariant tests for the graph operators: edge extraction sanity and
+a NumPy power-iteration replay of the deterministic PageRank."""
+
+from __future__ import annotations
+
+from real_time_big_data_architect_spark.operators import graph
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_transition_edges_shape(spark, sf_small):
+    rows = graph.transition_edges(spark, sf_small).collect()
+    assert rows
+    users = {
+        r.user_id for r in load_table(spark, sf_small, "events").collect()
+    }
+    for r in rows:
+        assert r.src in users and r.dst in users
+        assert r.src != r.dst
+        assert r.w >= 1
+    # multi-edges were collapsed: (src, dst) unique
+    keys = [(r.src, r.dst) for r in rows]
+    assert len(set(keys)) == len(keys)
+
+
+def test_pagerank_matches_numpy_replay(spark, sf_small):
+    import numpy as np
+
+    edges = graph.transition_edges(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events").collect()
+    nodes = sorted({r.user_id for r in ev})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    outw = {}
+    for e in edges:
+        outw[e.src] = outw.get(e.src, 0) + e.w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(graph.PR_ITERS):
+        contrib = np.zeros(n)
+        for e in edges:
+            contrib[idx[e.dst]] += round(
+                pr[idx[e.src]] * (e.w / outw[e.src]), graph.PR_SCALE
+            )
+        pr = graph.PR_BASE / n + graph.DAMPING * np.round(
+            contrib, graph.PR_SCALE
+        )
+    got = {r.user_id: r.pagerank for r in graph.pagerank(spark, sf_small).collect()}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - pr[idx[u]]) < 1e-9
+    # probability-ish: mass in (0, 1]; dangling loss keeps sum <= 1
+    total = sum(got.values())
+    assert 0.5 < total <= 1.0 + 1e-9
+    # rank column is a permutation ordered by pagerank desc
+    ranked = sorted(
+        graph.pagerank(spark, sf_small).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in ranked] == list(range(1, n + 1))
+    for a, b in zip(ranked, ranked[1:]):
+        assert a.pagerank >= b.pagerank
