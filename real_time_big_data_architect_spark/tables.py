@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
     "region",
@@ -41,13 +42,6 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-#: vectorized reader rejects; read it as long nanos and convert.
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     """long nanos → TimestampType (µs), exact integer division.
 
@@ -64,9 +58,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     if name == "events":
+        # events.parquet has shipped ts as both TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects — read as long nanos under the
+        # legacy conf and convert) and plain TIMESTAMP(MICROS) (reads
+        # natively). Branch on the footer-inferred type so either works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(table_path(sf_dir, name))
-        return _events_ts_to_timestamp(raw)
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            return _events_ts_to_timestamp(raw)
+        return raw
     return spark.read.parquet(table_path(sf_dir, name))
 
 
