@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.tables import (
-    EVENTS_RAW_SCHEMA,
-    _events_ts_to_timestamp,
+    _normalize_events_ts,
+    probe_events_schema,
 )
 
 
@@ -36,13 +36,13 @@ def incremental_etl(
     downstream), and appends to the parquet sink. Calling again after
     new files land processes only the delta.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = probe_events_schema(spark, in_dir, "*.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(in_dir)
     )
-    normalized = _events_ts_to_timestamp(raw).withColumn(
+    normalized = _normalize_events_ts(raw).withColumn(
         "event_hour", F.date_trunc("hour", "ts")
     )
     q = (

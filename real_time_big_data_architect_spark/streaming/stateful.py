@@ -25,29 +25,31 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from real_time_big_data_architect_spark.tables import (
-    EVENTS_RAW_SCHEMA,
-    _events_ts_to_timestamp,
+    _normalize_events_ts,
+    probe_events_schema,
 )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.
 
-    The fixture stores ts as parquet TIMESTAMP(NANOS); like the batch
-    reader (tables.py) we read long nanos and convert to µs timestamps.
+    The fixture has shipped ts as TIMESTAMP(NANOS), TIMESTAMP(MICROS)
+    (NTZ), and plain TIMESTAMP across driver versions; probe the footer
+    (tables.probe_events_schema) and normalize ts exactly like the
+    batch reader, so stream and batch plans see identical types.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = probe_events_schema(spark, sf_dir, "events*.parquet")
     # The streaming file source lists a DIRECTORY; the fixture is a
     # single file, so stream the parent dir with a glob filter. The
     # wildcard lets tests feed multi-file corpora (events0.parquet,
     # events1.parquet, ...) to exercise true multi-micro-batch state.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    return _events_ts_to_timestamp(raw)
+    return _normalize_events_ts(raw)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -54,6 +54,43 @@ def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Whatever the fixture shipped — long nanos, TIMESTAMP_NTZ(µs), or
+    TIMESTAMP — normalize ``ts`` to session-local TimestampType.
+
+    The session runs in UTC (session.py), so NTZ→LTZ is value-identical;
+    downstream operators can rely on TIMESTAMP-typed expressions
+    (``unix_micros``, windowing, watermarks) regardless of fixture
+    vintage.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return _events_ts_to_timestamp(df)
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def probe_events_schema(spark: SparkSession, path: str, glob: str = "*.parquet"):
+    """Footer-probe the events parquet schema for streaming readers.
+
+    The streaming file source requires an explicit schema; the fixture
+    has shipped ``ts`` both as TIMESTAMP(NANOS) (readable only as long
+    nanos under the legacy conf) and TIMESTAMP(MICROS) (native). A cheap
+    batch read infers the footer schema, and the caller applies
+    ``_events_ts_to_timestamp`` only when ts arrived as long nanos —
+    the same branching ``load_table`` does for batch.
+
+    The caller applies ``_normalize_events_ts`` to the stream to get
+    the same TimestampType ``ts`` the batch reader produces.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    return probe.schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -64,9 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # natively). Branch on the footer-inferred type so either works.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(raw.schema["ts"].dataType, LongType):
-            return _events_ts_to_timestamp(raw)
-        return raw
+        return _normalize_events_ts(raw)
     return spark.read.parquet(table_path(sf_dir, name))
 
 
