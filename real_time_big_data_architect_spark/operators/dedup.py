@@ -159,23 +159,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every near-dup pipeline.
     sigs = minhash_signatures(spark, sf_dir).repartition(F.col("doc_id"))
     rows_per_band = N_MINHASHES // N_BANDS
-    bands = F.posexplode(
-        F.array(
-            *[
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                    F.lit(1000 + b),
-                )
-                for b in range(N_BANDS)
-            ]
+    # One SQL string -> one py4j round trip. The equivalent nested
+    # Column construction is ~100 gateway calls and measured >1 s of
+    # pure driver-side plan building per invocation at any SF.
+    band_exprs = ", ".join(
+        "xxhash64(concat_ws(',', {items}), {seed})".format(
+            items=", ".join(
+                f"cast(minhash[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
+            ),
+            seed=1000 + b,
         )
+        for b in range(N_BANDS)
     )
+    bands = F.posexplode(F.expr(f"array({band_exprs})"))
     # Shuffle discipline: the bucket self-join carries ONLY
     # (band, bucket, doc_id) — 24 bytes/row — not the 512-byte signature
     # array. Pairs are deduped BEFORE signatures are re-joined and the
