@@ -1,0 +1,257 @@
+"""Mergeable sketches and integrity checksums (north star NS2/NS6f).
+
+The reference computes nothing sketch-like (its whole analytics surface
+is ≤50-row pandas ops, app.py:192-247); these are the constant-memory
+summaries a 100 TB pipeline runs where exact state would not fit or
+where two systems must agree on content without moving data:
+
+- **count-min sketch heavy hitters** — a d×w counter matrix replaces a
+  full word histogram: the sketch is CONSTANT size regardless of corpus
+  scale, partial sketches from every partition merge by addition (the
+  groupBy), and point estimates are the min over d counters. Hash =
+  md5-derived (portable: DuckDB replays the identical construction), so
+  unlike the xxhash-seeded LSH family this sketch is oracle-EXACT.
+- **order-insensitive table checksum** — sum of per-row md5 digests:
+  two engines (or two snapshots) agree iff contents agree, no sort, no
+  data movement beyond one agg. The anti-entropy primitive for lake
+  replication.
+- **per-key skew diagnostics** — the count-distribution probe you run
+  BEFORE a big join to decide salting/AQE posture; one shuffle on the
+  join key, constant-size output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.tables import load_table
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # counters per row
+CMS_TOPK = 20  # heavy hitters to estimate
+
+
+def _cms_bucket(word, seed: int):
+    """Portable bucket hash: first 8 md5 hex digits mod width.
+
+    Identical in both engines: md5 of the UTF-8 seed:word string, hex →
+    int (Spark ``conv``, DuckDB ``'0x'||…`` cast), mod width. md5 costs
+    more than xxhash64 but buys a cross-engine-exact sketch; swap in
+    xxhash64 at production scale where the oracle isn't replaying.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), word)), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(CMS_WIDTH))
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates for the corpus's top words (NS2).
+
+    Build: one token explode → each word emits its ``CMS_DEPTH`` (row,
+    bucket) coordinates → groupBy counts = the sketch (4×1024 cells,
+    constant size at any corpus scale; partial aggregation merges
+    per-partition sketches map-side). Probe: the exact top-20 words
+    (ties broken by word) look up their d counters via a broadcast join
+    against the 4096-row sketch; estimate = min(counter) ≥ true count,
+    with equality when no collision — both columns returned so the
+    overestimate property is visible and oracle-checked.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    coords = words.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("word"), s) for s in range(CMS_DEPTH)])
+        ).alias("row", "bucket")
+    )
+    sketch = coords.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
+
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("word"))
+        .limit(CMS_TOPK)
+    )
+    probes = top.select(
+        "word",
+        "n_exact",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("word"), s) for s in range(CMS_DEPTH)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("counter").alias("n_est"))
+    )
+
+
+#: orders columns with cross-engine-stable string form (ints, strings,
+#: dates — no floats, whose repr differs between engines)
+_CHECKSUM_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the orders table (NS8).
+
+    Each row folds to an 8-hex-digit md5 digest; the table checksum is
+    the SUM of digests (commutative → partition-order-independent) plus
+    the row count. Verifying a 100 TB replica is one scan + one scalar
+    agg on each side and an 8-byte comparison — the anti-entropy check
+    used by every replicated lake. Digest inputs are the
+    stable-serialization columns only (ints/strings/dates).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is a timestamp: force an explicit second-precision
+    # format (both engines' default VARCHAR casts differ on fractional
+    # seconds) so the digest bytes agree.
+    parts = [
+        F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        if c == "o_orderdate"
+        else F.col(c).cast("string")
+        for c in _CHECKSUM_COLS
+    ]
+    row_digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_digest).alias("content_checksum"),
+    )
+
+
+def skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey (NS2).
+
+    Per-key counts (one shuffle) reduced to the distribution summary
+    that decides a join strategy at 100 TB: key count, total rows,
+    max/avg rows per key and their ratio (the skew factor AQE's
+    skewJoin threshold keys on). All-integer arithmetic except the
+    final ratios, which divide exact sums — oracle-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_per_key"),
+        (
+            F.max("n").cast("double") / (F.sum("n").cast("double") / F.count("*"))
+        ).alias("skew_ratio"),
+    )
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over events (NS8).
+
+    The per-event_type revenue view is refreshed from (base state +
+    delta batch) instead of a full recompute: base = events before the
+    cutoff (the previously materialized agg), delta = the new arrivals,
+    merged by full-outer coalesce-sum. At 100 TB the delta is hours,
+    the base is years — refresh cost tracks the DELTA size only. The
+    oracle recomputes the view directly over all events, proving
+    incremental ≡ full (sums in exact decimal so the merge order can't
+    drift the hash).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-06-01 00:00:00"
+    dec = lambda c: F.sum(F.col(c).cast("decimal(30,4)"))  # noqa: E731
+    base = (
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(dec("value").alias("sum_value"), F.count("*").alias("n_events"))
+    )
+    delta = (
+        ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(dec("value").alias("d_sum_value"), F.count("*").alias("d_n_events"))
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    return (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("sum_value"), zero)
+                + F.coalesce(F.col("d_sum_value"), zero)
+            )
+            .cast("double")
+            .alias("sum_value"),
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d_n_events"), F.lit(0))
+            ).alias("n_events"),
+        )
+    )
+
+
+QUERIES = {
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "table_checksum": table_checksum,
+    "skew_stats": skew_stats,
+    "mv_incremental_refresh": mv_incremental_refresh,
+}
+
+ORACLE = {
+    "cms_heavy_hitters": f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        coords AS (
+            SELECT word,
+                   s.range AS row,
+                   CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || ':' || word), 1, 8))
+                        AS BIGINT) % {CMS_WIDTH} AS bucket
+            FROM words CROSS JOIN range({CMS_DEPTH}) s
+        ),
+        sketch AS (
+            SELECT row, bucket, COUNT(*) AS counter
+            FROM coords GROUP BY row, bucket
+        ),
+        top AS (
+            SELECT word, COUNT(*) AS n_exact
+            FROM words GROUP BY word
+            ORDER BY n_exact DESC, word LIMIT {CMS_TOPK}
+        ),
+        probes AS (
+            SELECT t.word, t.n_exact,
+                   s.range AS row,
+                   CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || ':' || t.word), 1, 8))
+                        AS BIGINT) % {CMS_WIDTH} AS bucket
+            FROM top t CROSS JOIN range({CMS_DEPTH}) s
+        )
+        SELECT p.word, p.n_exact, MIN(sk.counter) AS n_est
+        FROM probes p JOIN sketch sk USING (row, bucket)
+        GROUP BY p.word, p.n_exact
+    """,
+    "table_checksum": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(('0x' || substr(md5(
+                     CAST(o_orderkey AS VARCHAR) || '|' ||
+                     CAST(o_custkey AS VARCHAR) || '|' ||
+                     o_orderstatus || '|' ||
+                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 8)) AS BIGINT))
+                 AS content_checksum
+        FROM orders
+    """,
+    "skew_stats": """
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS total_rows,
+               MAX(n) AS max_per_key,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_per_key,
+               CAST(MAX(n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        FROM (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+    """,
+    "mv_incremental_refresh": """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+}

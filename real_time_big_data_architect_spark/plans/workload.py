@@ -27,6 +27,7 @@ from real_time_big_data_architect_spark.operators import (
     semistructured,
     setops,
     similarity,
+    sketches,
     text,
     tpch,
     udfs,
@@ -51,6 +52,7 @@ _MODULES = (
     windows,
     behavioral,
     setops,
+    sketches,
     quality,
     graph,
     text,

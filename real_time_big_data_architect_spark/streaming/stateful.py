@@ -133,6 +133,28 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window counts (NS5): 1-hour windows every
+    15 minutes, so each event lands in 4 overlapping windows — the
+    streaming twin of time_windows.sliding_window_agg. Append mode
+    emits a window once the watermark passes its end; rows-only (which
+    windows finalize depends on per-batch watermark advancement).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within the watermark horizon (NS5).
 
@@ -332,6 +354,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_session_watermark": stream_session_watermark,
+    "stream_sliding_watermark": stream_sliding_watermark,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
     "stream_poll_tick": stream_poll_tick,

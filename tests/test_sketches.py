@@ -1,0 +1,107 @@
+"""Sketch / integrity operators: CMS bounds, checksum sensitivity,
+skew invariants, incremental-refresh equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import sketches
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_cms_overestimates_and_is_usually_exact(spark, sf_small):
+    """CMS point estimates never undercount, and at fixture cardinality
+    (few thousand distinct words vs 4x1024 cells) collisions are rare
+    enough that most top-20 estimates are exact."""
+    rows = sketches.cms_heavy_hitters(spark, sf_small).collect()
+    assert len(rows) == sketches.CMS_TOPK
+    assert all(r.n_est >= r.n_exact for r in rows)
+    exact = sum(1 for r in rows if r.n_est == r.n_exact)
+    assert exact >= sketches.CMS_TOPK // 2, f"only {exact}/20 collision-free"
+
+
+def test_cms_sketch_is_mergeable(spark, sf_small):
+    """The sketch of a union equals cell-wise sum of partial sketches —
+    the property that lets every partition sketch independently."""
+    d = load_table(spark, sf_small, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    half_a = words.limit(200)
+    cells = lambda w: (  # noqa: E731
+        w.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        sketches._cms_bucket(F.col("word"), s)
+                        for s in range(sketches.CMS_DEPTH)
+                    ]
+                )
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+    whole = {(r.row, r.bucket): r.counter for r in cells(half_a).collect()}
+    # split the same 200 words deterministically by md5 parity
+    parity = F.pmod(
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint"), F.lit(2)
+    )
+    tagged = half_a.withColumn("p", parity)
+    merged: dict = {}
+    for p in (0, 1):
+        for r in cells(tagged.filter(F.col("p") == p).drop("p")).collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.counter
+    assert merged == whole
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_small):
+    base = sketches.table_checksum(spark, sf_small).first()
+    o = load_table(spark, sf_small, "orders")
+    assert base.n_rows == o.count()
+
+    # recompute with one order's status flipped: checksum must move
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    parts = [
+        F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        if c == "o_orderdate"
+        else F.col(c).cast("string")
+        for c in sketches._CHECKSUM_COLS
+    ]
+    digest = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    changed = mutated.agg(F.sum(digest).alias("s")).first().s
+    assert changed != base.content_checksum
+
+
+def test_skew_stats_invariants(spark, sf_small):
+    r = sketches.skew_stats(spark, sf_small).first()
+    li_count = load_table(spark, sf_small, "lineitem").count()
+    assert r.total_rows == li_count
+    assert r.max_per_key >= r.avg_per_key
+    assert abs(r.skew_ratio - r.max_per_key / r.avg_per_key) < 1e-9
+
+
+def test_mv_incremental_equals_full_recompute(spark, sf_small):
+    """The defining MV property: base+delta merge == direct recompute."""
+    inc = {
+        r.event_type: (r.sum_value, r.n_events)
+        for r in sketches.mv_incremental_refresh(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    full = {
+        r.event_type: (r.sum_value, r.n_events)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert inc == full
