@@ -26,6 +26,7 @@ runs and partitionings.
 from __future__ import annotations
 
 import random
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -99,47 +100,64 @@ def _shingles(text_col: str = "text"):
 
 _A_MAT = np.array(MINHASH_A, dtype=np.int64)[:, None]
 _B_MAT = np.array(MINHASH_B, dtype=np.int64)[:, None]
+#: odd 16-bit coefficients for the rolling shingle combine — products
+#: stay < 2^48 and 5-term sums < 2^51, no int64 overflow before the mod
+_SHINGLE_COEF = np.array([40503, 40993, 42061, 44543, 47629], dtype=np.int64)
 
 
 @F.pandas_udf(ArrayType(LongType()))
-def _derive_minhash(hs: pd.Series) -> pd.Series:
-    """64 minhashes from one shingle-hash array: min((A·h + B) mod p).
+def _minhash_text(texts: pd.Series) -> pd.Series:
+    """text → 64-value MinHash signature in ONE Arrow-batched kernel.
 
-    Arrow-batched and numpy-vectorized: the 64×S affine/min matrix is one
-    C-level broadcast per document. The equivalent built-in higher-order
-    ``transform``/``array_min`` expression is *interpreted* per element
-    (~64·S boxed ops/doc) and measured 3-4 s at sf=0.1 where this is
-    <0.1 s — the sanctioned pandas-UDF exception to the built-ins rule.
+    Per document: crc32 each word (zlib, C speed), combine every run of
+    SHINGLE_K consecutive word hashes with a fixed odd-coefficient dot
+    product mod 2^32 (``sliding_window_view`` — one vectorized pass
+    instead of S string slices), then the 64 affine permutations
+    ``min((a_j*h + b_j) mod p)`` as a single 64×S numpy broadcast.
+
+    This replaces a JVM ``transform(slice/concat_ws/xxhash64)`` stage:
+    interpreted higher-order functions re-materialize every shingle as a
+    string (~S string builds + hashes per doc) and measured 3-8 s with
+    high variance at sf=0.1, where this kernel is stable ~1 s. Scale
+    shape is unchanged: no shuffle, embarrassingly parallel, documents
+    cross into Arrow exactly once. Docs shorter than SHINGLE_K fold to
+    one whole-doc shingle; empty text → null signature.
     No overflow: a,b < 2^31 and h < 2^32 keep a*h+b < 2^63.
     """
+    from numpy.lib.stride_tricks import sliding_window_view
+
     out = []
-    for h in hs:
-        arr = np.asarray(h, dtype=np.int64)
-        if arr.size == 0:
+    for t in texts:
+        words = t.split(" ")
+        wh = np.fromiter(
+            (zlib.crc32(w.encode()) for w in words),
+            dtype=np.int64,
+            count=len(words),
+        )
+        if wh.size == 0:
             out.append(None)
+            continue
+        if wh.size >= SHINGLE_K:
+            sh = (sliding_window_view(wh, SHINGLE_K) * _SHINGLE_COEF).sum(
+                axis=1
+            ) % (1 << 32)
         else:
-            out.append(((_A_MAT * arr[None, :] + _B_MAT) % P_MINHASH).min(axis=1))
+            sh = np.array([(wh * _SHINGLE_COEF[: wh.size]).sum() % (1 << 32)])
+        out.append(((_A_MAT * sh[None, :] + _B_MAT) % P_MINHASH).min(axis=1))
     return pd.Series(out)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64 MinHash values per document.
 
-    Each shingle is hashed **once**, JVM-side
-    (``pmod(xxhash64(s), 2^32)``); the 64 minhashes derive from affine
+    Each shingle is hashed **once**; the 64 minhashes derive from affine
     permutations ``(a_j*h + b_j) mod p`` — the classic universal-hash
-    MinHash scheme (Broder) — in one Arrow-vectorized pass. 1/64th the
-    hashing of the naive per-seed re-hash. No shuffle; at 100 TB this
-    stage is embarrassingly parallel.
+    MinHash scheme (Broder) — all inside one Arrow-vectorized kernel
+    (see :func:`_minhash_text`). No shuffle; at 100 TB this stage is
+    embarrassingly parallel.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    hashed = d.select(
-        "doc_id",
-        F.transform(
-            _shingles(), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
-        ).alias("hs"),
-    )
-    return hashed.select("doc_id", _derive_minhash("hs").alias("minhash"))
+    return d.select("doc_id", _minhash_text("text").alias("minhash"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
