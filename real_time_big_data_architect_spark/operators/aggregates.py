@@ -277,8 +277,40 @@ def histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_AGG_SALTS = 16
+
+
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically hot keys (NS2).
+
+    Phase 1 aggregates on (key, salt) — a hot key's rows spread over
+    ``N_AGG_SALTS`` reducer partitions instead of melting one — and
+    phase 2 re-aggregates the per-salt partials on the key alone. For
+    algebraic aggregates Spark's map-side partial agg already bounds
+    per-reducer input, so this pattern earns its extra shuffle only for
+    holistic/expensive states (collect-based, exact-distinct) or skew
+    so extreme a single reducer partition spills; it is demonstrated on
+    sums/counts because those make the equivalence oracle-exact (decimal
+    accumulation is order-independent, so salting cannot drift the
+    hash).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", F.lit(42)), F.lit(N_AGG_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("s_qty"),
+        F.count("*").alias("n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("s_qty").cast("double").alias("sum_qty"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "group_agg": group_agg,
+    "agg_skew_twophase": agg_skew_twophase,
     "distinct_count": distinct_count,
     "approx_distinct": approx_distinct,
     "rollup_agg": rollup_agg,
@@ -297,6 +329,13 @@ QUERIES = {
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "agg_skew_twophase": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "group_agg": f"""
         SELECT l_returnflag, l_linestatus,
                {_Q1_DEC.format(x='l_quantity')} AS sum_qty,

@@ -234,6 +234,66 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance via ``foreachBatch``
+    (NS5/NS8) — the canonical production sink pattern: each micro-batch
+    aggregates its delta and MERGES it into a persisted view with a
+    read-modify-write swap, instead of holding the aggregate in
+    streaming state.
+
+    The merge is an associative re-aggregation (union + groupBy over
+    exact decimal sums), so the final view is independent of how the
+    input was split into micro-batches — after the availableNow drain
+    it must equal the batch aggregate, which is the oracle. At 100 TB
+    the same ``foreachBatch`` body is a MERGE INTO against a lake
+    table; the per-batch cost tracks the DELTA, and the swap is the
+    table format's atomic commit.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="fb_mv_")
+    mv_dir = f"{work}/mv"
+    ckpt = f"{work}/ckpt"
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("event_type").agg(
+            F.sum(F.col("value").cast("decimal(30,4)")).alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        try:
+            current = s.read.parquet(mv_dir)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("sum_value").alias("sum_value"),
+                    F.sum("n_events").alias("n_events"),
+                )
+            )
+        except Exception:  # first batch: no view yet
+            merged = delta
+        # read-modify-write swap: can't overwrite the path being read
+        merged.write.mode("overwrite").parquet(f"{work}/next")
+        shutil.rmtree(mv_dir, ignore_errors=True)
+        shutil.move(f"{work}/next", mv_dir)
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(mv_dir).select(
+        "event_type",
+        F.col("sum_value").cast("decimal(30,4)").cast("double").alias("sum_value"),
+        "n_events",
+    )
+
+
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Port of the reference's 60 s poll loop (app.py:37).
 
@@ -357,6 +417,7 @@ QUERIES = {
     "stream_sliding_watermark": stream_sliding_watermark,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
+    "stream_foreachbatch_mv": stream_foreachbatch_mv,
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
     "stream_static_join": stream_static_join,
@@ -374,6 +435,13 @@ if TWS_AVAILABLE:
 # final snapshot — which must equal the batch answer (integer counts +
 # max timestamp are hash-safe).
 ORACLE: dict[str, str] = {
+    "stream_foreachbatch_mv": """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
     "stream_poll_tick": """
         SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
         FROM events

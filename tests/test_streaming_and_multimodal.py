@@ -248,3 +248,37 @@ def test_incremental_etl_resumes_from_checkpoint(spark, sf_small, tmp_path):
     # exactly-once: each event_id appears exactly twice (once per copy)
     dup = out.groupBy("event_id").count().filter("count != 2").count()
     assert dup == 0
+
+
+def test_foreachbatch_mv_merges_across_micro_batches(
+    spark, sf_small, tmp_path_factory
+):
+    """2 event files -> 2 micro-batches: the foreachBatch merge must
+    produce a view equal to the batch aggregate over ALL events —
+    the MV-maintenance invariant (merge is associative, so the split
+    into batches cannot change the final view)."""
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("fbmv")
+    table = pq.read_table(f"{sf_small}/events.parquet")
+    n = table.num_rows
+    pq.write_table(table.slice(0, n // 2), str(tmp / "events0.parquet"))
+    pq.write_table(table.slice(n // 2), str(tmp / "events1.parquet"))
+
+    got = {
+        r.event_type: (round(r.sum_value, 4), r.n_events)
+        for r in stateful.stream_foreachbatch_mv(spark, str(tmp)).collect()
+    }
+    want = {
+        r.event_type: (round(r.s, 4), r.n)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
