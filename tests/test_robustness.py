@@ -1,0 +1,162 @@
+"""Hardening: empty-input degradation and SQL-surface parity.
+
+Empty inputs are the first thing a production pipeline meets (an empty
+partition, a quiet hour, a new tenant): operators must return empty
+results, not raise. The SQL-parity tests prove the engine's second
+query surface — ``spark.sql`` over the registered views — produces the
+same answers as the DataFrame API (both compile to the same Catalyst
+plans; a reference user can bring plain SQL).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import (
+    aggregates,
+    behavioral,
+    dedup,
+    joins,
+    similarity,
+    sketches,
+    text,
+    windows,
+)
+from real_time_big_data_architect_spark.streaming import time_windows
+from real_time_big_data_architect_spark.tables import (
+    TABLE_NAMES,
+    load_table,
+    register_views,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    """A fixture dir with every table present but 0 rows (schema kept)."""
+    tmp = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLE_NAMES:
+        t = pq.read_table(os.path.join(SF_SMALL, f"{name}.parquet"))
+        pq.write_table(t.slice(0, 0), str(tmp / f"{name}.parquet"))
+    return str(tmp)
+
+
+EMPTY_SAFE_QUERIES = [
+    aggregates.group_agg,
+    aggregates.agg_skew_twophase,
+    joins.join_star,
+    joins.asof_join,
+    windows.window_rank,
+    windows.topk_per_group,
+    dedup.dedup_exact,
+    dedup.dedup_minhash_lsh,
+    similarity.cosine_topk,
+    text.text_wordcount,
+    time_windows.tumbling_window_agg,
+    behavioral.sessionize,
+    sketches.cms_heavy_hitters,
+    sketches.mv_incremental_refresh,
+]
+
+
+@pytest.mark.parametrize(
+    "fn", EMPTY_SAFE_QUERIES, ids=lambda f: f.__name__
+)
+def test_operator_returns_empty_on_empty_input(spark, empty_sf, fn):
+    assert fn(spark, empty_sf).count() == 0
+
+
+def test_table_checksum_of_empty_table_is_defined(spark, empty_sf):
+    r = sketches.table_checksum(spark, empty_sf).first()
+    assert r.n_rows == 0 and r.content_checksum is None
+
+
+def _assert_same(df_api, df_sql):
+    cols = sorted(df_api.columns)
+    assert cols == sorted(df_sql.columns)
+    a = sorted(map(tuple, df_api.select(*cols).collect()))
+    b = sorted(map(tuple, df_sql.select(*cols).collect()))
+    assert a == b
+
+
+def test_sql_surface_group_agg(spark):
+    register_views(spark, SF_SMALL)
+    _assert_same(
+        aggregates.group_agg(spark, SF_SMALL),
+        spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                       / COUNT(l_extendedprice) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE)
+                       / COUNT(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ),
+    )
+
+
+def test_sql_surface_window_rank(spark):
+    register_views(spark, SF_SMALL)
+    _assert_same(
+        windows.window_rank(spark, SF_SMALL),
+        spark.sql(
+            """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER w AS rn,
+                   RANK() OVER w AS rnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+            """
+        ),
+    )
+
+
+def test_sql_surface_semi_join(spark):
+    register_views(spark, SF_SMALL)
+    _assert_same(
+        joins.join_semi(spark, SF_SMALL),
+        spark.sql(
+            """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            """
+        ),
+    )
+
+
+def test_sql_surface_tumbling_window(spark):
+    register_views(spark, SF_SMALL)
+    _assert_same(
+        time_windows.tumbling_window_agg(spark, SF_SMALL),
+        spark.sql(
+            """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                     AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            """
+        ),
+    )
