@@ -247,22 +247,34 @@ SIMHASH_MAX_HAMMING = 3
 
 
 @F.pandas_udf(ArrayType(LongType()))
-def _derive_simhash(hws: pd.Series) -> pd.Series:
-    """[simhash, band0..band3] from one word-hash array.
+def _simhash_text(texts: pd.Series) -> pd.Series:
+    """text → [simhash, band0..band3] in ONE Arrow-batched kernel.
 
-    Bit-votes as a numpy broadcast (W×64 matrix per doc), sign →
+    Per document: 64-bit word hash from two salted crc32 calls (C
+    speed, like the minhash kernel — the former JVM
+    ``transform(xxhash64)`` word-hash stage was interpreted per
+    element), then bit-votes as a numpy W×64 broadcast, sign →
     signature bits, packed into the 64-bit signature and its 4 16-bit
-    bands. Arrow-batched; the equivalent 64-aggregate hash-agg spent
-    ~9 s in codegen compilation alone at sf=0.1.
+    Hamming-LSH bands. No shuffle — embarrassingly parallel at 100 TB.
     """
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     out = []
-    for h in hws:
-        arr = np.asarray(h, dtype=np.int64)
-        if arr.size == 0:
+    for t in texts:
+        words = t.split(" ")
+        if not words:
             out.append(None)
             continue
-        u = arr.view(np.uint64)
+        lo = np.fromiter(
+            (zlib.crc32(w.encode()) for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        hi = np.fromiter(
+            (zlib.crc32(w.encode() + b"\x01") for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        u = lo | (hi << np.uint64(32))
         bits = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         sig = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
@@ -276,18 +288,10 @@ def _derive_simhash(hws: pd.Series) -> pd.Series:
 def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, full 64-bit simhash, and its 4 × 16-bit band columns.
 
-    Each word hashed once, JVM-side; the bit-vote/pack runs in one
-    Arrow-vectorized pass. No shuffle — embarrassingly parallel at
-    100 TB.
+    One Arrow pass per batch (see :func:`_simhash_text`); no shuffle.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    hashed = d.select(
-        "doc_id",
-        F.transform(F.split("text", " "), lambda w: F.xxhash64(w, F.lit(7))).alias(
-            "hw"
-        ),
-    )
-    packed = hashed.select("doc_id", _derive_simhash("hw").alias("p"))
+    packed = d.select("doc_id", _simhash_text("text").alias("p"))
     return packed.select(
         "doc_id",
         F.col("p")[0].alias("simhash"),
