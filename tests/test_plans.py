@@ -191,3 +191,24 @@ def test_dedup_levenshtein_is_blocked_equi_join(spark, sf_small):
     plan = explain.formatted_plan(dedup.dedup_levenshtein(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_row_at_a_time_python_in_any_query_plan(spark, sf_small):
+    """Suite-wide guarantee: every declared batch query compiles to a
+    plan with zero BatchEvalPython (row-at-a-time Python) and the only
+    CartesianProduct is cosine_topk's labeled exact-search baseline.
+    Streaming queries are excluded (building them executes the stream);
+    their kernels are the same Arrow UDFs asserted here."""
+    from real_time_big_data_architect_spark.plans import workload
+
+    offenders, cartesians = [], []
+    for name, fn in workload.build_queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = explain.formatted_plan(fn(spark, sf_small))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if "CartesianProduct" in plan and name != "cosine_topk":
+            cartesians.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
+    assert not cartesians, f"unexpected cartesian joins in: {cartesians}"
