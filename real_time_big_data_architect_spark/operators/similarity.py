@@ -498,26 +498,42 @@ KMEANS_ITERS = 2
 
 
 def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast crossJoin + argmin window
-    (ties to the smallest cluster id) — the ivf_assign kernel with
-    arbitrary centroids."""
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "dist2",
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("centroid"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    """Nearest-centroid assignment, shuffle-free.
+
+    The K centroids (a lazy per-iteration DataFrame — no collect, the
+    loop stays one unrolled plan) aggregate into a single array row
+    that broadcast-joins onto the corpus; the argmin is then
+    ``array_min`` over struct(dist2, c_id) per row — same fold, same
+    (dist2, c_id) tie-break as a window, but with no corpus×K row
+    blowup and no vec_id shuffle. ``collect_list`` order doesn't
+    matter: min over a set is order-independent.
+    """
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("c_id", "centroid")).alias("cs")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_id").asc())
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        c["centroid"],
+                        lambda x, cc: (x.cast("double") - cc)
+                        * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist2"),
+                c["c_id"].alias("c_id"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "centroid")
+        e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("dist2", best["dist2"])
+        .withColumn("c_id", best["c_id"])
+        .drop("cs")
     )
 
 
