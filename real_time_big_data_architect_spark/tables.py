@@ -15,6 +15,7 @@ partition pruning applies on top.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -73,6 +74,29 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope the legacy nanos-as-long parquet conf to one read.
+
+    Setting it session-wide would silently change how every other
+    nanos-timestamp parquet in the session reads (ADVICE r02); the
+    save/restore keeps the TIMESTAMP(NANOS)-era events fixture readable
+    without that side effect. NOTE: the conf is only consulted at scan
+    PLANNING time, so restoring it immediately after ``spark.read``
+    returns is safe even though execution happens later.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def probe_events_schema(spark: SparkSession, path: str, glob: str = "*.parquet"):
     """Footer-probe the events parquet schema for streaming readers.
 
@@ -86,9 +110,9 @@ def probe_events_schema(spark: SparkSession, path: str, glob: str = "*.parquet")
     The caller applies ``_normalize_events_ts`` to the stream to get
     the same TimestampType ``ts`` the batch reader produces.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
-    return probe.schema
+    with _nanos_as_long(spark):
+        probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+        return probe.schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,8 +123,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Spark's vectorized reader rejects — read as long nanos under the
         # legacy conf and convert) and plain TIMESTAMP(MICROS) (reads
         # natively). Branch on the footer-inferred type so either works.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(table_path(sf_dir, name))
+        with _nanos_as_long(spark):
+            raw = spark.read.parquet(table_path(sf_dir, name))
         return _normalize_events_ts(raw)
     return spark.read.parquet(table_path(sf_dir, name))
 

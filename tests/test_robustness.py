@@ -160,3 +160,43 @@ def test_sql_surface_tumbling_window(spark):
             """
         ),
     )
+
+
+def test_nanos_timestamp_events_fixture_still_reads(spark, tmp_path_factory):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) in past
+    rounds; the scoped nanosAsLong read must keep working (and must
+    NOT leak the legacy conf into the session afterwards)."""
+    import numpy as np
+    import pyarrow as pa
+
+    tmp = tmp_path_factory.mktemp("nanos_events")
+    base = 1_700_000_000_000_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array(
+                np.arange(10) * 10**9 + base, type=pa.timestamp("ns")
+            ),
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "event_type": pa.array(["view"] * 10),
+            "value": pa.array([1.0] * 10),
+            "props": pa.array(['{"k":1}'] * 10),
+        }
+    )
+    pq.write_table(
+        t,
+        str(tmp / "events.parquet"),
+        coerce_timestamps=None,
+        version="2.6",
+        store_schema=False,
+    )
+    df = load_table(spark, str(tmp), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    rows = df.orderBy("event_id").select("ts").collect()
+    # collect() runs AFTER the scoped conf was restored: execution must
+    # not depend on the session conf
+    assert rows[0].ts.year == 2023 and len(rows) == 10
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "false"
+    )
