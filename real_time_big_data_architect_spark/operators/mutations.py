@@ -98,12 +98,108 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_sql(a: str, b: str) -> str:
+    """Z-order key: interleave the low 16 bits of two dimensions.
+
+    Plain BIGINT shifts/masks — identical tokens run in Spark SQL and
+    DuckDB, so the layout is oracle-exact. (Final spread step inlined
+    per dimension; b's bits land in the odd positions.)
+    """
+    def spread(x: str) -> str:
+        s1 = f"(({x} | ({x} << 8)) & 16711935)"
+        s2 = f"(({s1} | ({s1} << 4)) & 252645135)"
+        s3 = f"(({s2} | ({s2} << 2)) & 858993459)"
+        return f"(({s3} | ({s3} << 1)) & 1431655765)"
+
+    return f"({spread(a)} | ({spread(b)} << 1))"
+
+
+N_ZFILES = 64
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (custkey, order day) —
+    the Delta/Iceberg ZORDER write path — plus the per-file min/max
+    statistics that make it pay (NS8).
+
+    Each order's key interleaves the low 16 bits of ``o_custkey`` and
+    its epoch-day, orders land in ``N_ZFILES`` files by proportional
+    key range (integer arithmetic — a map-side assignment against one
+    broadcast scalar, NOT a global sort), and the output is the
+    data-skipping index: per-file row count and min/max of BOTH
+    dimensions. Because Z-ordering keeps both dims locally compact, a
+    reader filtering on either column prunes most files from this
+    table alone. At 100 TB the same expression feeds
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    base = o.select("o_custkey", F.expr(day).alias("order_day"))
+    # normalize both dims to dense 0..255 coordinates (integer
+    # arithmetic against one broadcast min/max row) so the interleave
+    # fills the key space whatever the raw value ranges are
+    bounds = base.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("order_day").alias("mind"),
+        F.max("order_day").alias("maxd"),
+    )
+    qc = "((o_custkey - minc) * 256) DIV (maxc - minc + 1)"
+    qd = "((order_day - mind) * 256) DIV (maxd - mind + 1)"
+    zkey = _morton_sql(f"({qc})", f"({qd})")
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "order_day",
+            F.expr(
+                f"CAST((({zkey}) * {N_ZFILES}) DIV 65536 AS INT)"
+            ).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("order_day").alias("min_day"),
+            F.max("order_day").alias("max_day"),
+        )
+    )
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
+    "zorder_layout": zorder_layout,
 }
 
+def _zorder_oracle() -> str:
+    day = "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    qc = "((o_custkey - minc) * 256) // (maxc - minc + 1)"
+    qd = "((order_day - mind) * 256) // (maxd - mind + 1)"
+    zkey = _morton_sql(f"({qc})", f"({qd})")
+    return f"""
+        WITH base AS (
+            SELECT o_custkey, {day} AS order_day FROM orders
+        ),
+        bounds AS (
+            SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+                   MIN(order_day) AS mind, MAX(order_day) AS maxd
+            FROM base
+        )
+        SELECT CAST((({zkey}) * {N_ZFILES}) // 65536 AS INT) AS file_id,
+               COUNT(*) AS n_rows,
+               MIN(o_custkey) AS min_cust,
+               MAX(o_custkey) AS max_cust,
+               MIN(order_day) AS min_day,
+               MAX(order_day) AS max_day
+        FROM base, bounds
+        GROUP BY 1
+    """
+
+
 ORACLE = {
+    "zorder_layout": _zorder_oracle(),
     "merge_upsert": """
         WITH base AS (
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -58,3 +58,21 @@ def test_scd2_versions(spark, monkeypatch):
         ("view", t[3], None),
     ]
     assert [r.version for r in rows] == [1, 2, 3]
+
+
+def test_zorder_files_are_locally_compact(spark, sf_small):
+    """The point of Z-ordering: each file's min/max span on EITHER
+    dimension is a small fraction of the global range, so single-column
+    filters prune most files from the skipping stats alone."""
+    from real_time_big_data_architect_spark.operators.mutations import (
+        zorder_layout,
+    )
+
+    rows = zorder_layout(spark, sf_small).collect()
+    assert len(rows) > 16  # the interleave fills the file space
+    gc = max(r.max_cust for r in rows) - min(r.min_cust for r in rows)
+    gd = max(r.max_day for r in rows) - min(r.min_day for r in rows)
+    avg_c = sum(r.max_cust - r.min_cust for r in rows) / len(rows)
+    avg_d = sum(r.max_day - r.min_day for r in rows) / len(rows)
+    assert avg_c <= gc * 0.35, "custkey not locally compact"
+    assert avg_d <= gd * 0.35, "order_day not locally compact"
