@@ -66,3 +66,91 @@ def with_ingest_metrics(
         ],
     )
     return observed, obs
+
+
+def ingest_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the observe() telemetry path end-to-end.
+
+    The events batch is materialized ONCE (noop sink — in production,
+    the actual ingest write) and the quality counters ride along as
+    accumulator side-traffic of that same action; the returned one-row
+    DataFrame is built from the observation, not from a second scan.
+    The oracle recomputes the counters with plain SQL, proving
+    observe() counts exactly what an aggregation pass would.
+    """
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = with_ingest_metrics(ev, ["value", "props"])
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_value"], m["null_props"])],
+        "n_rows long, null_value long, null_props long",
+    )
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: small-file compaction preserves content exactly.
+
+    Fragments the events table into 16 small files (a streaming-ingest
+    simulation), compacts them to target-sized files, and emits the
+    compacted copy's row count + order-insensitive digest-sum checksum.
+    The oracle computes the same over the ORIGINAL table — equality
+    proves the rewrite moved bytes, not data. This is the verification
+    step every production compaction job should ship with.
+    """
+    import tempfile
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="compact_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(f"{work}/frag")
+    compact_parquet(spark, f"{work}/frag", f"{work}/compact")
+    out = spark.read.parquet(f"{work}/compact")
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(digest).alias("content_checksum"),
+    )
+
+
+QUERIES = {
+    "ingest_observe_metrics": ingest_observe_metrics,
+    "compaction_roundtrip": compaction_roundtrip,
+}
+
+ORACLE = {
+    "ingest_observe_metrics": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_value,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_props
+        FROM events
+    """,
+    "compaction_roundtrip": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(('0x' || substr(md5(
+                     CAST(event_id AS VARCHAR) || '|' ||
+                     CAST(user_id AS VARCHAR) || '|' ||
+                     event_type), 1, 8)) AS BIGINT)) AS content_checksum
+        FROM events
+    """,
+}
