@@ -38,6 +38,8 @@ HEADLINE = [
     "asof_join",
     "pack_sequences",
     "pii_scrub",
+    "cms_heavy_hitters",
+    "zorder_layout",
 ]
 
 
