@@ -275,19 +275,6 @@ def _centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroid_dist2(emb: str = "embedding"):
-    """Squared-L2 distance ``emb``↔centroid as a portable left fold."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(emb),
-            F.col("centroid"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
     """Centroids as driver-held MODEL PARAMETERS: [(label, [f64...])].
 
@@ -316,8 +303,8 @@ _CENTROID_CACHE: dict = {}
 def _cell_structs_sql(cents: list, emb: str = "embedding") -> str:
     """SQL text: array of struct(dist2, c_label), one per centroid.
 
-    The (x-c)² left fold is token-identical to :func:`_centroid_dist2`
-    (and to the DuckDB oracles' ``list_reduce`` replay), and centroid
+    The (x-c)² left fold is token-identical to the DuckDB oracles'
+    ``list_reduce`` replay, and centroid
     doubles round-trip exactly through repr → CAST(… AS DOUBLE), so
     the literal-based distances are bit-equal to the joined-table ones.
     One parsed string keeps driver-side plan build ~free.
