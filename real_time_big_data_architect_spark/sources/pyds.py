@@ -29,6 +29,8 @@ reference's stateless latest-snapshot-wins semantics, SURVEY §3.2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -126,3 +128,47 @@ class HttpPollDataSource(DataSource):
 def register_http_poll(spark) -> None:
     """Make ``format("http_poll")`` resolvable in this session."""
     spark.dataSource.register(HttpPollDataSource)
+
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_USGS_FIXTURE = f"{_REPO_ROOT}/tests/payloads/usgs_quakes.json"
+
+
+def http_poll_usgs_snapshot(spark, sf_dir: str):  # noqa: ARG001
+    """The reference's full S1→N5 path as one oracle-checked query:
+    http_poll datasource (offline fixture payload) → declarative
+    normalize. The oracle parses the SAME JSON file with DuckDB's
+    independent reader — two engines, two JSON parsers, one answer.
+    ``sf_dir`` is unused: the input is the captured payload, the
+    contract the reference actually consumes."""
+    from real_time_big_data_architect_spark.sources.normalize import (
+        normalize_usgs_quakes,
+    )
+
+    register_http_poll(spark)
+    raw = (
+        spark.read.format("http_poll")
+        .option("source", "usgs_quakes")
+        .option("payload_path", _USGS_FIXTURE)
+        .load()
+    )
+    return normalize_usgs_quakes(raw.select("payload"))
+
+
+QUERIES = {
+    "http_poll_usgs_snapshot": http_poll_usgs_snapshot,
+}
+
+ORACLE = {
+    "http_poll_usgs_snapshot": f"""
+        SELECT strftime(make_timestamp(f.properties.time * 1000),
+                        '%Y-%m-%d %H:%M:%S') AS time,
+               f.properties.mag AS mag,
+               f.properties.place AS place,
+               f.properties.type AS type
+        FROM (SELECT unnest(features) AS f
+              FROM read_json('{_USGS_FIXTURE}'))
+    """,
+}
