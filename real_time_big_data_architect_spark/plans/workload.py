@@ -33,7 +33,7 @@ from real_time_big_data_architect_spark.operators import (
     udfs,
     windows,
 )
-from real_time_big_data_architect_spark.sources import lake, pyds
+from real_time_big_data_architect_spark.sources import http_poll, lake
 from real_time_big_data_architect_spark.streaming import stateful, time_windows
 
 # Ordered cheapest-and-most-certifiable-first: oracle-able single-scan /
@@ -61,7 +61,7 @@ _MODULES = (
     udfs,
     multimodal,
     lake,
-    pyds,
+    http_poll,
     time_windows,
     dedup,
     similarity,

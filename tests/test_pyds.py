@@ -7,7 +7,9 @@ import os
 import time
 
 from real_time_big_data_architect_spark.sources import normalize
-from real_time_big_data_architect_spark.sources.pyds import register_http_poll
+from real_time_big_data_architect_spark.sources.http_poll import (
+    register_http_poll,
+)
 
 PAYLOADS = os.path.join(os.path.dirname(__file__), "payloads")
 
@@ -25,7 +27,7 @@ def _read(spark, source):
 def test_batch_read_returns_raw_payload(spark):
     rows = _read(spark, "usgs_quakes").collect()
     assert len(rows) == 1
-    assert rows[0].source == "usgs_quakes"
+    assert rows[0].error is None
     assert '"features"' in rows[0].payload
 
 
@@ -38,16 +40,16 @@ def test_normalize_stacks_on_datasource(spark):
     assert {"mag", "place"} <= set(out[0].asDict())
 
 
-def test_missing_payload_file_yields_null_not_error(spark):
+def test_missing_payload_file_degrades_to_error_row(spark):
     register_http_poll(spark)
     rows = (
         spark.read.format("http_poll")
-        .option("source", "usgs_quakes")
         .option("payload_path", "/nonexistent/x.json")
         .load()
         .collect()
     )
-    assert len(rows) == 1 and rows[0].payload is None
+    assert len(rows) == 1
+    assert rows[0].payload is None and rows[0].error
 
 
 def test_streaming_ticks_produce_one_row_per_batch(spark, tmp_path):
@@ -56,7 +58,6 @@ def test_streaming_ticks_produce_one_row_per_batch(spark, tmp_path):
     register_http_poll(spark)
     stream = (
         spark.readStream.format("http_poll")
-        .option("source", "iss_now")
         .option("payload_path", os.path.join(PAYLOADS, "iss_now.json"))
         .load()
     )
@@ -77,7 +78,9 @@ def test_streaming_ticks_produce_one_row_per_batch(spark, tmp_path):
                 break
             time.sleep(0.5)
         assert n >= 2, f"only {n} ticks arrived"
-        rows = spark.sql("SELECT * FROM poll_ticks LIMIT 1").collect()
-        assert rows[0].source == "iss_now" and '"iss_position"' in rows[0].payload
+        rows = spark.sql(
+            "SELECT * FROM poll_ticks WHERE payload IS NOT NULL LIMIT 1"
+        ).collect()
+        assert '"iss_position"' in rows[0].payload
     finally:
         q.stop()
