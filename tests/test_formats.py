@@ -84,3 +84,44 @@ def test_with_ingest_metrics_counts_without_extra_scan(spark, sf_small):
     assert got["n_rows"] == ev.count()
     assert got["null_value"] == ev.filter(F.col("value").isNull()).count()
     assert got["null_props"] == ev.filter(F.col("props").isNull()).count()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path_factory):
+    """Lake reality: writers add columns over time. mergeSchema reads
+    the union schema; rows from old files surface nulls for the new
+    column - no rewrite, no failure."""
+    tmp = tmp_path_factory.mktemp("evolve")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(str(tmp / "t"), mode="append")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(str(tmp / "t"), mode="append")
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(str(tmp / "t"))
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_jsonl_permissive_quarantines_corrupt_records(spark, tmp_path_factory):
+    """PERMISSIVE mode: bad lines land in _corrupt_record instead of
+    failing the batch - the quarantine-and-continue ingest posture
+    (FAILFAST, tested above, is the strict twin)."""
+    tmp = tmp_path_factory.mktemp("permissive")
+    p = tmp / "data.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{not json at all}\n{"id": 3, "v": "ok"}\n')
+    df = (
+        spark.read.schema("id long, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    # collect once: Spark disallows queries that prune down to ONLY the
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert "{not json" in bad[0]._corrupt_record
