@@ -60,8 +60,8 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Steady-state timing: two full passes over the suite, keep each
-    # query's faster sample. A single sample is hostage to GC pauses and
+    # Steady-state timing: three full passes over the suite, keep each
+    # query's fastest sample. A single sample is hostage to GC pauses and
     # shuffle-cleanup stalls that have nothing to do with the plan being
     # measured, and back-to-back samples of one query can land inside
     # the same transient — separating the samples by a whole pass makes
@@ -69,7 +69,7 @@ def main() -> None:
     # session pays. Each sample includes plan construction, exactly as a
     # client would pay it.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)

@@ -140,3 +140,37 @@ def test_dedup_clusters_matches_union_find(spark, sf_small):
         sizes[r.component_id] = sizes.get(r.component_id, 0) + 1
     assert all(r.cluster_size == sizes[r.component_id] for r in got)
     assert sum(1 for r in got if r.is_survivor) == len(sizes)
+
+
+def test_minhash_and_simhash_handle_unicode_text(spark, tmp_path_factory):
+    """Training corpora are multilingual: signatures must be stable and
+    dedup must still pair identical non-ASCII documents (crc32 runs on
+    UTF-8 bytes, so CJK/emoji text is first-class)."""
+    tmp = tmp_path_factory.mktemp("unicode_corpus")
+    text = "数据 处理 引擎 🚀 très bien " * 20
+    other = "другой текст совсем о другом deležu " * 20
+    docs = [
+        (0, text, "zh", "web", len(text)),
+        (1, text, "zh", "web", len(text)),
+        (2, other, "ru", "web", len(other)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "documents.parquet")
+    )
+    sigs = {
+        r.doc_id: list(r.minhash)
+        for r in dedup.minhash_signatures(spark, str(tmp)).collect()
+    }
+    assert sigs[0] == sigs[1] != sigs[2]
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, str(tmp)).collect()
+    }
+    assert (0, 1) in pairs and not any(2 in p for p in pairs)
+    sh = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(spark, str(tmp)).collect()
+    }
+    assert sh[0] == sh[1] != sh[2]
