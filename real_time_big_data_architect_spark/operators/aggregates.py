@@ -308,9 +308,46 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: most frequent o_orderpriority per
+    order status, ties broken by the value itself (NS2). Built from
+    count + argmax via ``max_by`` on a (count, value) struct — struct
+    ordering gives the exact tie-break the oracle replays, where a bare
+    ``mode()`` is tie-nondeterministic in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    return counted.groupBy("o_orderstatus").agg(
+        F.max(F.struct(F.col("n"), F.col("o_orderpriority"))).alias("m")
+    ).select(
+        "o_orderstatus",
+        F.col("m.o_orderpriority").alias("mode_priority"),
+        F.col("m.n").alias("n_occurrences"),
+    )
+
+
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg: region names per... nations per region,
+    comma-joined in sorted order (NS2). ``collect_list`` alone is
+    partition-order-nondeterministic; ``array_sort`` before the join
+    makes it exact — the only safe way to string-agg distributed data.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list("n_name"))
+        ).alias("nations_csv"),
+        F.count("*").alias("n_nations"),
+    )
+
+
 QUERIES = {
     "group_agg": group_agg,
     "agg_skew_twophase": agg_skew_twophase,
+    "mode_agg": mode_agg,
+    "string_agg_sorted": string_agg_sorted,
     "distinct_count": distinct_count,
     "approx_distinct": approx_distinct,
     "rollup_agg": rollup_agg,
@@ -329,6 +366,23 @@ QUERIES = {
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "mode_agg": """
+        SELECT o_orderstatus,
+               (MAX(struct_pack(n := n, v := o_orderpriority))).v
+                 AS mode_priority,
+               (MAX(struct_pack(n := n, v := o_orderpriority))).n
+                 AS n_occurrences
+        FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+        GROUP BY o_orderstatus
+    """,
+    "string_agg_sorted": """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+               COUNT(*) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
     "agg_skew_twophase": """
         SELECT l_returnflag,
                CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
