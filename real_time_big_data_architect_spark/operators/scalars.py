@@ -40,6 +40,38 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: day offsets, day diffs, month boundary,
+    quarter/week extraction (north-star date functions). Stays on the
+    integer-day / calendar-field subset where Spark and DuckDB agree
+    exactly (fractional months_between is engine-specific and excluded
+    on purpose).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            d.alias("order_date"),
+            F.date_add(d, 90).alias("due_date"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias(
+                "days_to_eoy98"
+            ),
+            F.last_day(d).alias("month_end"),
+            F.quarter(d).alias("q"),
+            F.weekofyear(d).alias("iso_week"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("order_date").alias("first_date"),
+            F.max("due_date").alias("last_due"),
+            F.max("month_end").alias("last_month_end"),
+            F.min("days_to_eoy98").alias("min_days_to_eoy98"),
+            F.max("iso_week").alias("max_iso_week"),
+        )
+    )
+
+
 def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat carrying a scalar into each row (N9: f"{base}/{k}", app.py:172)."""
     ev = load_table(spark, sf_dir, "events")
@@ -158,6 +190,7 @@ def regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ts_format": ts_format,
     "date_parts": date_parts,
+    "date_arith": date_arith,
     "string_concat": string_concat,
     "string_fns": string_fns,
     "number_format": number_format,
@@ -172,6 +205,27 @@ ORACLE = {
     "ts_format": """
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         FROM events
+    """,
+    "date_arith": """
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   CAST(o_orderdate AS DATE) + 90 AS due_date,
+                   datediff('day', CAST(o_orderdate AS DATE),
+                            DATE '1998-12-31') AS days_to_eoy98,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   quarter(CAST(o_orderdate AS DATE)) AS q,
+                   weekofyear(CAST(o_orderdate AS DATE)) AS iso_week
+            FROM orders
+        )
+        SELECT CAST(q AS INT) AS q,
+               COUNT(*) AS n_orders,
+               MIN(order_date) AS first_date,
+               MAX(due_date) AS last_due,
+               MAX(month_end) AS last_month_end,
+               CAST(MIN(days_to_eoy98) AS INT) AS min_days_to_eoy98,
+               CAST(MAX(iso_week) AS INT) AS max_iso_week
+        FROM d
+        GROUP BY q
     """,
     "date_parts": """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
