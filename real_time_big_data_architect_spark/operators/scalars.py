@@ -72,6 +72,25 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def safe_cast_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts (NS: ingest hygiene): TRY_CAST turns
+    unparseable values into nulls instead of failing the batch — the
+    ingest twin of the PERMISSIVE JSON mode. Counts parseable vs not
+    per event_type so the whole surface is one oracle-exact row set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k_int = F.expr(
+        "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    type_int = F.expr("try_cast(event_type AS BIGINT)")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(k_int).alias("n_k_parsed"),
+        F.count(type_int).alias("n_type_parsed"),
+        F.max(k_int).alias("max_k"),
+    )
+
+
 def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat carrying a scalar into each row (N9: f"{base}/{k}", app.py:172)."""
     ev = load_table(spark, sf_dir, "events")
@@ -191,6 +210,7 @@ QUERIES = {
     "ts_format": ts_format,
     "date_parts": date_parts,
     "date_arith": date_arith,
+    "safe_cast_fns": safe_cast_fns,
     "string_concat": string_concat,
     "string_fns": string_fns,
     "number_format": number_format,
@@ -205,6 +225,15 @@ ORACLE = {
     "ts_format": """
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         FROM events
+    """,
+    "safe_cast_fns": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(TRY_CAST(props->>'$.k' AS BIGINT)) AS n_k_parsed,
+               COUNT(TRY_CAST(event_type AS BIGINT)) AS n_type_parsed,
+               MAX(TRY_CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
     """,
     "date_arith": """
         WITH d AS (
