@@ -328,7 +328,7 @@ ORACLE = {
                  ), 0) // 2048 AS seq_id
           FROM toks
         )
-        SELECT doc_id, lang, tok_est, seq_id,
+        SELECT doc_id, lang, tok_est, CAST(seq_id AS BIGINT) AS seq_id,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY lang, seq_id ORDER BY doc_id
                ) AS INT) AS seq_pos

@@ -230,12 +230,12 @@ ORACLE = {
     """,
     "table_checksum": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CAST(('0x' || substr(md5(
+               CAST(SUM(CAST(('0x' || substr(md5(
                      CAST(o_orderkey AS VARCHAR) || '|' ||
                      CAST(o_custkey AS VARCHAR) || '|' ||
                      o_orderstatus || '|' ||
                      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 8)) AS BIGINT))
-                 AS content_checksum
+                 AS BIGINT) AS content_checksum
         FROM orders
     """,
     "skew_stats": """

@@ -147,10 +147,11 @@ ORACLE = {
     """,
     "compaction_roundtrip": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CAST(('0x' || substr(md5(
+               CAST(SUM(CAST(('0x' || substr(md5(
                      CAST(event_id AS VARCHAR) || '|' ||
                      CAST(user_id AS VARCHAR) || '|' ||
-                     event_type), 1, 8)) AS BIGINT)) AS content_checksum
+                     event_type), 1, 8)) AS BIGINT)) AS BIGINT)
+                 AS content_checksum
         FROM events
     """,
 }

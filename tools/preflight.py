@@ -6,10 +6,22 @@ through DuckDB over the same parquet fixtures. Columns are sorted by
 name before hashing (the driver contract), so aliases must agree between
 the Spark query and the oracle SQL.
 
+Both result sets travel through pandas, matching the driver: the Spark
+side via ``df.toPandas()`` (a nullable BIGINT with nulls becomes
+float64), the oracle side via ``con.execute(sql).df()`` (DuckDB types a
+bare ``SUM()`` over integers as HUGEINT and pandas coerces HUGEINT and
+DECIMAL to float64). An oracle whose output column is not explicitly
+CAST therefore hashes as ``2879.0`` against Spark's ``2879`` and fails
+here exactly as it fails in the driver (observed on tpch_q12 in r3).
+Dates are normalized to midnight datetimes on both sides (DuckDB DATE
+arrives as datetime64 while Spark DateType arrives as datetime.date —
+the driver treats these as equal, r3 ``date_arith`` green).
+
 Usage::
 
-    python tools/preflight.py              # all queries
-    python tools/preflight.py tpch_q5 ...  # a subset
+    python tools/preflight.py                       # all queries
+    python tools/preflight.py tpch_q5 ...           # a subset
+    python tools/preflight.py --json PREFLIGHT.json # also write artifact
 
 Exit code 0 iff every oracle-backed query hash-matches and every
 rows-only query runs clean.
@@ -58,8 +70,63 @@ def _norm(v) -> str:
     return str(v)
 
 
+def _from_pandas(v):
+    """Map a pandas/numpy cell to the plain-Python value the hash sees.
+
+    Deliberately does NOT undo dtype coercion: a HUGEINT column arrives
+    as float64 and stays float, so the hash diverges from Spark's int —
+    the same divergence the driver reports. Dates are widened to
+    midnight datetimes so DATE-typed columns compare equal across the
+    two pandas representations (datetime64 vs datetime.date objects).
+    """
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_from_pandas(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _from_pandas(x) for k, x in v.items()}
+    if v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime.combine(v, datetime.time())
+    return v
+
+
+def _rows_from_pandas(df):
+    return [
+        tuple(_from_pandas(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
+def fetch_oracle_pandas(con, sql):
+    """Driver-equivalent oracle fetch: DuckDB -> pandas -> rows."""
+    odf = con.execute(sql).df()
+    return list(odf.columns), _rows_from_pandas(odf)
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    report = {}
     spark = get_spark("preflight")
     con = duckdb.connect()
     for t in TABLES:
@@ -78,29 +145,41 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = _rows_from_pandas(sdf.toPandas())
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
+            report[name] = {"err": f"spark error: {str(exc)[:300]}"}
             print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
             continue
         if name not in oracles:
+            report[name] = {"rows_only": True, "spark_rows": len(srows),
+                            "err": None}
             print(f"ok    {name}: rows-only, {len(srows)} rows "
                   f"({time.perf_counter() - t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = fetch_oracle_pandas(con, oracles[name])
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"oracle error: {exc}"))
+            report[name] = {"err": f"oracle error: {str(exc)[:300]}"}
             print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
             continue
+        rows_match = len(srows) == len(orows)
+        schema_match = (len(scols) == len(ocols)
+                        and sorted(scols) == sorted(ocols))
+        hash_match = (rows_match and schema_match
+                      and value_hash(srows, scols) == value_hash(orows, ocols))
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         problems = []
-        if len(srows) != len(orows):
+        if not rows_match:
             problems.append(f"rows {len(srows)} != {len(orows)}")
-        if len(scols) != len(ocols) or sorted(scols) != sorted(ocols):
+        if not schema_match:
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
-        elif value_hash(srows, scols) != value_hash(orows, ocols):
+        elif rows_match and not hash_match:
             problems.append("hash mismatch")
         if problems:
             failures.append((name, "; ".join(problems)))
@@ -113,6 +192,12 @@ def main() -> int:
           f"{len(failures)} failures")
     for name, why in failures:
         print(f"  {name}: {why}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(report)} queries)")
     spark.stop()
     return 1 if failures else 0
 
