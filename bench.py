@@ -69,7 +69,9 @@ def main() -> None:
     # session pays. Each sample includes plan construction, exactly as a
     # client would pay it.
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _pass in range(3):
+        pass_total = 0.0
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -79,22 +81,65 @@ def main() -> None:
             # expression entirely)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            pass_total += dt
             timings[name] = round(min(timings.get(name, dt), dt), 4)
+        pass_totals.append(round(pass_total, 4))
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # headline value is the SUM OF PER-QUERY MINIMA across the 3
+        # interleaved passes — a composite no single pass achieved;
+        # pass_totals are the honest single-pass wall clocks for
+        # like-for-like comparison against single-pass baselines
+        "timing": "sum_of_min_of_3_interleaved_passes",
+        "pass_totals": pass_totals,
+    }
+    # self-report per-query regressions vs the latest recorded round
+    prev = _latest_recorded(sf_dir)
+    if prev:
+        deltas = {
+            n: round(timings[n] / prev[n], 2)
+            for n in timings
+            if n in prev and prev[n] > 0
+        }
+        regressed = {n: r for n, r in deltas.items() if r > 1.2}
+        out["vs_prev_round"] = deltas
+        if regressed:
+            out["regressed_over_1.2x"] = regressed
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_recorded(sf_dir: str) -> dict[str, float] | None:
+    """Per-query timings from the newest BENCH_r*.json at the same SF."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            parsed = rec.get("parsed") or rec
+            if rec.get("rc", 0) != 0 or "queries" not in parsed:
+                continue
+            if str(parsed.get("sf")) not in sf_dir:
+                continue
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), parsed["queries"])
+        except (OSError, ValueError):
+            continue
+    return best[1] if best else None
 
 
 if __name__ == "__main__":

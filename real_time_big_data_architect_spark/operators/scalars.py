@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import fan_out, load_table
+from real_time_big_data_architect_spark.tables import load_table
 
 
 def ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,11 +165,13 @@ def math_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation (the app.py:84-189 analog).
 
-    fan_out spreads the per-row JSON parse across cores — the fixture
-    parquet is one row group, so without it the whole get_json_object
-    pass runs as a single task (no-op on a real multi-split lake).
+    No fan_out: measured at sf0.1, the round-robin exchange of 600 k
+    props strings costs more than the single-split get_json_object pass
+    it parallelizes (0.40 s fanned vs 0.34 s direct, min-of-6 warm). On
+    a real lake input splits provide the parallelism and the parse stays
+    map-side with zero extra shuffle.
     """
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
             "event_type",
