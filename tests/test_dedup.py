@@ -174,3 +174,84 @@ def test_minhash_and_simhash_handle_unicode_text(spark, tmp_path_factory):
         for r in dedup.simhash_signatures(spark, str(tmp)).collect()
     }
     assert sh[0] == sh[1] != sh[2]
+
+
+def test_hot_bucket_guard_bounds_candidates(spark, tmp_path_factory):
+    """A degenerate bucket (1 k identical docs — mass boilerplate) must
+    NOT produce the quadratic ~500 k candidate pairs of a naive bucket
+    self-join: the guard chains each doc to its next
+    LSH_CHAIN_NEIGHBORS, so candidates stay O(n·k) and the whole run of
+    identical docs remains one transitively-connected component."""
+    tmp = tmp_path_factory.mktemp("hot_bucket")
+    boiler = "subscribe to our newsletter for the latest updates " * 10
+    n_hot = 1000
+    docs = [(i, boiler, "en", "web", len(boiler)) for i in range(n_hot)]
+    # a normal near-dup pair outside the hot bucket must still be found
+    # through the exact small-bucket path
+    normal = BASE * 4
+    docs.append((5000, normal, "en", "docs", len(normal)))
+    docs.append((5001, normal.replace("lazy", "sleepy", 1), "en", "docs",
+                 len(normal)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(4).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, str(tmp)).collect()
+    ]
+    # bounded: n·k chained + the one normal pair, nowhere near n²/2
+    assert len(pairs) <= n_hot * dedup.LSH_CHAIN_NEIGHBORS + 1
+    assert (5000, 5001) in pairs
+    # the hot run stays fully connected: union-find over emitted pairs
+    # must place all 1 k identical docs in one component
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a < n_hot and b < n_hot:
+            parent[find(max(find(a), find(b)))] = min(find(a), find(b))
+    roots = {find(i) for i in range(n_hot)}
+    assert roots == {0}
+
+
+def test_blank_docs_never_pair(spark, tmp_path_factory):
+    """Empty/whitespace-only/null texts get null signatures and emit no
+    near-dup pairs (two blank docs are not 'near-duplicates'); non-blank
+    docs still pair normally alongside them."""
+    tmp = tmp_path_factory.mktemp("blank_docs")
+    normal = BASE * 4
+    docs = [
+        (0, "", "en", "web", 0),
+        (1, "   ", "en", "web", 3),
+        (2, None, "en", "web", 0),
+        (3, "", "en", "web", 0),
+        (4, normal, "en", "docs", len(normal)),
+        (5, normal, "en", "docs", len(normal)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    sigs = {
+        r.doc_id: r.minhash
+        for r in dedup.minhash_signatures(spark, str(tmp)).collect()
+    }
+    assert sigs[0] is None and sigs[1] is None and sigs[2] is None
+    assert sigs[4] is not None
+    sh = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(spark, str(tmp)).collect()
+    }
+    assert sh[0] is None and sh[2] is None and sh[4] is not None
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, str(tmp)).collect()
+    }
+    assert pairs == {(4, 5)}
