@@ -17,6 +17,8 @@ Absent from the reference; first-class here for training-data pipelines:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -285,8 +287,20 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
     plan as literals so cell assignment is a shuffle-free map
     expression.
     """
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkSession lifetime — unlike
+    # id(spark), it cannot be recycled by the allocator after a stopped
+    # session is garbage-collected and serve stale centroids to a new
+    # session. Bounded: one entry per (app, corpus dir); entries of
+    # dead sessions are evicted below.
+    app_id = spark.sparkContext.applicationId
+    try:  # regenerated fixture dir → new mtime → cache miss
+        src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        src_mtime = 0.0
+    key = (app_id, sf_dir, src_mtime)
     if key not in _CENTROID_CACHE:
+        for stale in [k for k in _CENTROID_CACHE if k[0] != app_id]:
+            del _CENTROID_CACHE[stale]
         rows = _centroid_table(spark, sf_dir).collect()
         _CENTROID_CACHE[key] = sorted(
             (r.c_label, [float(x) for x in r.centroid]) for r in rows

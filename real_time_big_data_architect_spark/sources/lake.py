@@ -100,35 +100,45 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the rewrite moved bytes, not data. This is the verification
     step every production compaction job should ship with.
     """
+    import shutil
     import tempfile
 
     from real_time_big_data_architect_spark.tables import load_table
 
     work = tempfile.mkdtemp(prefix="compact_")
-    ev = load_table(spark, sf_dir, "events")
-    ev.repartition(16).write.mode("overwrite").parquet(f"{work}/frag")
-    compact_parquet(spark, f"{work}/frag", f"{work}/compact")
-    out = spark.read.parquet(f"{work}/compact")
-    digest = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("event_id").cast("string"),
-                    F.col("user_id").cast("string"),
-                    F.col("event_type"),
-                )
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(16).write.mode("overwrite").parquet(f"{work}/frag")
+        compact_parquet(spark, f"{work}/frag", f"{work}/compact")
+        out = spark.read.parquet(f"{work}/compact")
+        digest = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                    )
+                ),
+                1,
+                8,
             ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return out.agg(
-        F.count("*").alias("n_rows"),
-        F.sum(digest).alias("content_checksum"),
-    )
+            16,
+            10,
+        ).cast("bigint")
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(digest).alias("content_checksum"),
+        )
+        # materialize the 1-row summary so the scratch dir (a full
+        # fragmented + compacted copy of events) can be deleted now
+        # instead of leaking per invocation
+        return spark.createDataFrame(
+            result.collect(), "n_rows bigint, content_checksum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 QUERIES = {

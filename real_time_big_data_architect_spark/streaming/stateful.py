@@ -246,24 +246,91 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     input was split into micro-batches — after the availableNow drain
     it must equal the batch aggregate, which is the oracle. At 100 TB
     the same ``foreachBatch`` body is a MERGE INTO against a lake
-    table; the per-batch cost tracks the DELTA, and the swap is the
-    table format's atomic commit.
+    table; the per-batch cost tracks the DELTA.
+
+    Commit protocol (a miniature of what Delta/Iceberg give you for
+    free): each batch writes a NEW versioned directory and then
+    atomically ``os.replace``s a pointer file naming it — a crash
+    between write and commit leaves the previous version intact (the
+    old rmtree+move swap had a window that lost the view). The pointer
+    records the batch_id, so a replayed micro-batch (foreachBatch is
+    at-least-once) is detected and skipped instead of double-counted.
+    First-batch detection is the pointer's absence — a transient read
+    failure of an EXISTING view now propagates and fails the query
+    rather than silently resetting the aggregate.
     """
     import shutil
     import tempfile
 
     work = tempfile.mkdtemp(prefix="fb_mv_")
-    mv_dir = f"{work}/mv"
     ckpt = f"{work}/ckpt"
+    _merge = make_mv_merge(work)
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        committed = mv_committed(work)
+        schema = "event_type string, sum_value double, n_events bigint"
+        if committed is None:  # empty stream: no batch ever committed
+            return spark.createDataFrame([], schema)
+        view = spark.read.parquet(committed[1]).select(
+            "event_type",
+            F.col("sum_value")
+            .cast("decimal(30,4)")
+            .cast("double")
+            .alias("sum_value"),
+            "n_events",
+        )
+        # materialize before the work dir disappears (the view is tiny
+        # — one row per event_type)
+        return spark.createDataFrame(view.collect(), schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def mv_committed(work: str) -> tuple[int, str] | None:
+    """(batch_id, view_dir) of the last committed MV version, or None.
+
+    The pointer file is the commit point: it is only ever replaced
+    atomically (``os.replace``), so a reader sees either the previous
+    complete version or the new complete version, never a partial one.
+    """
+    try:
+        with open(f"{work}/LATEST") as fh:
+            bid_line, dir_line = fh.read().splitlines()[:2]
+        return int(bid_line), dir_line
+    except FileNotFoundError:
+        return None
+
+
+def make_mv_merge(work: str):
+    """foreachBatch body maintaining a versioned materialized view.
+
+    See :func:`stream_foreachbatch_mv` for the protocol. Factored out
+    so the replay-idempotence and crash-safety properties are unit-
+    testable without driving a streaming query.
+    """
+    import os
+    import shutil
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        committed = mv_committed(work)
+        if committed is not None and committed[0] >= batch_id:
+            return  # replayed batch: already merged, skip (idempotence)
         delta = batch_df.groupBy("event_type").agg(
             F.sum(F.col("value").cast("decimal(30,4)")).alias("sum_value"),
             F.count("*").alias("n_events"),
         )
-        try:
-            current = s.read.parquet(mv_dir)
+        if committed is None:
+            merged = delta
+        else:
+            current = s.read.parquet(committed[1])
             merged = (
                 current.unionByName(delta)
                 .groupBy("event_type")
@@ -272,26 +339,16 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_events").alias("n_events"),
                 )
             )
-        except Exception:  # first batch: no view yet
-            merged = delta
-        # read-modify-write swap: can't overwrite the path being read
-        merged.write.mode("overwrite").parquet(f"{work}/next")
-        shutil.rmtree(mv_dir, ignore_errors=True)
-        shutil.move(f"{work}/next", mv_dir)
+        out_dir = f"{work}/mv_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out_dir)
+        tmp = f"{work}/LATEST.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{out_dir}\n")
+        os.replace(tmp, f"{work}/LATEST")  # atomic commit point
+        if committed is not None:  # GC the superseded version
+            shutil.rmtree(committed[1], ignore_errors=True)
 
-    ev = _events_stream(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(mv_dir).select(
-        "event_type",
-        F.col("sum_value").cast("decimal(30,4)").cast("double").alias("sum_value"),
-        "n_events",
-    )
+    return _merge
 
 
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,3 +282,47 @@ def test_foreachbatch_mv_merges_across_micro_batches(
         .collect()
     }
     assert got == want
+
+
+def test_mv_merge_replay_and_crash_safety(spark, sf_small, tmp_path_factory):
+    """The MV commit protocol must (a) skip a replayed micro-batch
+    (foreachBatch is at-least-once — double-merging double-counts),
+    (b) survive a crash between view write and pointer commit (the
+    previous version stays readable), and (c) never treat a transient
+    read failure as 'first batch'."""
+    import os
+
+    work = str(tmp_path_factory.mktemp("mv_protocol"))
+    merge = stateful.make_mv_merge(work)
+    ev = load_table(spark, sf_small, "events").limit(100).cache()
+    ev.count()
+
+    merge(ev, 0)
+    first = stateful.mv_committed(work)
+    assert first is not None and first[0] == 0
+    view0 = spark.read.parquet(first[1]).collect()
+
+    # replayed batch 0: pointer and view must be untouched
+    merge(ev, 0)
+    assert stateful.mv_committed(work) == first
+    assert spark.read.parquet(first[1]).collect() == view0
+
+    # batch 1 merges: totals double
+    merge(ev, 1)
+    second = stateful.mv_committed(work)
+    assert second is not None and second[0] == 1
+    n0 = {r.event_type: r.n_events for r in view0}
+    n1 = {
+        r.event_type: r.n_events
+        for r in spark.read.parquet(second[1]).collect()
+    }
+    assert n1 == {k: 2 * v for k, v in n0.items()}
+    # superseded version got GC'd, committed one survives
+    assert not os.path.isdir(first[1])
+
+    # crash simulation: a batch-2 view written but NOT committed (no
+    # pointer replace) must leave batch 1 authoritative
+    spark.read.parquet(second[1]).write.mode("overwrite").parquet(
+        f"{work}/mv_v2"
+    )
+    assert stateful.mv_committed(work) == second
