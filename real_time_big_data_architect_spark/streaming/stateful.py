@@ -368,10 +368,43 @@ def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "complete")
 
 
+def _ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable for the TWS state protocol.
+
+    Spark 4's ``transformWithStateInPandas`` talks to a per-task state
+    server over a protobuf protocol, imported by BOTH the driver and
+    the Python workers. If the runtime protobuf package is absent,
+    fall back to a pure-Python protobuf vendored by a locally installed
+    google-cloud SDK (a public Apache-2.0 runtime). The fallback is
+    appended to ``sys.path`` (driver) and ``PYTHONPATH`` (inherited by
+    Python workers — this module is imported before any SparkSession
+    exists on every entry path, so the env reaches them). The SDK's
+    runtime can trail Spark's gencode by one minor version; protobuf's
+    own documented escape hatch covers that skew.
+    """
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    try:  # raises ModuleNotFoundError when even the namespace pkg is absent
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return
+    except ModuleNotFoundError:
+        pass
+    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if _os.path.isdir(_os.path.join(vendored, "google", "protobuf")):
+        _sys.path.append(vendored)
+        _os.environ["PYTHONPATH"] = (
+            _os.environ.get("PYTHONPATH", "") + _os.pathsep + vendored
+        ).lstrip(_os.pathsep)
+        _os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+
 try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
-    # Its driver worker imports google.protobuf (state-server protocol),
-    # which this container lacks — probe both so the query registers
-    # only where it can actually run.
+    # Its driver worker imports google.protobuf (state-server protocol);
+    # probe (with the vendored fallback) so the query registers only
+    # where it can actually run.
+    _ensure_protobuf()
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
@@ -413,14 +446,32 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
-    ev = _events_stream(spark, sf_dir)
-    counts = ev.groupBy("user_id").transformWithStateInPandas(
-        _UserActivityProcessor(),
-        outputStructType=_STATE_OUTPUT,
-        outputMode="Update",
-        timeMode="None",
+    # TWS state uses column families, which the default HDFS-backed
+    # store lacks — RocksDB (the production provider, bundled with
+    # Spark 4) is required. Scope the conf to this query: it binds at
+    # stream start, and is restored so other streaming queries keep
+    # the session default.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    return _run_to_memory(counts, "update")
+    try:
+        ev = _events_stream(spark, sf_dir)
+        counts = ev.groupBy("user_id").transformWithStateInPandas(
+            _UserActivityProcessor(),
+            outputStructType=_STATE_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_to_memory(counts, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
