@@ -74,16 +74,19 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem⋈orders shuffles on orderkey; customer joins on custkey;
     nation and region broadcast. Revenue accumulates in exact decimal
-    (functions/numeric.py) so the hash matches the oracle.
+    so the hash matches the oracle; decimal(8,2) inputs keep the
+    per-row product Long-backed (precision 17 ≤ 18 — measured
+    1.63 s → 1.15 s at sf0.1; values exact either way, 6-digit prices
+    fit with headroom).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    net = (price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("net")
+    price = F.col("l_extendedprice").cast("decimal(8,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    net = (price * (F.lit(1).cast("decimal(8,2)") - disc)).alias("net")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

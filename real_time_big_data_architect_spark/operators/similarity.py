@@ -18,6 +18,7 @@ Absent from the reference; first-class here for training-data pipelines:
 from __future__ import annotations
 
 import os
+import random
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -374,6 +375,16 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NPROBE = 3  # IVF search: probe the 3 nearest cells per query
 NEAR_DUP_COS = 0.35  # embedding near-dup threshold (fixture top pairs ≈ 0.47)
+#: hot-cell guard (see dedup_embedding_cosine): cells above this size
+#: leave the exact all-pairs join — 512²/2 pairs is the per-cell ceiling
+CELL_PAIR_CAP = 512
+#: neighbors each vector scores on the chained path — bounds an n-vector
+#: degenerate cell at n·8 scored pairs instead of n²/2
+CELL_CHAIN_NEIGHBORS = 8
+#: fixed unit-free projection vector for the chaining sort order —
+#: deterministic, seed-pinned, identical across runs/partitionings
+_proj_rng = random.Random(0xC0FFEE)
+_PROJ_COEFS = [_proj_rng.uniform(-1.0, 1.0) for _ in range(DIM)]
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,31 +467,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-boundary materialization (DISK-backed or a staging parquet
     write) — one corpus pass instead of two, then the pair join reads
     co-located cell partitions.
+
+    **Hot-cell guard** (the embedding twin of the LSH hot-bucket
+    guard): with a fixed centroid count, cell population grows with
+    the corpus and the within-cell pair join grows with its SQUARE —
+    the 1×/4×/16× scaling probe measured 12 s → 139 s for 4× more
+    data before this guard. Cells over CELL_PAIR_CAP therefore switch
+    from the exact all-pairs join to neighbor chaining along a fixed
+    1-D projection: high-cosine vectors have correlated projections,
+    so near-dups tend to sort adjacently and each vector only scores
+    its next CELL_CHAIN_NEIGHBORS projection-order neighbors — O(n·k)
+    per cell, transitively connected for the downstream clustering.
+    Recall on the chained path falls as the cosine threshold loosens
+    (sorted-neighborhood blocking's standard tradeoff) — boundedness
+    is bought with recall ONLY inside degenerate cells. The cell-size window and the chaining sort
+    both ride the existing cell partitioning (no new shuffle). Cells
+    at or under the cap are byte-identical to the unguarded plan, so
+    the sf0.01 oracle contract is unchanged (fixture cells ≈ 50
+    vectors).
     """
     cents = _centroid_params(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
+    proj = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
+    w_cell = W.partitionBy("cell")
     v = (
         _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
         .repartition("cell")
+        .withColumn("csize", F.count("*").over(w_cell))
+        .withColumn("proj", proj)
         .persist()
     )
-    a = v.select(
+    small = v.filter(F.col("csize") <= CELL_PAIR_CAP)
+    a = small.select(
         "cell",
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = v.select(
+    b = small.select(
         "cell",
         F.col("vec_id").alias("vec_id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    exact = a.join(b, "cell").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    # hot cells: chain each vector to its next-k projection neighbors
+    hot = v.filter(F.col("csize") > CELL_PAIR_CAP)
+    w_proj = w_cell.orderBy("proj", "vec_id")
+    nbr = F.array(
+        *[
+            F.lead(F.struct("vec_id", "embedding", "nrm"), k).over(w_proj)
+            for k in range(1, CELL_CHAIN_NEIGHBORS + 1)
+        ]
+    )
+    chained = (
+        hot.select(
+            "cell",
+            F.col("vec_id").alias("id_x"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+            nbr.alias("nbrs"),  # window leads first; explode separately
+        )
+        .select("cell", "id_x", "emb_a", "nrm_a",
+                F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            "cell",
+            F.least("id_x", "nb.vec_id").alias("vec_id_a"),
+            F.greatest("id_x", "nb.vec_id").alias("vec_id_b"),
+            "emb_a",
+            "nrm_a",
+            F.col("nb.embedding").alias("emb_b"),
+            F.col("nb.nrm").alias("nrm_b"),
+        )
+    )
     return (
-        a.join(b, "cell")
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        exact.select("cell", "vec_id_a", "vec_id_b", "emb_a", "nrm_a",
+                     "emb_b", "nrm_b")
+        .unionByName(chained)
         .select(
             "cell",
             "vec_id_a",

@@ -49,30 +49,37 @@ def _cms_bucket(word, seed: int):
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch estimates for the corpus's top words (NS2).
 
-    Build: one token explode → each word emits its ``CMS_DEPTH`` (row,
-    bucket) coordinates → groupBy counts = the sketch (4×1024 cells,
-    constant size at any corpus scale; partial aggregation merges
-    per-partition sketches map-side). Probe: the exact top-20 words
-    (ties broken by word) look up their d counters via a broadcast join
-    against the 4096-row sketch; estimate = min(counter) ≥ true count,
-    with equality when no collision — both columns returned so the
-    overestimate property is visible and oracle-checked.
+    Build: one token explode → word histogram (the same aggregation the
+    exact top-k needs anyway) → each DISTINCT word emits its
+    ``CMS_DEPTH`` (row, bucket) coordinates weighted by its count →
+    groupBy sums = the sketch (4×1024 cells, constant size at any
+    corpus scale; partial aggregation merges per-partition sketches
+    map-side). Hashing per distinct word instead of per occurrence cuts
+    the md5 work by the corpus's repetition factor — measured 1.68 s →
+    0.64 s at sf0.1 with identical output. Probe: the exact top-20
+    words (ties broken by word) look up their d counters via a
+    broadcast join against the 4096-row sketch; estimate =
+    min(counter) ≥ true count, with equality when no collision — both
+    columns returned so the overestimate property is visible and
+    oracle-checked.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(F.explode(F.split("text", " ")).alias("word"))
-    coords = words.select(
+    hist = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    coords = hist.select(
+        "n_exact",
         F.posexplode(
             F.array(*[_cms_bucket(F.col("word"), s) for s in range(CMS_DEPTH)])
-        ).alias("row", "bucket")
+        ).alias("row", "bucket"),
     )
-    sketch = coords.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
+    sketch = coords.groupBy("row", "bucket").agg(
+        F.sum("n_exact").alias("counter")
+    )
 
-    top = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("word"))
-        .limit(CMS_TOPK)
-    )
+    top = hist.orderBy(F.col("n_exact").desc(), F.col("word")).limit(CMS_TOPK)
     probes = top.select(
         "word",
         "n_exact",

@@ -126,7 +126,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         with _nanos_as_long(spark):
             raw = spark.read.parquet(table_path(sf_dir, name))
         return _normalize_events_ts(raw)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_date_cols(spark.read.parquet(table_path(sf_dir, name)), name)
+
+
+#: business-date columns the fixture has shipped as TIMESTAMP so far;
+#: values are day-granular (midnight), so a DATE32- or NTZ-typed
+#: fixture vintage is value-identical once widened back to TIMESTAMP —
+#: without this, 20+ queries' timestamp comparisons/date_format calls
+#: would silently change type (the events-ts drift, VERDICT r03 #8,
+#: generalized)
+_DATE_NORMALIZE = {"lineitem": ("l_shipdate",), "orders": ("o_orderdate",)}
+
+
+def _normalize_date_cols(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    for c in _DATE_NORMALIZE.get(name, ()):
+        if c in df.columns and not isinstance(
+            df.schema[c].dataType, TimestampType
+        ):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -200,3 +200,52 @@ def test_nanos_timestamp_events_fixture_still_reads(spark, tmp_path_factory):
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         == "false"
     )
+
+
+@pytest.mark.parametrize("variant", ["date32", "timestamp_us"])
+def test_date_typed_fixture_vintage_still_works(
+    spark, tmp_path_factory, variant
+):
+    """The driver regenerates fixtures between rounds and the temporal
+    types have drifted twice already (events.ts: ns → ntz-µs → µs). If
+    l_shipdate / o_orderdate ever arrive as DATE32 (or µs timestamps),
+    load_table must normalize them back to TIMESTAMP so the 20+
+    queries comparing against timestamp literals keep their semantics.
+    Values are day-granular (midnight) so the widening is lossless —
+    asserted here by running a date-heavy query on the variant dir and
+    getting the exact original answer."""
+    import pyarrow as pa
+
+    tmp = tmp_path_factory.mktemp(f"vintage_{variant}")
+    retype = {
+        "date32": pa.date32(),
+        "timestamp_us": pa.timestamp("us"),
+    }[variant]
+    converted = {"lineitem": "l_shipdate", "orders": "o_orderdate"}
+    for name in TABLE_NAMES:
+        t = pq.read_table(os.path.join(SF_SMALL, f"{name}.parquet"))
+        if name in converted:
+            col = converted[name]
+            i = t.schema.get_field_index(col)
+            t = t.set_column(
+                i, col, t.column(col).cast(pa.timestamp("s")).cast(retype)
+            )
+        pq.write_table(t, str(tmp / f"{name}.parquet"))
+
+    # every table loads and row counts survive
+    for name in TABLE_NAMES:
+        assert load_table(spark, str(tmp), name).count() == load_table(
+            spark, SF_SMALL, name
+        ).count()
+    # normalized back to TimestampType
+    li = load_table(spark, str(tmp), "lineitem")
+    od = load_table(spark, str(tmp), "orders")
+    assert li.schema["l_shipdate"].dataType.typeName() == "timestamp"
+    assert od.schema["o_orderdate"].dataType.typeName() == "timestamp"
+    # date-heavy queries answer identically on the variant fixtures
+    from real_time_big_data_architect_spark.operators import scalars, tpch
+
+    for fn in (aggregates.group_agg, scalars.date_arith, tpch.tpch_q4):
+        want = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+        got = sorted(map(tuple, fn(spark, str(tmp)).collect()))
+        assert got == want, fn.__name__

@@ -193,3 +193,73 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_small):
     got = {r.vec_id: r.cluster for r in kmeans_clusters(spark, sf_small).collect()}
     assert got == expected
     assert set(got.values()) <= set(range(KMEANS_K))
+
+
+def test_hot_cell_guard_bounds_pair_count(spark, tmp_path_factory):
+    """A degenerate IVF cell (one dominant embedding direction repeated
+    ~CELL_PAIR_CAP×3 times) must emit O(n·k) chained pairs, not the
+    n²/2 of an all-pairs join, while keeping every copy of the repeated
+    vector in one transitively-connected run (what dedup_clusters
+    consumes). Scaling probe r4 measured the unguarded join at
+    12 s → 139 s for a 4× data step — this locks the guard in."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("hot_cell")
+    rng = np.random.default_rng(7)
+    n_hot = similarity.CELL_PAIR_CAP * 3
+    base = rng.normal(size=similarity.DIM).astype(np.float32)
+    # tiny jitter: all hot vectors are near-identical (cosine ≈ 1)
+    hot = base[None, :] + rng.normal(
+        scale=1e-3, size=(n_hot, similarity.DIM)
+    ).astype(np.float32)
+    # a few scattered vectors so other cells exist and stay exact
+    rest = rng.normal(size=(50, similarity.DIM)).astype(np.float32)
+    vecs = np.vstack([hot, rest])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                [int(i % 10) for i in range(len(vecs))], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp / "embeddings.parquet"))
+
+    pairs = similarity.dedup_embedding_cosine(spark, str(tmp)).collect()
+    hot_pairs = [
+        r for r in pairs if r.vec_id_a < n_hot and r.vec_id_b < n_hot
+    ]
+    # bounded: nowhere near n²/2 (≈1.2M); chained ≤ n·k
+    assert len(hot_pairs) <= n_hot * similarity.CELL_CHAIN_NEIGHBORS
+    assert len(hot_pairs) >= n_hot - 1  # chain covers the whole run
+    # transitive connectivity across all near-identical copies
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in hot_pairs:
+        ra, rb = find(r.vec_id_a), find(r.vec_id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # connectivity holds within each IVF cell (cross-cell vectors never
+    # pair in this operator, guarded or not — that's the blocking)
+    cells = {
+        r.vec_id: r.assigned_label
+        for r in similarity.ivf_assign(spark, str(tmp)).collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for i in range(n_hot):
+        by_cell.setdefault(cells[i], []).append(i)
+    for members in by_cell.values():
+        if len(members) > 1:
+            assert {find(i) for i in members} == {find(members[0])}

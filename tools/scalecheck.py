@@ -94,6 +94,96 @@ def main() -> None:
             .select("doc_id", _minhash_text("text").alias("mh")),
         ))
 
+    # Heavy LLM-family operators run against SCALED FIXTURE DIRS so the
+    # full declared pipelines (persist stages, IVF training, iterative
+    # CC rounds) execute unmodified. Copies are DECORRELATED — texts get
+    # a per-copy character rotation, embeddings a per-copy random sign
+    # flip (an isometry: intra-copy cosines are bit-identical, cross-
+    # copy cosines collapse to noise) — otherwise every copy of a doc
+    # would near-dup-pair with every other copy and the measured
+    # workload itself would grow quadratically with the multiplier.
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import (  # noqa: E402
+        dedup as dedup_ops,
+        similarity as sim_ops,
+    )
+
+    scale_root = tempfile.mkdtemp(prefix="scalecheck_")
+    alpha = "aeiousnrtlcdmhgp"  # 16 rotations for up to 16 copies
+    try:
+        emb_base = load_table(spark, SF_DIR, "embeddings")
+        n_emb = emb_base.count()
+        for mult in MULTS:
+            d = f"{scale_root}/x{mult}"
+            doc_copies = []
+            emb_copies = []
+            for c in range(mult):
+                rot = alpha[c:] + alpha[:c]
+                doc_copies.append(
+                    doc_base.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(c * 10_000_000)
+                    ).withColumn(
+                        "text",
+                        F.expr(f"translate(text, '{alpha}', '{rot}')"),
+                    )
+                )
+                flip = (
+                    "transform(embedding, (v, i) -> CAST(v * (CASE WHEN "
+                    f"pmod(hash(i + {c} * 64), 2) = 0 THEN 1.0 ELSE -1.0 "
+                    "END) AS FLOAT))"
+                )
+                emb_copies.append(
+                    emb_base.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(c * 10_000_000)
+                    ).withColumn("embedding", F.expr(flip))
+                )
+            functools.reduce(DataFrame.unionByName, doc_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+            functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/embeddings.parquet")
+
+            # these operators materialize stages DURING construction
+            # (persist, localCheckpoint, centroid training), so they
+            # are timed END-TO-END: rebuild the DataFrame inside the
+            # timed region with the cache cleared — otherwise the
+            # second write would just re-read checkpointed results and
+            # measure nothing
+            def _timed_e2e(label: str, n_rows: int, mk) -> dict:
+                spark.catalog.clearCache()
+                mk().write.format("noop").mode("overwrite").save()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                mk().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                rate = n_rows / dt / 1e6
+                print(
+                    f"{label:24s} x{mult:<3d} {n_rows/1e6:8.2f} Mrows "
+                    f"{dt:7.2f}s  {rate:7.2f} Mrows/s",
+                    flush=True,
+                )
+                return {"op": label, "mult": mult, "rows": n_rows,
+                        "sec": round(dt, 2), "mrows_per_s": round(rate, 2)}
+
+            results.append(_timed_e2e(
+                "dedup_minhash_lsh", n_doc * mult,
+                lambda: dedup_ops.dedup_minhash_lsh(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "dedup_clusters", n_emb * mult,
+                lambda: dedup_ops.dedup_clusters(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "ivf_topk", n_emb * mult,
+                lambda: sim_ops.ivf_topk(spark, d),
+            ))
+            spark.catalog.clearCache()  # drop per-dir persisted stages
+    finally:
+        shutil.rmtree(scale_root, ignore_errors=True)
+
     import json
 
     print(json.dumps(results))
