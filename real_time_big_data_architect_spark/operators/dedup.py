@@ -587,8 +587,57 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: words per paragraph unit for paragraph-level dedup (the fixture's
+#: synthetic docs have no newline structure, so units are fixed word
+#: windows — the operator shape is identical for real \n\n paragraphs)
+PARA_WORDS = 20
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction (NS6a —
+    the C4/Gopher-style within-corpus boilerplate scrub: repeated
+    paragraphs keep only their FIRST occurrence corpus-wide, every
+    other copy is dropped and each document is rebuilt from its
+    surviving units in order).
+
+    Shape: one row-local split into word-window units (no shuffle),
+    one global shuffle keyed on the unit's md5 digest (16 bytes — not
+    the unit text) for first-occurrence survivorship, one groupBy
+    doc_id to reassemble. At 100 TB that is two bounded shuffles;
+    survivorship is deterministic (ordered by doc_id, para_idx), so
+    the query is fully oracle-checked including the rebuilt text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_units = F.ceil(F.size(words) / F.lit(PARA_WORDS)).cast("int")
+    units = F.transform(
+        F.sequence(F.lit(0), n_units - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * PARA_WORDS + 1, PARA_WORDS)
+        ),
+    )
+    u = d.select("doc_id", F.posexplode(units).alias("para_idx", "para_text"))
+    from pyspark.sql import Window as W
+
+    first = W.partitionBy(F.md5("para_text")).orderBy("doc_id", "para_idx")
+    kept = u.withColumn("keep", F.row_number().over(first) == 1)
+    surviving = F.array_sort(
+        F.collect_list(
+            F.when(F.col("keep"), F.struct("para_idx", "para_text"))
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform(surviving, lambda s: s.para_text)
+        ).alias("text_dedup"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_paragraphs": dedup_paragraphs,
     "dedup_survivors": dedup_survivors,
     "doc_fingerprint": doc_fingerprint,
     "minhash_signatures": minhash_signatures,  # rows-only (xxhash64-derived)
@@ -647,6 +696,32 @@ def _clusters_oracle() -> str:
     """
 
 ORACLE = {
+    "dedup_paragraphs": """
+        WITH units AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(words[i*20+1 : i*20+20], ' ') AS para_text
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(
+                     CAST(ceil(len(words) / 20.0) AS BIGINT))) AS i)
+        ),
+        kept AS (
+            SELECT doc_id, para_idx, para_text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(para_text)
+                       ORDER BY doc_id, para_idx
+                   ) = 1 AS keep
+            FROM units
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN para_text END, ' '
+                                   ORDER BY para_idx), '') AS text_dedup
+        FROM kept
+        GROUP BY doc_id
+    """,
     "dedup_levenshtein": """
         WITH d AS (
             SELECT doc_id, lang,

@@ -255,3 +255,30 @@ def test_blank_docs_never_pair(spark, tmp_path_factory):
         for r in dedup.dedup_minhash_lsh(spark, str(tmp)).collect()
     }
     assert pairs == {(4, 5)}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark, tmp_path_factory):
+    """Planted repeated paragraph units: only the corpus-wide FIRST
+    occurrence survives; docs are rebuilt from surviving units in
+    order, and fully-duplicate docs collapse to empty text."""
+    tmp = tmp_path_factory.mktemp("para_corpus")
+    para_a = " ".join(f"alpha{i}" for i in range(dedup.PARA_WORDS))
+    para_b = " ".join(f"beta{i}" for i in range(dedup.PARA_WORDS))
+    para_c = " ".join(f"gamma{i}" for i in range(dedup.PARA_WORDS))
+    docs = [
+        (0, f"{para_a} {para_b}", "en", "web", 0),
+        (1, f"{para_b} {para_c}", "en", "web", 0),   # para_b is a dup
+        (2, f"{para_a} {para_b}", "en", "web", 0),   # fully duplicate doc
+    ]
+    docs = [(i, t, l, s, len(t)) for i, t, l, s, _ in docs]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    out = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_dedup)
+        for r in dedup.dedup_paragraphs(spark, str(tmp)).collect()
+    }
+    assert out[0] == (2, 2, f"{para_a} {para_b}")  # first doc keeps all
+    assert out[1] == (2, 1, para_c)                # para_b deduped away
+    assert out[2] == (2, 0, "")                    # nothing left
