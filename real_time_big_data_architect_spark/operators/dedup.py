@@ -188,11 +188,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     single groupBy (band, bucket) collecting the sorted doc_id array,
     with pairs emitted by an array expression that branches on bucket
     size: buckets ≤ LSH_BUCKET_CAP emit every pair (exact, ≤ CAP²/2
-    per bucket); larger buckets emit sorted neighbor chains — each doc
-    pairs with its next LSH_CHAIN_NEIGHBORS doc_ids — so an n-doc
-    bucket is bounded at n·4 candidates instead of n²/2 while every
-    run of mutual near-dups stays transitively connected (what
-    downstream clustering consumes). This replaces the former bucket
+    per bucket); larger buckets emit neighbor chains sorted by an
+    out-of-band minhash (a similarity-correlated key — equal for two
+    docs with probability ≈ their Jaccard) — each doc pairs with its
+    next LSH_CHAIN_NEIGHBORS probe-order neighbors — so an n-doc
+    bucket is bounded at n·4 candidates instead of n²/2 while runs of
+    mutual near-dups sort adjacently and stay transitively connected
+    (what downstream clustering consumes). This replaces the former bucket
     self-join with ONE shuffle of (band, bucket, doc_id) and no join
     at all; measured ~1.0 s vs 1.15 s (unguarded join) at sf0.1. A hot
     bucket holds its ids as one row (8 B/doc: a 10 M-doc boilerplate
@@ -231,28 +233,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = F.posexplode(F.expr(f"array({band_exprs})"))
     # Shuffle discipline: the bucket self-join carries ONLY
-    # (band, bucket, doc_id) — 24 bytes/row — not the 512-byte signature
-    # array. Pairs are deduped BEFORE signatures are re-joined and the
-    # estimator is scored once per unique pair.
-    buckets = sigs.select("doc_id", bands.alias("band", "bucket"))
+    # (band, bucket, doc_id, probe) — 32 bytes/row — not the 512-byte
+    # signature array. Pairs are deduped BEFORE signatures are re-joined
+    # and the estimator is scored once per unique pair. `probe` is one
+    # minhash from OUTSIDE the bucket's own band: docs in a bucket agree
+    # on that band's 8 minhashes by construction, so an out-of-band
+    # minhash is the similarity-correlated chain-sort key (equal with
+    # probability ≈ Jaccard) — sorting hot buckets by it keeps each
+    # near-dup family adjacent where raw doc_id order would interleave
+    # families and miss pairs.
+    buckets = sigs.select("doc_id", "minhash", bands.alias("band", "bucket")).select(
+        "doc_id",
+        "band",
+        "bucket",
+        F.expr(f"minhash[pmod((band + 1) * {rows_per_band}, {N_MINHASHES})]").alias(
+            "probe"
+        ),
+    )
     grouped = buckets.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("probe", "doc_id"))),
+            lambda s: s.doc_id,
+        ).alias("ids")
     )
     # exact pairs for small buckets, next-k neighbor chains for hot
     # ones — one CASE expression, rows already co-located by the
-    # groupBy shuffle, so pair generation is pure map-side codegen
+    # groupBy shuffle, so pair generation is pure map-side codegen.
+    # ids are probe-sorted (not doc_id-sorted), so canonical pair order
+    # comes from least/greatest.
     pair_expr = F.expr(
         f"""
         CASE WHEN size(ids) <= {LSH_BUCKET_CAP} THEN
           flatten(transform(sequence(1, size(ids)-1),
             j -> transform(slice(ids, 1, j),
-                           x -> struct(x AS doc_a, ids[j] AS doc_b))))
+                           x -> struct(least(x, ids[j]) AS doc_a,
+                                       greatest(x, ids[j]) AS doc_b))))
         ELSE
           flatten(transform(sequence(0, size(ids)-2),
             i -> transform(slice(ids, i+2,
                                  least({LSH_CHAIN_NEIGHBORS},
                                        size(ids)-1-i)),
-                           y -> struct(ids[i] AS doc_a, y AS doc_b))))
+                           y -> struct(least(ids[i], y) AS doc_a,
+                                       greatest(ids[i], y) AS doc_b))))
         END"""
     )
     pairs = (

@@ -300,7 +300,14 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
         src_mtime = 0.0
     key = (app_id, sf_dir, src_mtime)
     if key not in _CENTROID_CACHE:
-        for stale in [k for k in _CENTROID_CACHE if k[0] != app_id]:
+        # evict dead-session entries AND same-dir entries whose fixture
+        # was since regenerated (stale mtime) — the cache stays at one
+        # live entry per (app, corpus dir)
+        for stale in [
+            k
+            for k in _CENTROID_CACHE
+            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_mtime)
+        ]:
             del _CENTROID_CACHE[stale]
         rows = _centroid_table(spark, sf_dir).collect()
         _CENTROID_CACHE[key] = sorted(

@@ -403,7 +403,10 @@ def _ensure_protobuf() -> None:
 try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
     # Its driver worker imports google.protobuf (state-server protocol);
     # probe (with the vendored fallback) so the query registers only
-    # where it can actually run.
+    # where it can actually run. Catch ANY failure, not just
+    # ImportError: a broken/ancient vendored protobuf can raise
+    # SyntaxError/AttributeError at import, and that must disable TWS —
+    # not make this whole module (every streaming query) unimportable.
     _ensure_protobuf()
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -433,7 +436,7 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             pass
 
     TWS_AVAILABLE = True
-except ImportError:  # pragma: no cover - older Spark
+except Exception:  # pragma: no cover - protobuf/Spark API unusable
     TWS_AVAILABLE = False
 
 

@@ -123,6 +123,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: preflight.py [query ...] [--json PATH]")
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)

@@ -85,6 +85,35 @@ def main() -> None:
                 F.countDistinct("user_id").alias("u")),
         ))
 
+    # star join: lineitem and orders scale together (orderkey offsets
+    # keep the join 1:1 per copy); customers stay fixed, so each
+    # customer simply accrues mult× orders — realistic growth. Joins
+    # are the canonical super-linear risk (a widening shuffle or a
+    # dropped broadcast shows up immediately in this row).
+    o_base = load_table(spark, SF_DIR, "orders")
+    dims = {n: load_table(spark, SF_DIR, n) for n in ("customer", "nation", "region")}
+    for mult in MULTS:
+        li = _scaled(ev_base.sparkSession.read.parquet(
+            f"{SF_DIR}/lineitem.parquet"), "l_orderkey", mult, 100_000_000)
+        o = _scaled(o_base, "o_orderkey", mult, 100_000_000)
+        price = F.col("l_extendedprice").cast("decimal(8,2)")
+        disc = F.col("l_discount").cast("decimal(8,2)")
+        net = (price * (F.lit(1).cast("decimal(8,2)") - disc)).alias("net")
+        star = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(dims["customer"], o.o_custkey == dims["customer"].c_custkey)
+            .join(F.broadcast(dims["nation"]),
+                  dims["customer"].c_nationkey == dims["nation"].n_nationkey)
+            .join(F.broadcast(dims["region"]),
+                  dims["nation"].n_regionkey == dims["region"].r_regionkey)
+            .select(F.col("r_name").alias("region_name"), net)
+            .groupBy("region_name")
+            .agg(F.sum("net").cast("double").alias("revenue"),
+                 F.count("*").alias("n_lineitems"))
+        )
+        n_li = li.count()
+        results.append(_timed("star_join", mult, n_li, star))
+
     for mult in MULTS:
         docs = _scaled(doc_base, "doc_id", mult, 10_000_000)
         # Arrow kernel: embarrassingly parallel per-doc compute
