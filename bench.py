@@ -40,6 +40,9 @@ HEADLINE = [
     "pii_scrub",
     "cms_heavy_hitters",
     "zorder_layout",
+    "bloom_join_prune",
+    "triangle_count",
+    "hard_negatives",
 ]
 
 

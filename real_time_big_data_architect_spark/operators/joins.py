@@ -445,6 +445,77 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom runtime filter: bits and hash count. m = 2^16 bits keeps the
+#: false-positive rate under 1% for dim sides up to ~5k keys with k=3
+#: hashes; at 100 TB you size m to the dim key count the same way —
+#: the broadcast payload stays m bits regardless of fact size.
+BLOOM_M = 1 << 16
+BLOOM_SEEDS = (1, 2, 3)
+
+
+def bloom_prune(fact: DataFrame, fact_key: str, dim: DataFrame,
+                dim_key: str) -> DataFrame:
+    """Prune ``fact`` to rows whose ``fact_key`` MAY appear in
+    ``dim[dim_key]``, via a k-hash Bloom filter expressed relationally:
+    the filter's set bit positions are a distinct (pos) relation per
+    seed, and each probe is a broadcast LEFT SEMI join — map-side, no
+    fact shuffle. Sound (never drops a true match); false positives at
+    the configured m/k rate survive for a downstream exact join."""
+    pruned = fact
+    for s in BLOOM_SEEDS:
+        bits = dim.select(
+            F.pmod(F.xxhash64(F.col(dim_key), F.lit(s)), F.lit(BLOOM_M))
+            .alias("pos")
+        ).distinct()
+        probe_pos = F.pmod(
+            F.xxhash64(F.col(fact_key), F.lit(s)), F.lit(BLOOM_M)
+        )
+        pruned = pruned.join(
+            F.broadcast(bits), probe_pos == bits.pos, "left_semi"
+        )
+    return pruned
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: ASIA-customer order revenue
+    by priority, with the fact side pre-filtered by a Bloom filter
+    built from the dim side's join keys (NS1 scale pattern).
+
+    The pattern Spark's own AQE runtime filters
+    (``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``) inject
+    automatically, expressed explicitly as dataflow: the selective dim
+    side (customers in ASIA) is hashed k=3 ways into bit positions; the
+    fact side (orders) computes the same positions and is pruned by k
+    broadcast LEFT SEMI probes — all map-side, ZERO shuffle of the fact
+    — before the exact join removes Bloom false positives. At 100 TB
+    the win is that only ~1/5 of orders reach the exact join's
+    shuffle, bought with an m-bit broadcast instead of broadcasting
+    the (possibly huge) dim table itself. Semantically transparent:
+    the oracle is the plain join+filter+aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    pruned = bloom_prune(o, "o_custkey", dim, "c_custkey")
+    return (
+        pruned.join(dim, pruned.o_custkey == dim.c_custkey)  # exact: drops FPs
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -462,9 +533,21 @@ QUERIES = {
     "subquery_exists": subquery_exists,
     "subquery_scalar": subquery_scalar,
     "subquery_in": subquery_in,
+    "bloom_join_prune": bloom_join_prune,
 }
 
 ORACLE = {
+    "bloom_join_prune": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY o_orderpriority
+    """,
     "join_inner": """
         SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -159,13 +159,163 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MAD outlier multiplier (≈ 4.45σ for normal data at MAD·3; the
+#: conventional robust-filter setting)
+MAD_K = 3.0
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier stats per event_type via Median Absolute
+    Deviation — the anomaly gate that survives the very outliers it
+    hunts (zscore_outliers' mean/std are dragged by heavy tails; the
+    median/MAD breakdown point is 50%).
+
+    Two grouped exact-percentile passes (median of value, then median
+    of |value − median|) + one broadcast of the 5-row stats back onto
+    the scan to count exceedances. Exact medians need a per-group
+    sort; at 100 TB swap ``percentile`` for ``approx_percentile``
+    (mergeable GK sketch) — same plan shape, no sort. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both interpolate at
+    (n−1)·p, and |v−med| / 3·mad arithmetic is token-mirrored, so the
+    boundary is bit-stable cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile("dev", F.lit(0.5)).alias("mad"),
+        F.count("*").alias("n"),
+    )
+    out = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.first("n").alias("n"),
+            F.sum(
+                (F.col("dev") > F.lit(MAD_K) * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical LM quality score: each document's mean
+    bigram transition probability under a model trained on the corpus
+    itself — gibberish and boilerplate score low, fluent text high.
+    The perplexity-bucket filter of pretraining pipelines, with
+    probability averages instead of log-space (logs are libm-divergent
+    cross-engine; the ranking is monotone-equivalent for filtering).
+
+    Bigrams materialize per document as one JVM array expression
+    (zip_with over two slices — no Python, no per-word shuffle rows
+    until the explode). The model is two grouped counts over the
+    corpus; P(w₂|w₁) = c(w₁w₂)/c(w₁·) joins back per instance, rounds
+    HALF_UP into decimal(16,12) (order-free summation), and the final
+    mean divides as double. At 100 TB the model tables shard on the
+    bigram hash; everything is joins and counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    model_b = inst.groupBy("bigram").agg(F.count("*").alias("c_b"))
+    model_u = inst.groupBy("w1").agg(F.count("*").alias("c_u"))
+    scored = (
+        inst.join(model_b, "bigram")
+        .join(model_u, "w1")
+        .withColumn(
+            "p",
+            F.round(
+                F.col("c_b").cast("double") / F.col("c_u").cast("double"), 12
+            ).cast("decimal(16,12)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum("p").cast("double")
+            / F.count("*").cast("double")
+        ).alias("lm_score"),
+    )
+
+
 QUERIES = {
     "repetition_ratios": repetition_ratios,
     "contamination_ngram": contamination_ngram,
     "zscore_outliers": zscore_outliers,
+    "anomaly_mad": anomaly_mad,
+    "bigram_lm_score": bigram_lm_score,
 }
 
 ORACLE = {
+    "anomaly_mad": """
+        WITH ev AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM ev GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+          FROM ev e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, m2.med AS median_value, m.mad, m.n,
+               CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d
+        JOIN mad m USING (event_type)
+        JOIN med m2 USING (event_type)
+        GROUP BY d.event_type, m2.med, m.mad, m.n
+    """,
+    "bigram_lm_score": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws))) AS g FROM w
+        ),
+        inst AS (
+          SELECT doc_id, ws[g] || ' ' || ws[g + 1] AS bigram, ws[g] AS w1
+          FROM pos
+        ),
+        model_b AS (
+          SELECT bigram, COUNT(*) AS c_b FROM inst GROUP BY bigram
+        ),
+        model_u AS (
+          SELECT w1, COUNT(*) AS c_u FROM inst GROUP BY w1
+        ),
+        scored AS (
+          SELECT i.doc_id,
+                 CAST(round(CAST(b.c_b AS DOUBLE) / CAST(u.c_u AS DOUBLE),
+                            12) AS DECIMAL(16,12)) AS p
+          FROM inst i
+          JOIN model_b b USING (bigram)
+          JOIN model_u u USING (w1)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        FROM scored GROUP BY doc_id
+    """,
     "repetition_ratios": """
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents

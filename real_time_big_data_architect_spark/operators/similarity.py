@@ -664,8 +664,56 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("vec_id", F.col("c_id").alias("cluster"), "dist2")
 
 
+HARD_NEG_K = 3
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (NS6b): for each
+    query vector, the top-k most-cosine-similar vectors carrying a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, which is what makes contrastive/embedding training bite.
+
+    Same scale shape as cosine_topk (broadcast query set, one corpus
+    codegen pass, score-only rows into the per-query top-k window) with
+    the label-mismatch predicate fused into the scan — negatives are
+    filtered BEFORE the window shuffle, not after ranking, so mostly-
+    same-label neighborhoods don't starve the top-k. Bit-reproducible
+    scores (see _dot), fully oracle-checked including rank order.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rn")
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "hard_negatives": hard_negatives,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
     "label_centroids": label_centroids,
     "knn_count_per_label": knn_count_per_label,
@@ -876,6 +924,47 @@ ORACLE = {
     "cosine_topk": _COSINE_CTE
     + """
         SELECT query_id, vec_id, cosine, rn FROM topk
+    """,
+    "hard_negatives": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS query_label,
+                   embedding AS q_emb
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        dots AS (
+            SELECT e.vec_id, e.label AS neg_label,
+                   q.query_id, q.query_label,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(q.q_emb[i] AS DOUBLE)),
+                       (x, y) -> x + y) AS dot
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label != q.query_label
+        ),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT d.query_id, d.query_label, d.vec_id, d.neg_label,
+                   d.dot / (nv.nrm * nq.nrm) AS cosine
+            FROM dots d
+            JOIN norms nv ON nv.vec_id = d.vec_id
+            JOIN norms nq ON nq.vec_id = d.query_id
+        )
+        SELECT query_id, query_label, vec_id, neg_label, cosine,
+               CAST(rn AS INT) AS rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {HARD_NEG_K}
     """,
     "knn_count_per_label": _COSINE_CTE
     + """

@@ -196,14 +196,75 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns profiled by profile_table (all of orders)
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling of the orders table: per-column row
+    count, non-null count, null count, and exact distinct count — the
+    stats backing NULL-ratio data-quality gates and optimizer
+    cardinality estimates (NS8).
+
+    All 13 aggregates (1 count + 6 non-null + 6 distinct) run in a
+    SINGLE scan: Catalyst compiles the multi-distinct agg with one
+    Expand (6× row replication, one column live per replica) and one
+    shuffle — versus 6 separate scans for the naive per-column loop.
+    The 1-row wide result then unpivots driver-free via ``stack`` into
+    the long (column, stats) form. At 100 TB exact distinct is the
+    honest version of this profile; the sketch-based cousin is
+    ``approx_distinct``. Oracle: UNION ALL of per-column aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_notnull, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_notnull",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_nulls"),
+        "n_distinct",
+    )
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_notnull,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
+    "profile_table": profile_table,
     "table_checksum": table_checksum,
     "skew_stats": skew_stats,
     "mv_incremental_refresh": mv_incremental_refresh,
 }
 
 ORACLE = {
+    "profile_table": _profile_oracle(),
     "cms_heavy_hitters": f"""
         WITH words AS (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -18,7 +18,7 @@ Pandas UDF over Arrow batches, not per-row Python.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -301,8 +301,66 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tokenizer-vocabulary size for coverage analysis
+VOCAB_TOP = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against the corpus
+    top-``VOCAB_TOP`` word vocabulary — the tokenizer-fit diagnostic
+    run before training a tokenizer or adopting one (high OOV → the
+    vocab wastes capacity; per-language OOV skews reveal coverage
+    gaps).
+
+    Pass 1 builds the vocabulary: word counts, global top-V by
+    (count DESC, word ASC) — a rank over ONE all-corpus-words
+    partition, which is fine because the ranked relation is already
+    the aggregated word-count table (vocabulary-sized, not
+    corpus-sized); at 100 TB this is a few million rows on one
+    reducer, the standard global-top-k shape. Pass 2 explodes
+    documents to (doc_id, word) and broadcast-left-joins the V-row
+    vocab; per-doc coverage is one re-aggregation on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    wc = inst.groupBy("word").agg(F.count("*").alias("c"))
+    w_rank = W.orderBy(F.col("c").desc(), F.col("word"))
+    vocab = (
+        wc.withColumn("vr", F.row_number().over(w_rank))
+        .filter(F.col("vr") <= VOCAB_TOP)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        inst.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)).cast("bigint")).alias(
+                "n_in_vocab"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_in_vocab",
+            (
+                F.lit(1.0)
+                - F.col("n_in_vocab").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
+    "vocab_coverage": vocab_coverage,
     "text_stats": text_stats,
     "token_count": token_count,
     "text_quality": text_quality,
@@ -371,6 +429,30 @@ def _lang_id_oracle() -> str:
     """
 
 ORACLE = {
+    "vocab_coverage": f"""
+        WITH inst AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ),
+        wc AS (
+          SELECT word, COUNT(*) AS c FROM inst GROUP BY word
+        ),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS vr
+            FROM wc
+          ) WHERE vr <= {VOCAB_TOP}
+        )
+        SELECT i.doc_id,
+               ANY_VALUE(i.lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_in_vocab,
+               1.0 - CAST(SUM(CASE WHEN v.word IS NULL THEN 0 ELSE 1 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM inst i LEFT JOIN vocab v ON v.word = i.word
+        GROUP BY i.doc_id
+    """,
     "tfidf_top_terms": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term

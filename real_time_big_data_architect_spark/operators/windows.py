@@ -171,6 +171,63 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA smoothing factor and truncation depth. Weights beyond 8 lags
+#: contribute < 0.3·0.7⁸ ≈ 1.7% and are cut — which turns the
+#: recursive EWMA into a fixed closed-form expression both engines
+#: evaluate identically (a true recursion isn't expressible without
+#: recursive CTEs and wouldn't be cross-engine bit-stable anyway).
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 8
+_EWMA_W = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_LAGS)]
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the time-series
+    smoothing primitive (NS3), as a truncated closed form.
+
+    ewma_t = Σᵢ wᵢ·v_{t-i} / Σᵢ wᵢ·[v_{t-i} exists], wᵢ = α(1-α)ⁱ —
+    renormalized over the lags actually present so early rows aren't
+    biased low. One shuffle on user_id + one in-partition sort serves
+    all 8 lag expressions (a single Window operator). Bit-exact vs the
+    oracle: the weights are emitted as Python-repr double literals and
+    the ±/× tree is generated left-associative from the same loop on
+    both sides, so every fp op is IEEE-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(_EWMA_W[0]) * F.col("value")
+    den = F.lit(_EWMA_W[0])
+    for i in range(1, EWMA_LAGS):
+        lg = F.lag("value", i).over(w)
+        num = num + F.when(
+            lg.isNotNull(), F.lit(_EWMA_W[i]) * lg
+        ).otherwise(F.lit(0.0))
+        den = den + F.when(
+            lg.isNotNull(), F.lit(_EWMA_W[i])
+        ).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id", "event_id", "ts", "value", (num / den).alias("ewma")
+    )
+
+
+def _ewma_oracle() -> str:
+    num = [f"CAST({_EWMA_W[0]!r} AS DOUBLE) * value"]
+    den = [f"CAST({_EWMA_W[0]!r} AS DOUBLE)"]
+    for i in range(1, EWMA_LAGS):
+        lg = f"LAG(value, {i}) OVER w"
+        wt = f"CAST({_EWMA_W[i]!r} AS DOUBLE)"
+        num.append(
+            f"CASE WHEN {lg} IS NOT NULL THEN {wt} * {lg} ELSE 0.0 END"
+        )
+        den.append(f"CASE WHEN {lg} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return f"""
+        SELECT user_id, event_id, ts, value,
+               ({' + '.join(num)}) / ({' + '.join(den)}) AS ewma
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
@@ -179,9 +236,11 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "window_distribution": window_distribution,
     "gapfill_locf": gapfill_locf,
+    "ewma_smooth": ewma_smooth,
 }
 
 ORACLE = {
+    "ewma_smooth": _ewma_oracle(),
     "window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(ROW_NUMBER() OVER w AS INT) AS rn,

@@ -141,9 +141,105 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def partitioned_write(df: DataFrame, out_dir: str, part_col: str) -> None:
+    """Hive-style partitioned layout: one directory per ``part_col``
+    value. The layout IS the index — a reader filtering on the
+    partition column lists only matching directories (PartitionFilters
+    in the scan node), so a 100 TB table filtered to one partition
+    reads that partition's bytes, not 100 TB."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(out_dir)
+
+
+def partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: partition-pruned scan end-to-end.
+
+    Events land partitioned by event_type (the Hive layout above);
+    the purchase-only aggregate then scans ONLY the purchase
+    directory — `tests/test_round4_ops.py` asserts the scan node
+    carries the PartitionFilters entry and reads 1/5 of the files.
+    The oracle aggregates a plain WHERE over the unpartitioned
+    fixture: pruning must be pure layout, zero semantics.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="partprune_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        partitioned_write(ev, f"{work}/events_p", "event_type")
+        out = (
+            spark.read.parquet(f"{work}/events_p")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "event_type string, n_events bigint, sum_value double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+#: bucket count for the co-located join demo; at 100 TB you'd size
+#: buckets so each is a few hundred MB (e.g. 4096 buckets)
+N_BUCKETS = 8
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: shuffle-free fact⋈fact join via bucketing.
+
+    orders and customer are written as warehouse tables bucketed (and
+    sorted) by the join key into the same bucket count; the sort-merge
+    join then reads bucket i of each side on the same task — ZERO
+    Exchange before the join (asserted on the plan in
+    tests/test_round4_ops.py). This is THE answer to "fact⋈fact at
+    100 TB shuffles 100 TB": pay the shuffle once at write time,
+    join co-located forever after. The oracle is the plain join.
+    """
+    from real_time_big_data_architect_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+        N_BUCKETS, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable("orders_bkt")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").bucketBy(
+        N_BUCKETS, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable("customer_bkt")
+    joined = colocated_join(spark)
+    out = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return spark.createDataFrame(
+        out.collect(), "c_mktsegment string, n_orders bigint, revenue double"
+    )
+
+
+def colocated_join(spark: SparkSession) -> DataFrame:
+    """The bucket-co-located SMJ over the two warehouse tables; the
+    merge hint pins sort-merge so the exchange-free plan is visible
+    even where the dim side would qualify for broadcast."""
+    o = spark.table("orders_bkt")
+    c = spark.table("customer_bkt")
+    return o.hint("merge").join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )
+
+
 QUERIES = {
     "ingest_observe_metrics": ingest_observe_metrics,
     "compaction_roundtrip": compaction_roundtrip,
+    "partition_prune_scan": partition_prune_scan,
+    "bucketed_join_colocated": bucketed_join_colocated,
 }
 
 ORACLE = {
@@ -154,6 +250,20 @@ ORACLE = {
                CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS null_props
         FROM events
+    """,
+    "partition_prune_scan": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY event_type
+    """,
+    "bucketed_join_colocated": """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "compaction_roundtrip": """
         SELECT COUNT(*) AS n_rows,

@@ -22,6 +22,43 @@ def test_transition_edges_shape(spark, sf_small):
     assert len(set(keys)) == len(keys)
 
 
+def test_count_triangles_planted_graphs(spark):
+    # K4 on {1..4}: C(4,3) = 4 triangles, 6 edges; plus a pendant path
+    # 4-5-6 (no new triangles) and an isolated edge 7-8
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6), (7, 8)]
+    und = spark.createDataFrame(edges, "a long, b long")
+    row = graph.count_triangles(und).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == 4
+
+    # triangle-free: a star K1,5 and a 4-cycle
+    star = [(1, n) for n in range(2, 7)]
+    cycle = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    und = spark.createDataFrame(star + cycle, "a long, b long")
+    assert graph.count_triangles(und).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_matches_naive(spark, sf_small):
+    from itertools import combinations
+
+    edges = graph.transition_edges(spark, sf_small).collect()
+    und = {(min(e.src, e.dst), max(e.src, e.dst)) for e in edges}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    naive = sum(
+        1
+        for node in adj
+        for x, y in combinations(sorted(adj[node]), 2)
+        if node < x and node < y and (min(x, y), max(x, y)) in und
+    )
+    row = graph.triangle_count(spark, sf_small).collect()[0]
+    assert row.n_edges == len(und)
+    assert row.n_triangles == naive
+
+
 def test_pagerank_matches_numpy_replay(spark, sf_small):
     import numpy as np
 

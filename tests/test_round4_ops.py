@@ -1,0 +1,279 @@
+"""Round-4 operator invariants: Bloom join pruning, EWMA smoothing,
+one-pass profiling, hard-negative mining, MAD outliers, bigram LM
+scoring, vocabulary coverage, partition pruning, bucketed joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.operators import (
+    joins,
+    quality,
+    sketches,
+    similarity,
+    text,
+    windows,
+)
+from real_time_big_data_architect_spark.sources import lake
+from real_time_big_data_architect_spark.tables import load_table
+
+
+def test_bloom_prune_sound_and_selective(spark, sf_medium):
+    """The Bloom prune never drops a true match, and actually prunes."""
+    o = load_table(spark, sf_medium, "orders")
+    c = load_table(spark, sf_medium, "customer")
+    n = load_table(spark, sf_medium, "nation")
+    r = load_table(spark, sf_medium, "region")
+    dim = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    keys = {row.c_custkey for row in dim.collect()}
+    total = o.count()
+    pruned = joins.bloom_prune(o, "o_custkey", dim, "c_custkey")
+    pruned_rows = pruned.collect()
+    true_matches = [row for row in o.collect() if row.o_custkey in keys]
+    # sound: every true match survives
+    surviving = {row.o_orderkey for row in pruned_rows}
+    assert all(row.o_orderkey in surviving for row in true_matches)
+    # selective: false-positive overhang is small (m=65536, k=3,
+    # ~300 dim keys -> fp rate well under 1%)
+    assert len(true_matches) <= len(pruned_rows) < total
+    fp = len(pruned_rows) - len(true_matches)
+    assert fp <= 0.01 * total
+
+
+def test_bloom_join_prune_equals_plain_join(spark, sf_medium):
+    got = {
+        (r.o_orderpriority, r.n_orders, round(r.revenue, 2))
+        for r in joins.bloom_join_prune(spark, sf_medium).collect()
+    }
+    o = load_table(spark, sf_medium, "orders")
+    c = load_table(spark, sf_medium, "customer")
+    n = load_table(spark, sf_medium, "nation")
+    r = load_table(spark, sf_medium, "region")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    want = {
+        (r2.o_orderpriority, r2.n_orders, round(r2.revenue, 2))
+        for r2 in plain.collect()
+    }
+    assert got == want
+
+
+def test_ewma_hand_computed(spark, sf_small):
+    rows = windows.ewma_smooth(spark, sf_small).collect()
+    assert rows
+    by_user: dict = {}
+    ev = sorted(
+        (
+            r
+            for r in load_table(spark, sf_small, "events").collect()
+            if r.value is not None
+        ),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value))
+    expect = {}
+    for uid, seq in by_user.items():
+        for t in range(len(seq)):
+            num = den = 0.0
+            for i in range(windows.EWMA_LAGS):
+                if t - i < 0:
+                    break
+                num += windows._EWMA_W[i] * seq[t - i][1]
+                den += windows._EWMA_W[i]
+            expect[seq[t][0]] = num / den
+    for r in rows:
+        assert abs(r.ewma - expect[r.event_id]) < 1e-9
+    # first event of a user: ewma == value exactly (single-term renorm)
+    firsts = {seq[0][0] for seq in by_user.values()}
+    for r in rows:
+        if r.event_id in firsts:
+            assert abs(r.ewma - r.value) < 1e-12
+
+
+def test_profile_table_counts(spark, sf_small):
+    prof = {r.column_name: r for r in sketches.profile_table(spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders")
+    n = o.count()
+    assert set(prof) == set(sketches._PROFILE_COLS)
+    for c in sketches._PROFILE_COLS:
+        row = prof[c]
+        nn = o.filter(F.col(c).isNotNull()).count()
+        nd = o.select(c).filter(F.col(c).isNotNull()).distinct().count()
+        assert row.n_rows == n
+        assert row.n_notnull == nn
+        assert row.n_nulls == n - nn
+        assert row.n_distinct == nd
+
+
+def test_hard_negatives_label_disjoint_topk(spark, sf_small):
+    rows = similarity.hard_negatives(spark, sf_small).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    per_q: dict = {}
+    for r in rows:
+        assert r.neg_label != r.query_label  # a negative, by label
+        assert labels[r.vec_id] == r.neg_label
+        assert labels[r.query_id] == r.query_label
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, lst in per_q.items():
+        lst.sort(key=lambda r: r.rn)
+        assert [r.rn for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= similarity.HARD_NEG_K
+        # scores are non-increasing in rank
+        for a, b in zip(lst, lst[1:]):
+            assert a.cosine >= b.cosine
+        # each returned negative truly beats every non-returned
+        # different-label vector (exactness of the top-k)
+        q_emb = None
+        import numpy as np
+
+        embs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_small, "embeddings").collect()
+        }
+        q_emb = embs[q]
+        qn = np.linalg.norm(q_emb)
+        scored = sorted(
+            (
+                (float(embs[v] @ q_emb / (np.linalg.norm(embs[v]) * qn)), v)
+                for v, lab in labels.items()
+                if lab != labels[q]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want = [v for _, v in scored[: len(lst)]]
+        assert [r.vec_id for r in lst] == want
+
+
+def test_anomaly_mad_hand_check(spark, sf_small):
+    import statistics
+
+    rows = {r.event_type: r for r in quality.anomaly_mad(spark, sf_small).collect()}
+    ev = [
+        r
+        for r in load_table(spark, sf_small, "events").collect()
+        if r.value is not None
+    ]
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        n_out = sum(1 for v in vals if abs(v - med) > quality.MAD_K * mad)
+        got = rows[t]
+        assert got.n == len(vals)
+        assert abs(got.median_value - med) < 1e-9
+        assert abs(got.mad - mad) < 1e-9
+        assert got.n_outliers == n_out
+
+
+def test_bigram_lm_score_hand_check(spark, sf_small):
+    from collections import Counter
+
+    docs = load_table(spark, sf_small, "documents").collect()
+    c_b: Counter = Counter()
+    c_u: Counter = Counter()
+    doc_bigrams = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        bgs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        doc_bigrams[d.doc_id] = bgs
+        for b in bgs:
+            c_b[b] += 1
+            c_u[b[0]] += 1
+    got = {r.doc_id: r for r in quality.bigram_lm_score(spark, sf_small).collect()}
+    for doc_id, bgs in doc_bigrams.items():
+        if not bgs:
+            assert doc_id not in got
+            continue
+        score = sum(round(c_b[b] / c_u[b[0]], 12) for b in bgs) / len(bgs)
+        assert got[doc_id].n_bigrams == len(bgs)
+        assert abs(got[doc_id].lm_score - score) < 1e-9
+    # discrimination: the scores are not all identical
+    scores = {r.lm_score for r in got.values()}
+    assert len(scores) > 1
+
+
+def test_vocab_coverage_invariants(spark, sf_small):
+    from collections import Counter
+
+    docs = load_table(spark, sf_small, "documents").collect()
+    wc: Counter = Counter()
+    for d in docs:
+        wc.update(d.text.split(" "))
+    vocab = {
+        w
+        for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : text.VOCAB_TOP
+        ]
+    }
+    got = {r.doc_id: r for r in text.vocab_coverage(spark, sf_small).collect()}
+    assert set(got) == {d.doc_id for d in docs}
+    for d in docs:
+        ws = d.text.split(" ")
+        n_in = sum(1 for w in ws if w in vocab)
+        r = got[d.doc_id]
+        assert r.n_tokens == len(ws)
+        assert r.n_in_vocab == n_in
+        assert abs(r.oov_rate - (1.0 - n_in / len(ws))) < 1e-12
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_partition_prune_plan_and_files(spark, sf_small, tmp_path):
+    out = str(tmp_path / "events_p")
+    ev = load_table(spark, sf_small, "events")
+    lake.partitioned_write(ev, out, "event_type")
+    import glob
+    import os
+
+    all_files = glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "purchase" in plan
+    # the scan's file listing covers only the purchase directory
+    purchase_files = [p for p in all_files if "event_type=purchase" in p]
+    assert purchase_files and len(purchase_files) < len(all_files)
+    # pruned read returns exactly the purchase rows
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert pruned.count() == n_purchase
+
+
+def test_bucketed_join_no_exchange(spark, sf_small):
+    load_table(spark, sf_small, "orders").write.mode("overwrite").bucketBy(
+        lake.N_BUCKETS, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable("orders_bkt")
+    load_table(spark, sf_small, "customer").write.mode("overwrite").bucketBy(
+        lake.N_BUCKETS, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable("customer_bkt")
+    joined = lake.colocated_join(spark)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: no shuffle before the join
+    assert "selectedBucketsCount" in plan or "Bucketed: true" in plan
+    # and the join is still correct
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer")
+    want = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert joined.count() == want
