@@ -295,7 +295,49 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ensemble weights for the curation score (lexical diversity, length
+#: normalization, language prior) — mirrors FineWeb/Gopher-style
+#: combined quality filters
+SCORE_W = (0.5, 0.3, 0.2)
+LEN_NORM_CAP = 2000
+
+
+def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble curation score + decile bucketing — the final "keep the
+    top X%" ranking a pretraining pipeline applies after the individual
+    gates: 0.5·distinct-word ratio + 0.3·capped-length norm +
+    0.2·[lang=en], then NTILE(10) deciles for threshold sweeps.
+
+    The score is a shuffle-free map pass (per-row array expressions);
+    the decile is ONE global window sort — fixture-fine, but at 100 TB
+    you'd swap NTILE for approx-quantile cut points broadcast back (a
+    two-pass assignment with no global sort; `approx_quantiles` is
+    that primitive). Every fp op token-mirrored in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / F.size(
+        words
+    ).cast("double")
+    len_norm = (
+        F.least(F.col("n_chars"), F.lit(LEN_NORM_CAP)).cast("double")
+        / F.lit(float(LEN_NORM_CAP))
+    )
+    en = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(SCORE_W[0]) * distinct_ratio
+        + F.lit(SCORE_W[1]) * len_norm
+        + F.lit(SCORE_W[2]) * en
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", score.alias("score"))
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+
+
 QUERIES = {
+    "curation_score": curation_score,
     "sample_stratified": sample_stratified,
     "pack_sequences": pack_sequences,
     "cap_per_source": cap_per_source,
@@ -308,6 +350,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "curation_score": f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST({SCORE_W[0]!r} AS DOUBLE)
+                   * (CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + CAST({SCORE_W[1]!r} AS DOUBLE)
+                   * (CAST(LEAST(n_chars, {LEN_NORM_CAP}) AS DOUBLE)
+                      / CAST({float(LEN_NORM_CAP)!r} AS DOUBLE))
+                 + CAST({SCORE_W[2]!r} AS DOUBLE)
+                   * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS score
+          FROM documents
+        )
+        SELECT doc_id, lang, score,
+               CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS decile
+        FROM scored
+    """,
     "sample_stratified": """
         SELECT doc_id, lang, source, n_chars
         FROM documents

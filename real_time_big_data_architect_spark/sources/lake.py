@@ -206,22 +206,49 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from real_time_big_data_architect_spark.tables import load_table
 
-    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
-        N_BUCKETS, "o_custkey"
-    ).sortBy("o_custkey").saveAsTable("orders_bkt")
-    load_table(spark, sf_dir, "customer").write.mode("overwrite").bucketBy(
-        N_BUCKETS, "c_custkey"
-    ).sortBy("c_custkey").saveAsTable("customer_bkt")
-    joined = colocated_join(spark)
-    out = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("revenue"),
-    )
-    return spark.createDataFrame(
-        out.collect(), "c_mktsegment string, n_orders bigint, revenue double"
-    )
+    try:
+        write_bucketed(spark, load_table(spark, sf_dir, "orders"),
+                       "o_custkey", "orders_bkt")
+        write_bucketed(spark, load_table(spark, sf_dir, "customer"),
+                       "c_custkey", "customer_bkt")
+        joined = colocated_join(spark)
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "c_mktsegment string, n_orders bigint, revenue double",
+        )
+    finally:
+        # the 5-row summary is materialized above, so the warehouse
+        # tables (full bucketed copies) need not outlive the call
+        for t in ("orders_bkt", "customer_bkt"):
+            _drop_table_and_location(spark, t)
+
+
+def write_bucketed(spark: SparkSession, df: DataFrame, key: str,
+                   name: str) -> None:
+    """(Re)create a bucketed+sorted warehouse table, robust to a stale
+    location left by a previous session: a fresh metastore doesn't
+    know the table, so ``mode("overwrite")`` alone raises
+    LOCATION_ALREADY_EXISTS against the leftover directory."""
+    _drop_table_and_location(spark, name)
+    df.write.mode("overwrite").bucketBy(N_BUCKETS, key).sortBy(
+        key
+    ).saveAsTable(name)
+
+
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
 
 
 def colocated_join(spark: SparkSession) -> DataFrame:

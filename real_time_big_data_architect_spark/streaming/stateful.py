@@ -435,6 +435,64 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
         def close(self) -> None:
             pass
 
+    #: CEP pattern: strict stage sequence with relaxed contiguity
+    #: (non-matching events are skipped, Flink CEP "followedBy")
+    CEP_STEPS = ("view", "click", "purchase")
+    #: a match must complete within this many seconds of its first step
+    #: (7 days — sized to the fixture's event density: ~59 matches at
+    #: sf0.001 with some partials still timing out, so both the match
+    #: and the window-reset paths are exercised)
+    CEP_WINDOW_S = 7 * 86400.0
+
+    class _FunnelPatternProcessor(StatefulProcessor):
+        """Streaming CEP / MATCH_RECOGNIZE analog Spark lacks natively:
+        a per-user state machine matching view→click→purchase with
+        relaxed contiguity inside a bounded window, emitting one row per
+        completed match. State is ONE (stage, started_ts) pair per
+        user — constant per key no matter how long the stream runs,
+        the property that makes CEP viable on an unbounded stream.
+        A match consumes its events (restart from stage 0); an
+        over-window partial match resets, re-starting at the current
+        event when that event is itself a first step."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "pat", "stage integer, started double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            stage, started = (
+                self._st.get() if self._st.exists() else (0, 0.0)
+            )
+            # chunks of one micro-batch arrive unordered: sort by event
+            # time (event_id tiebreak) before running the machine
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            matches = []
+            for ts_val, etype in zip(pdf["ts"], pdf["event_type"]):
+                t = ts_val.timestamp()
+                if stage > 0 and t - started > CEP_WINDOW_S:
+                    stage = 0  # partial match timed out
+                if etype == CEP_STEPS[stage]:
+                    if stage == 0:
+                        started = t
+                    stage += 1
+                    if stage == len(CEP_STEPS):
+                        matches.append((started, t))
+                        stage = 0
+            self._st.update((stage, started))
+            if matches:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(matches),
+                        "started_ts_s": [m[0] for m in matches],
+                        "completed_ts_s": [m[1] for m in matches],
+                        "duration_s": [m[1] - m[0] for m in matches],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
     TWS_AVAILABLE = True
 except Exception:  # pragma: no cover - protobuf/Spark API unusable
     TWS_AVAILABLE = False
@@ -470,6 +528,44 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         return _run_to_memory(counts, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming complex-event-processing: per-user view→click→purchase
+    matches within a bounded window via a ``transformWithStateInPandas``
+    state machine — the Flink-CEP / SQL MATCH_RECOGNIZE capability
+    Spark has no native operator for. Constant state per user (stage +
+    window start), so state volume tracks the KEY space, not stream
+    length. Rows-only: match emission is inherently sequential; the
+    semantics are locked by a Python replay of the same machine over
+    the batch fixture in tests (including a planted multi-match user).
+    """
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas unavailable")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir)
+        matches = ev.groupBy("user_id").transformWithStateInPandas(
+            _FunnelPatternProcessor(),
+            outputStructType=(
+                "user_id long, started_ts_s double, "
+                "completed_ts_s double, duration_s double"
+            ),
+            outputMode="Append",
+            timeMode="None",
+        )
+        return _run_to_memory(matches, "append")
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -539,6 +635,7 @@ if TWS_AVAILABLE:
     # applyInPandasWithState twin (stream_stateful_counts) covers the
     # same semantics everywhere else
     QUERIES["stream_transform_with_state"] = stream_transform_with_state
+    QUERIES["stream_pattern_cep"] = stream_pattern_cep
 
 # Watermark-emission and update-mode outputs are engine-timing-specific
 # (rows-only by design), but the poll tick runs in COMPLETE mode: after

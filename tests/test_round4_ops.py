@@ -15,6 +15,7 @@ from real_time_big_data_architect_spark.operators import (
     windows,
 )
 from real_time_big_data_architect_spark.sources import lake
+from real_time_big_data_architect_spark.streaming import stateful
 from real_time_big_data_architect_spark.tables import load_table
 
 
@@ -261,12 +262,15 @@ def test_partition_prune_plan_and_files(spark, sf_small, tmp_path):
 
 
 def test_bucketed_join_no_exchange(spark, sf_small):
-    load_table(spark, sf_small, "orders").write.mode("overwrite").bucketBy(
-        lake.N_BUCKETS, "o_custkey"
-    ).sortBy("o_custkey").saveAsTable("orders_bkt")
-    load_table(spark, sf_small, "customer").write.mode("overwrite").bucketBy(
-        lake.N_BUCKETS, "c_custkey"
-    ).sortBy("c_custkey").saveAsTable("customer_bkt")
+    lake.write_bucketed(
+        spark, load_table(spark, sf_small, "orders"), "o_custkey", "orders_bkt"
+    )
+    lake.write_bucketed(
+        spark,
+        load_table(spark, sf_small, "customer"),
+        "c_custkey",
+        "customer_bkt",
+    )
     joined = lake.colocated_join(spark)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
@@ -277,3 +281,63 @@ def test_bucketed_join_no_exchange(spark, sf_small):
     c = load_table(spark, sf_small, "customer")
     want = o.join(c, o.o_custkey == c.c_custkey).count()
     assert joined.count() == want
+
+
+def test_stream_pattern_cep_matches_python_replay(spark, sf_small):
+    """The streaming CEP machine equals a sequential replay of the same
+    state machine over the batch fixture in event-time order."""
+    # NOTE: stateful is imported at module top — its protobuf/PYTHONPATH
+    # probe must run BEFORE the session fixture launches the JVM, or the
+    # TWS state-server worker can't import the processor class
+    import pytest
+
+    if not stateful.TWS_AVAILABLE:
+        pytest.skip("transformWithStateInPandas unavailable")
+    got = sorted(
+        (r.user_id, round(r.started_ts_s, 6), round(r.completed_ts_s, 6))
+        for r in stateful.stream_pattern_cep(spark, sf_small).collect()
+    )
+    ev = sorted(
+        load_table(spark, sf_small, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = []
+    state: dict = {}
+    for r in ev:
+        stage, started = state.get(r.user_id, (0, 0.0))
+        t = r.ts.timestamp()
+        if stage > 0 and t - started > stateful.CEP_WINDOW_S:
+            stage = 0
+        if r.event_type == stateful.CEP_STEPS[stage]:
+            if stage == 0:
+                started = t
+            stage += 1
+            if stage == len(stateful.CEP_STEPS):
+                want.append((r.user_id, round(started, 6), round(t, 6)))
+                stage = 0
+        state[r.user_id] = (stage, started)
+    assert got == sorted(want)
+    assert got  # the fixture actually produces matches
+    # durations honor the pattern window
+    for _, s, c in got:
+        assert 0.0 <= c - s <= stateful.CEP_WINDOW_S
+
+
+def test_curation_score_deciles(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import curation
+
+    rows = curation.curation_score(spark, sf_small).collect()
+    n = len(rows)
+    assert n > 0
+    from collections import Counter
+
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE balance
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0 + 1e-12
+    # decile ordering respects score ordering
+    by_decile = sorted(rows, key=lambda r: (r.decile, -r.score))
+    for a, b in zip(by_decile, by_decile[1:]):
+        if a.decile < b.decile:
+            assert a.score >= b.score - 1e-12

@@ -114,6 +114,36 @@ def main() -> None:
         n_li = li.count()
         results.append(_timed("star_join", mult, n_li, star))
 
+    # bloom-pruned join: the dim (ASIA customers) stays fixed while the
+    # fact side multiplies — the runtime-filter's sweet spot. The probe
+    # is k broadcast semi-joins, so cost must track the fact scan.
+    from real_time_big_data_architect_spark.operators.joins import (  # noqa: E402
+        bloom_prune,
+    )
+
+    bloom_dim = (
+        dims["customer"]
+        .join(F.broadcast(dims["nation"]),
+              dims["customer"].c_nationkey == dims["nation"].n_nationkey)
+        .join(F.broadcast(dims["region"]),
+              dims["nation"].n_regionkey == dims["region"].r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    n_o = o_base.count()
+    for mult in MULTS:
+        o = _scaled(o_base, "o_orderkey", mult, 100_000_000)
+        pruned = bloom_prune(o, "o_custkey", bloom_dim, "c_custkey")
+        results.append(_timed(
+            "bloom_prune_join", mult, n_o * mult,
+            pruned.join(bloom_dim,
+                        pruned.o_custkey == bloom_dim.c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .alias("rev")),
+        ))
+
     for mult in MULTS:
         docs = _scaled(doc_base, "doc_id", mult, 10_000_000)
         # Arrow kernel: embarrassingly parallel per-doc compute
@@ -136,6 +166,8 @@ def main() -> None:
 
     from real_time_big_data_architect_spark.operators import (  # noqa: E402
         dedup as dedup_ops,
+        graph as graph_ops,
+        quality as quality_ops,
         similarity as sim_ops,
     )
 
@@ -174,6 +206,19 @@ def main() -> None:
             functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
                 "overwrite"
             ).parquet(f"{d}/embeddings.parquet")
+            # events: offset user_id per copy → disjoint subgraphs, so
+            # graph size (nodes AND edges) scales with the multiplier
+            ev_copies = [
+                ev_base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+                )
+                for c in range(mult)
+            ]
+            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/events.parquet")
 
             # these operators materialize stages DURING construction
             # (persist, localCheckpoint, centroid training), so they
@@ -208,6 +253,14 @@ def main() -> None:
             results.append(_timed_e2e(
                 "ivf_topk", n_emb * mult,
                 lambda: sim_ops.ivf_topk(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "triangle_count", n_ev * mult,
+                lambda: graph_ops.triangle_count(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "bigram_lm_score", n_doc * mult,
+                lambda: quality_ops.bigram_lm_score(spark, d),
             ))
             spark.catalog.clearCache()  # drop per-dir persisted stages
     finally:
