@@ -497,11 +497,14 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # persisted: four consumers (one bit relation per seed + the final
+    # exact join) would otherwise each re-run the dim-side join chain
     dim = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey")
+        .persist()
     )
     pruned = bloom_prune(o, "o_custkey", dim, "c_custkey")
     return (

@@ -229,9 +229,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(words, 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # persisted: three consumers (both model counts + the probe join)
+    # would otherwise each re-run the corpus-wide bigram explode
     inst = docs.select(
         "doc_id", F.explode(bigrams).alias("bigram")
-    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)).persist()
     model_b = inst.groupBy("bigram").agg(F.count("*").alias("c_b"))
     model_u = inst.groupBy("w1").agg(F.count("*").alias("c_u"))
     scored = (

@@ -74,6 +74,42 @@ def _norm(a):
     )
 
 
+def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are per-VECTOR, so compute them once before the join — not
+    # per pair (which would fold each 64-element array Q extra times).
+    return fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+
+
+def _broadcast_cosine_topk(e: DataFrame, q: DataFrame, keep, k: int,
+                           extra_cols: tuple = ()) -> DataFrame:
+    """Shared broadcast-scored top-k: the query set broadcasts, the
+    corpus scan computes score rows in one codegen stage (``keep``
+    prunes candidate rows BEFORE the window shuffle), row_number keeps
+    k per query with the deterministic (cosine DESC, vec_id) tiebreak
+    the _dot contract makes oracle-checkable. Both cosine_topk and
+    hard_negatives ride this one pipeline so the scoring/tiebreak
+    semantics cannot diverge."""
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(keep)
+        .select(
+            "query_id",
+            "vec_id",
+            *extra_cols,
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: queries × corpus, window top-k per query.
 
@@ -82,34 +118,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are bit-reproducible cross-engine (see _dot), so this query
     is fully oracle-checked including rank order.
     """
-    # Norms are per-VECTOR, so compute them once before the join — not
-    # per pair (which would fold each 64-element array Q extra times).
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    e = _corpus_with_norms(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (F.col("nrm") * F.col("q_nrm"))
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rn")
-    )
+    return _broadcast_cosine_topk(
+        e, q, F.col("vec_id") != F.col("query_id"), TOP_K
+    ).select("query_id", "vec_id", "cosine", "rn")
 
 
 def _lsh_bucket(emb_col):
@@ -680,35 +697,20 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label neighborhoods don't starve the top-k. Bit-reproducible
     scores (see _dot), fully oracle-checked including rank order.
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    e = _corpus_with_norms(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("label") != F.col("query_label"))
-        .select(
-            "query_id",
-            "query_label",
-            "vec_id",
-            F.col("label").alias("neg_label"),
-            (
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (F.col("nrm") * F.col("q_nrm"))
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= HARD_NEG_K)
-        .select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rn")
-    )
+    return _broadcast_cosine_topk(
+        e,
+        q,
+        F.col("label") != F.col("query_label"),
+        HARD_NEG_K,
+        extra_cols=("query_label", F.col("label").alias("neg_label")),
+    ).select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rn")
 
 
 QUERIES = {

@@ -322,11 +322,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab; per-doc coverage is one re-aggregation on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: the vocabulary count and the coverage join both
+    # consume the corpus-wide word explode
     inst = docs.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.col("text"), " ")).alias("word"),
-    )
+    ).persist()
     wc = inst.groupBy("word").agg(F.count("*").alias("c"))
     w_rank = W.orderBy(F.col("c").desc(), F.col("word"))
     vocab = (

@@ -453,7 +453,17 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
         the property that makes CEP viable on an unbounded stream.
         A match consumes its events (restart from stage 0); an
         over-window partial match resets, re-starting at the current
-        event when that event is itself a first step."""
+        event when that event is itself a first step.
+
+        Ordering contract: ARRIVAL-time mode (events are sorted by
+        event time only WITHIN each micro-batch; batches apply in
+        arrival order). Cross-batch event-time disorder can therefore
+        miss or reorder matches — the same contract as arrival-time
+        CEP engines. Full event-time mode needs watermark-gated
+        buffering (ListState + event-time timers: hold rows until the
+        watermark passes, then run the machine over the ordered
+        prefix) — the state cost rises from O(1) to O(in-flight
+        window) per key, which is why arrival mode is the default."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._st = handle.getValueState(

@@ -130,6 +130,12 @@ def test_hard_negatives_label_disjoint_topk(spark, sf_small):
         r.vec_id: r.label
         for r in load_table(spark, sf_small, "embeddings").collect()
     }
+    import numpy as np
+
+    embs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
     per_q: dict = {}
     for r in rows:
         assert r.neg_label != r.query_label  # a negative, by label
@@ -145,13 +151,6 @@ def test_hard_negatives_label_disjoint_topk(spark, sf_small):
             assert a.cosine >= b.cosine
         # each returned negative truly beats every non-returned
         # different-label vector (exactness of the top-k)
-        q_emb = None
-        import numpy as np
-
-        embs = {
-            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
-            for r in load_table(spark, sf_small, "embeddings").collect()
-        }
         q_emb = embs[q]
         qn = np.linalg.norm(q_emb)
         scored = sorted(
@@ -262,25 +261,32 @@ def test_partition_prune_plan_and_files(spark, sf_small, tmp_path):
 
 
 def test_bucketed_join_no_exchange(spark, sf_small):
-    lake.write_bucketed(
-        spark, load_table(spark, sf_small, "orders"), "o_custkey", "orders_bkt"
-    )
-    lake.write_bucketed(
-        spark,
-        load_table(spark, sf_small, "customer"),
-        "c_custkey",
-        "customer_bkt",
-    )
-    joined = lake.colocated_join(spark)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan  # co-located: no shuffle before the join
-    assert "selectedBucketsCount" in plan or "Bucketed: true" in plan
-    # and the join is still correct
-    o = load_table(spark, sf_small, "orders")
-    c = load_table(spark, sf_small, "customer")
-    want = o.join(c, o.o_custkey == c.c_custkey).count()
-    assert joined.count() == want
+    try:
+        lake.write_bucketed(
+            spark,
+            load_table(spark, sf_small, "orders"),
+            "o_custkey",
+            "orders_bkt",
+        )
+        lake.write_bucketed(
+            spark,
+            load_table(spark, sf_small, "customer"),
+            "c_custkey",
+            "customer_bkt",
+        )
+        joined = lake.colocated_join(spark)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no pre-join shuffle
+        assert "selectedBucketsCount" in plan or "Bucketed: true" in plan
+        # and the join is still correct
+        o = load_table(spark, sf_small, "orders")
+        c = load_table(spark, sf_small, "customer")
+        want = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert joined.count() == want
+    finally:
+        for t in ("orders_bkt", "customer_bkt"):
+            lake._drop_table_and_location(spark, t)
 
 
 def test_stream_pattern_cep_matches_python_replay(spark, sf_small):

@@ -206,13 +206,23 @@ def main() -> None:
             functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
                 "overwrite"
             ).parquet(f"{d}/embeddings.parquet")
-            # events: offset user_id per copy → disjoint subgraphs, so
-            # graph size (nodes AND edges) scales with the multiplier
+            # events: offset user_id AND ts per copy. The user offset
+            # alone is not enough for a disjoint-subgraph claim: the
+            # transition-edge window orders by ts within event_type, and
+            # same-ts rows from different copies would interleave,
+            # manufacturing cross-copy edges. Shifting each copy by 20
+            # years puts copies in disjoint time ranges, so the lead()
+            # chain stays within a copy (except one boundary hop per
+            # event_type where a copy's last event leads into the next
+            # copy — O(mult) edges among ~100k, noise) and the graph is
+            # mult near-disjoint replicas.
             ev_copies = [
                 ev_base.withColumn(
                     "event_id", F.col("event_id") + F.lit(c * 10_000_000)
                 ).withColumn(
                     "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
                 )
                 for c in range(mult)
             ]
