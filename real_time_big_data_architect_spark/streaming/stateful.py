@@ -503,6 +503,93 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
         def close(self) -> None:
             pass
 
+    class _EventTimeFunnelProcessor(StatefulProcessor):
+        """EVENT-TIME mode of the funnel CEP: out-of-order arrivals are
+        buffered in a ListState and the state machine only ever
+        consumes the watermark-closed prefix in event-time order — so
+        cross-batch disorder (the arrival-mode processor's documented
+        blind spot) cannot miss or reorder matches. Event-time timers
+        drain keys that stop receiving input: each batch (re)arms a
+        timer at the earliest buffered timestamp; when the watermark
+        passes it, handleExpiredTimer replays the newly-closed prefix.
+        State is O(in-flight watermark horizon) per key — the price of
+        event-time correctness, bounded by the watermark delay, exactly
+        as in Flink CEP."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "buf", "ts_ms long, event_id long, event_type string"
+            )
+            self._pat = handle.getValueState(
+                "pat", "stage integer, started_ms long"
+            )
+            self._handle = handle
+
+        def _drain(self, key, wm_ms: int):
+            buf = [tuple(r) for r in self._buf.get()]
+            ready = sorted(
+                (r for r in buf if r[0] <= wm_ms), key=lambda r: (r[0], r[1])
+            )
+            rest = [r for r in buf if r[0] > wm_ms]
+            stage, started = (
+                self._pat.get() if self._pat.exists() else (0, 0)
+            )
+            matches = []
+            win_ms = int(CEP_WINDOW_S * 1000)
+            for ts_ms, _eid, etype in ready:
+                if stage > 0 and ts_ms - started > win_ms:
+                    stage = 0
+                if etype == CEP_STEPS[stage]:
+                    if stage == 0:
+                        started = ts_ms
+                    stage += 1
+                    if stage == len(CEP_STEPS):
+                        matches.append((started, ts_ms))
+                        stage = 0
+            self._pat.update((stage, started))
+            self._buf.clear()
+            if rest:
+                self._buf.put(rest)
+                self._handle.registerTimer(min(r[0] for r in rest))
+            if matches:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(matches),
+                        "started_ts_s": [m[0] / 1000.0 for m in matches],
+                        "completed_ts_s": [m[1] / 1000.0 for m in matches],
+                        "duration_s": [
+                            (m[1] - m[0]) / 1000.0 for m in matches
+                        ],
+                    }
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                for ts_val, eid, etype in zip(
+                    pdf["ts"], pdf["event_id"], pdf["event_type"]
+                ):
+                    # FLOOR to ms, matching Spark's own watermark
+                    # arithmetic (event-time µs // 1000): a rounded-up
+                    # ts_ms would exceed the final watermark and the
+                    # stream's last events would never drain
+                    new.append(
+                        (
+                            int(ts_val.timestamp() * 1000),
+                            int(eid),
+                            str(etype),
+                        )
+                    )
+            if new:
+                self._buf.appendList(new)
+            yield from self._drain(key, timerValues.getCurrentWatermarkInMs())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield from self._drain(key, timerValues.getCurrentWatermarkInMs())
+
+        def close(self) -> None:
+            pass
+
     TWS_AVAILABLE = True
 except Exception:  # pragma: no cover - protobuf/Spark API unusable
     TWS_AVAILABLE = False
@@ -583,6 +670,55 @@ def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
+def stream_pattern_cep_eventtime(
+    spark: SparkSession, sf_dir: str, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """EVENT-TIME streaming CEP: same view→click→purchase pattern as
+    stream_pattern_cep, but watermark-gated — arrivals buffer in a
+    ListState and the machine consumes only the watermark-closed prefix
+    in event-time order, with event-time timers draining quiet keys.
+    Cross-batch out-of-order arrival therefore CANNOT change the match
+    set (proven by the out-of-order two-file test), at the cost of
+    O(watermark horizon) state per key instead of O(1). A zero-second
+    watermark delay on the drained availableNow run closes every
+    prefix by stream end, so the full fixture's matches all emit.
+    """
+    if not TWS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas unavailable")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        # the watermark delay is the disorder tolerance: arrivals more
+        # than `watermark_delay` behind the max seen event time are
+        # late data (dropped upstream of the operator). 0 seconds for
+        # the declared single-file run (no disorder, every prefix
+        # closes by stream end); the out-of-order test passes a real
+        # delay sized to its planted disorder.
+        ev = _events_stream(spark, sf_dir).withWatermark(
+            "ts", watermark_delay
+        )
+        matches = ev.groupBy("user_id").transformWithStateInPandas(
+            _EventTimeFunnelProcessor(),
+            outputStructType=(
+                "user_id long, started_ts_s double, "
+                "completed_ts_s double, duration_s double"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        return _run_to_memory(matches, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition
     (NS5): each purchase joins the same user's views from the
@@ -646,6 +782,7 @@ if TWS_AVAILABLE:
     # same semantics everywhere else
     QUERIES["stream_transform_with_state"] = stream_transform_with_state
     QUERIES["stream_pattern_cep"] = stream_pattern_cep
+    QUERIES["stream_pattern_cep_eventtime"] = stream_pattern_cep_eventtime
 
 # Watermark-emission and update-mode outputs are engine-timing-specific
 # (rows-only by design), but the poll tick runs in COMPLETE mode: after

@@ -347,3 +347,75 @@ def test_curation_score_deciles(spark, sf_small):
     for a, b in zip(by_decile, by_decile[1:]):
         if a.decile < b.decile:
             assert a.score >= b.score - 1e-12
+
+
+def test_stream_pattern_cep_eventtime_out_of_order(
+    spark, sf_small, tmp_path_factory
+):
+    """Cross-batch event-time disorder must not change the event-time
+    CEP's match set: the fixture is split into two files that arrive
+    with interleaved (out-of-order) event times, bounded within the
+    watermark delay; the match set must equal the replay over the
+    watermark-closed, event-time-ordered prefix."""
+    import os
+
+    import pytest
+
+    if not stateful.TWS_AVAILABLE:
+        pytest.skip("transformWithStateInPandas unavailable")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_small, "events.parquet"))
+    order = pa.compute.sort_indices(
+        src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    ordered = src.take(order)
+    evens = ordered.take(pa.array(range(0, ordered.num_rows, 2)))
+    odds = ordered.take(pa.array(range(1, ordered.num_rows, 2)))
+    d = tmp_path_factory.mktemp("ooo_events")
+    pq.write_table(evens, str(d / "events0.parquet"))
+    pq.write_table(odds, str(d / "events1.parquet"))
+    # arrival order: evens first (older mtime), odds second — every
+    # odd event arrives AFTER its ts-successor even event: bounded
+    # cross-batch disorder, inside the 7-day watermark delay
+    now = os.path.getmtime(str(d / "events1.parquet"))
+    os.utime(str(d / "events0.parquet"), (now - 100, now - 100))
+
+    delay_s = 7 * 86400
+    got = sorted(
+        (r.user_id, int(r.started_ts_s * 1000), int(r.completed_ts_s * 1000))
+        for r in stateful.stream_pattern_cep_eventtime(
+            spark, str(d), watermark_delay=f"{delay_s} seconds"
+        ).collect()
+    )
+    # replay: the machine over the event-time-ordered prefix the final
+    # watermark closed (floor-ms semantics, matching Spark's wm math)
+    ev = sorted(
+        load_table(spark, sf_small, "events").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    max_ms = max(int(r.ts.timestamp() * 1000) for r in ev)
+    wm_ms = max_ms - delay_s * 1000
+    want = []
+    state: dict = {}
+    win_ms = int(stateful.CEP_WINDOW_S * 1000)
+    by_user: dict = {}
+    for r in ev:
+        if int(r.ts.timestamp() * 1000) <= wm_ms:
+            by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows_u in by_user.items():
+        stage, started = 0, 0
+        for r in rows_u:
+            t = int(r.ts.timestamp() * 1000)
+            if stage > 0 and t - started > win_ms:
+                stage = 0
+            if r.event_type == stateful.CEP_STEPS[stage]:
+                if stage == 0:
+                    started = t
+                stage += 1
+                if stage == len(stateful.CEP_STEPS):
+                    want.append((uid, started, t))
+                    stage = 0
+    assert got == sorted(want)
+    assert got  # disorder inside the delay: matches still found
