@@ -167,10 +167,92 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cdc_diff change-set rules (mirrored in the oracle SQL)
+CDC_DELETE_MOD = 11
+CDC_DELETE_R = 3
+CDC_UPDATE_MOD = 7
+CDC_INSERT_MOD = 13
+CDC_INSERT_R = 5
+CDC_KEY_SHIFT = 100_000_000
+
+
+def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed between two table snapshots — Delta
+    CDF semantics (``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage`` rows), derived purely by DIFFING the
+    snapshots, not by replaying the writes: the recovery path when a
+    table has no change log, and the verification path when it does.
+
+    v2 applies a deterministic change set to orders (deletes, updates,
+    shifted-key inserts — so the oracle rebuilds it exactly); the feed
+    itself is one full-outer join on the key + row classification, and
+    updates emit their pre- and post-image. One co-partitioned shuffle
+    per side at any scale; unchanged rows never leave the join.
+    """
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    is_del = key % CDC_DELETE_MOD == CDC_DELETE_R
+    is_upd = (key % CDC_UPDATE_MOD == 0) & ~is_del
+    survivors = v1.filter(~is_del).select(
+        "o_orderkey",
+        F.when(is_upd, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(is_upd, F.col("o_totalprice") + F.lit(100.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = v1.filter(key % CDC_INSERT_MOD == CDC_INSERT_R).select(
+        (key + CDC_KEY_SHIFT).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    v2 = survivors.unionAll(inserts)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, "o_orderkey", "full_outer")
+    ins = j.filter(F.col("a.o_orderstatus").isNull()).select(
+        "o_orderkey",
+        F.lit("insert").alias("change_type"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.o_totalprice").alias("o_totalprice"),
+    )
+    dels = j.filter(F.col("b.o_orderstatus").isNull()).select(
+        "o_orderkey",
+        F.lit("delete").alias("change_type"),
+        F.col("a.o_orderstatus").alias("o_orderstatus"),
+        F.col("a.o_totalprice").alias("o_totalprice"),
+    )
+    changed = j.filter(
+        F.col("a.o_orderstatus").isNotNull()
+        & F.col("b.o_orderstatus").isNotNull()
+        & (
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        )
+    )
+    pre = changed.select(
+        "o_orderkey",
+        F.lit("update_preimage").alias("change_type"),
+        F.col("a.o_orderstatus").alias("o_orderstatus"),
+        F.col("a.o_totalprice").alias("o_totalprice"),
+    )
+    post = changed.select(
+        "o_orderkey",
+        F.lit("update_postimage").alias("change_type"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.o_totalprice").alias("o_totalprice"),
+    )
+    return ins.unionAll(dels).unionAll(pre).unionAll(post)
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
     "zorder_layout": zorder_layout,
+    "cdc_diff": cdc_diff,
 }
 
 def _zorder_oracle() -> str:
@@ -199,6 +281,45 @@ def _zorder_oracle() -> str:
 
 
 ORACLE = {
+    "cdc_diff": f"""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+                        THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+                        THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM v1
+            WHERE NOT (o_orderkey % {CDC_DELETE_MOD} = {CDC_DELETE_R})
+            UNION ALL
+            SELECT o_orderkey + {CDC_KEY_SHIFT}, 'N', o_totalprice
+            FROM v1
+            WHERE o_orderkey % {CDC_INSERT_MOD} = {CDC_INSERT_R}
+        ),
+        j AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   a.o_orderstatus AS a_status, a.o_totalprice AS a_price,
+                   b.o_orderstatus AS b_status, b.o_totalprice AS b_price
+            FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT o_orderkey, 'insert' AS change_type,
+               b_status AS o_orderstatus, b_price AS o_totalprice
+        FROM j WHERE a_status IS NULL
+        UNION ALL
+        SELECT o_orderkey, 'delete', a_status, a_price
+        FROM j WHERE b_status IS NULL
+        UNION ALL
+        SELECT o_orderkey, 'update_preimage', a_status, a_price
+        FROM j WHERE a_status IS NOT NULL AND b_status IS NOT NULL
+          AND (a_status <> b_status OR a_price <> b_price)
+        UNION ALL
+        SELECT o_orderkey, 'update_postimage', b_status, b_price
+        FROM j WHERE a_status IS NOT NULL AND b_status IS NOT NULL
+          AND (a_status <> b_status OR a_price <> b_price)
+    """,
     "zorder_layout": _zorder_oracle(),
     "merge_upsert": """
         WITH base AS (

@@ -419,3 +419,37 @@ def test_stream_pattern_cep_eventtime_out_of_order(
                     stage = 0
     assert got == sorted(want)
     assert got  # disorder inside the delay: matches still found
+
+
+def test_cdc_diff_invariants(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import mutations as mu
+
+    rows = mu.cdc_diff(spark, sf_small).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    assert set(by_type) == {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+    # pre/post images pair exactly on keys
+    pre = {r.o_orderkey for r in by_type["update_preimage"]}
+    post = {r.o_orderkey for r in by_type["update_postimage"]}
+    assert pre == post
+    # applying the feed to v1 reproduces v2 key membership
+    v1 = {
+        r.o_orderkey
+        for r in load_table(spark, sf_small, "orders").collect()
+    }
+    inserted = {r.o_orderkey for r in by_type["insert"]}
+    deleted = {r.o_orderkey for r in by_type["delete"]}
+    assert inserted.isdisjoint(v1)
+    assert deleted <= v1 and pre <= v1
+    # every update really changed something
+    pre_map = {r.o_orderkey: r for r in by_type["update_preimage"]}
+    for r in by_type["update_postimage"]:
+        p = pre_map[r.o_orderkey]
+        assert (p.o_orderstatus, p.o_totalprice) != (
+            r.o_orderstatus,
+            r.o_totalprice,
+        )
