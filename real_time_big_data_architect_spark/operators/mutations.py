@@ -173,7 +173,6 @@ CDC_DELETE_R = 3
 CDC_UPDATE_MOD = 7
 CDC_INSERT_MOD = 13
 CDC_INSERT_R = 5
-CDC_KEY_SHIFT = 100_000_000
 
 
 def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +187,7 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is one full-outer join on the key + row classification, and
     updates emit their pre- and post-image. One co-partitioned shuffle
     per side at any scale; unchanged rows never leave the join.
+    Insert keys shift past max(o_orderkey), collision-free at any SF.
     """
     v1 = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -204,10 +204,18 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
-    inserts = v1.filter(key % CDC_INSERT_MOD == CDC_INSERT_R).select(
-        (key + CDC_KEY_SHIFT).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
+    # insert keys shift by max(key)+1 — collision-free at every SF,
+    # unlike any fixed constant (TPC-H orderkeys reach 6e6·SF); the
+    # 1-row max broadcasts, the oracle mirrors it as a scalar subquery
+    mx = v1.agg(F.max(key).alias("mx"))
+    inserts = (
+        v1.filter(key % CDC_INSERT_MOD == CDC_INSERT_R)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (key + F.col("mx") + F.lit(1)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
     )
     v2 = survivors.unionAll(inserts)
     a = v1.alias("a")
@@ -295,7 +303,8 @@ ORACLE = {
             FROM v1
             WHERE NOT (o_orderkey % {CDC_DELETE_MOD} = {CDC_DELETE_R})
             UNION ALL
-            SELECT o_orderkey + {CDC_KEY_SHIFT}, 'N', o_totalprice
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM v1),
+                   'N', o_totalprice
             FROM v1
             WHERE o_orderkey % {CDC_INSERT_MOD} = {CDC_INSERT_R}
         ),

@@ -444,6 +444,24 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
     #: and the window-reset paths are exercised)
     CEP_WINDOW_S = 7 * 86400.0
 
+    def _cep_advance(stage, started, t, etype, window):
+        """One step of the funnel machine — the single source of truth
+        for both CEP processors (arrival mode runs it on float seconds,
+        event-time mode on int milliseconds; the logic is pure
+        comparisons/arithmetic, valid for either unit). Returns
+        (stage, started, match-or-None)."""
+        if stage > 0 and t - started > window:
+            stage = 0  # partial match timed out
+        match = None
+        if etype == CEP_STEPS[stage]:
+            if stage == 0:
+                started = t
+            stage += 1
+            if stage == len(CEP_STEPS):
+                match = (started, t)
+                stage = 0
+        return stage, started, match
+
     class _FunnelPatternProcessor(StatefulProcessor):
         """Streaming CEP / MATCH_RECOGNIZE analog Spark lacks natively:
         a per-user state machine matching view→click→purchase with
@@ -479,16 +497,11 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
             matches = []
             for ts_val, etype in zip(pdf["ts"], pdf["event_type"]):
-                t = ts_val.timestamp()
-                if stage > 0 and t - started > CEP_WINDOW_S:
-                    stage = 0  # partial match timed out
-                if etype == CEP_STEPS[stage]:
-                    if stage == 0:
-                        started = t
-                    stage += 1
-                    if stage == len(CEP_STEPS):
-                        matches.append((started, t))
-                        stage = 0
+                stage, started, m = _cep_advance(
+                    stage, started, ts_val.timestamp(), etype, CEP_WINDOW_S
+                )
+                if m:
+                    matches.append(m)
             self._st.update((stage, started))
             if matches:
                 yield pd.DataFrame(
@@ -507,11 +520,19 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
         """EVENT-TIME mode of the funnel CEP: out-of-order arrivals are
         buffered in a ListState and the state machine only ever
         consumes the watermark-closed prefix in event-time order — so
-        cross-batch disorder (the arrival-mode processor's documented
-        blind spot) cannot miss or reorder matches. Event-time timers
-        drain keys that stop receiving input: each batch (re)arms a
-        timer at the earliest buffered timestamp; when the watermark
-        passes it, handleExpiredTimer replays the newly-closed prefix.
+        cross-batch disorder WITHIN the watermark delay (the
+        arrival-mode processor's documented blind spot) cannot miss or
+        reorder matches. Event-time timers drain keys that stop
+        receiving input: each batch (re)arms a timer at the earliest
+        buffered timestamp; when the watermark passes it,
+        handleExpiredTimer replays the newly-closed prefix.
+
+        Lateness contract: this Spark build's TWS operator does NOT
+        filter late rows upstream, so the processor enforces lateness
+        itself — an arrival at or below the already-drained watermark
+        is DISCARDED (its position in the event-time order was already
+        consumed; replaying it would corrupt the machine). This is the
+        standard drop-late-data semantics, applied at the operator.
         State is O(in-flight watermark horizon) per key — the price of
         event-time correctness, bounded by the watermark delay, exactly
         as in Flink CEP."""
@@ -523,13 +544,24 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             self._pat = handle.getValueState(
                 "pat", "stage integer, started_ms long"
             )
+            #: high-water mark of everything already consumed: the
+            #: lateness gate for new arrivals
+            self._dwm = handle.getValueState("dwm", "wm_ms long")
             self._handle = handle
 
         def _drain(self, key, wm_ms: int):
             buf = [tuple(r) for r in self._buf.get()]
+            if not buf:
+                return
             ready = sorted(
                 (r for r in buf if r[0] <= wm_ms), key=lambda r: (r[0], r[1])
             )
+            if not ready:
+                # nothing closed yet: leave buffer and machine state
+                # untouched (no state-store rewrite) and keep a timer
+                # armed at the earliest buffered event
+                self._handle.registerTimer(min(r[0] for r in buf))
+                return
             rest = [r for r in buf if r[0] > wm_ms]
             stage, started = (
                 self._pat.get() if self._pat.exists() else (0, 0)
@@ -537,16 +569,13 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             matches = []
             win_ms = int(CEP_WINDOW_S * 1000)
             for ts_ms, _eid, etype in ready:
-                if stage > 0 and ts_ms - started > win_ms:
-                    stage = 0
-                if etype == CEP_STEPS[stage]:
-                    if stage == 0:
-                        started = ts_ms
-                    stage += 1
-                    if stage == len(CEP_STEPS):
-                        matches.append((started, ts_ms))
-                        stage = 0
+                stage, started, m = _cep_advance(
+                    stage, started, ts_ms, etype, win_ms
+                )
+                if m:
+                    matches.append(m)
             self._pat.update((stage, started))
+            self._dwm.update((wm_ms,))
             self._buf.clear()
             if rest:
                 self._buf.put(rest)
@@ -564,6 +593,7 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                 )
 
         def handleInputRows(self, key, rows, timerValues):
+            drained = self._dwm.get()[0] if self._dwm.exists() else -1
             new = []
             for pdf in rows:
                 for ts_val, eid, etype in zip(
@@ -573,13 +603,10 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                     # arithmetic (event-time µs // 1000): a rounded-up
                     # ts_ms would exceed the final watermark and the
                     # stream's last events would never drain
-                    new.append(
-                        (
-                            int(ts_val.timestamp() * 1000),
-                            int(eid),
-                            str(etype),
-                        )
-                    )
+                    ts_ms = int(ts_val.timestamp() * 1000)
+                    if ts_ms <= drained:
+                        continue  # late: its prefix was already consumed
+                    new.append((ts_ms, int(eid), str(etype)))
             if new:
                 self._buf.appendList(new)
             yield from self._drain(key, timerValues.getCurrentWatermarkInMs())
@@ -595,6 +622,31 @@ except Exception:  # pragma: no cover - protobuf/Spark API unusable
     TWS_AVAILABLE = False
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """TWS state uses column families, which the default HDFS-backed
+    store lacks — RocksDB (the production provider, bundled with
+    Spark 4) is required. Scoped: the conf binds at stream start and is
+    restored so other streaming queries keep the session default."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running counters via ``transformWithStateInPandas`` —
     the Spark 4 arbitrary-state API (explicit ValueState handle), the
@@ -604,19 +656,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
-    # TWS state uses column families, which the default HDFS-backed
-    # store lacks — RocksDB (the production provider, bundled with
-    # Spark 4) is required. Scope the conf to this query: it binds at
-    # stream start, and is restored so other streaming queries keep
-    # the session default.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         ev = _events_stream(spark, sf_dir)
         counts = ev.groupBy("user_id").transformWithStateInPandas(
             _UserActivityProcessor(),
@@ -625,11 +665,6 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         return _run_to_memory(counts, "update")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,14 +679,7 @@ def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         ev = _events_stream(spark, sf_dir)
         matches = ev.groupBy("user_id").transformWithStateInPandas(
             _FunnelPatternProcessor(),
@@ -663,11 +691,6 @@ def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         return _run_to_memory(matches, "append")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def stream_pattern_cep_eventtime(
@@ -677,28 +700,24 @@ def stream_pattern_cep_eventtime(
     stream_pattern_cep, but watermark-gated — arrivals buffer in a
     ListState and the machine consumes only the watermark-closed prefix
     in event-time order, with event-time timers draining quiet keys.
-    Cross-batch out-of-order arrival therefore CANNOT change the match
-    set (proven by the out-of-order two-file test), at the cost of
-    O(watermark horizon) state per key instead of O(1). A zero-second
-    watermark delay on the drained availableNow run closes every
+    Cross-batch disorder WITHIN the watermark delay therefore cannot
+    change the match set (proven by the out-of-order multi-file test);
+    arrivals later than the already-drained watermark are discarded by
+    the processor (this build's TWS forwards rather than filters late
+    rows). Cost: O(watermark horizon) state per key instead of O(1).
+    A zero-second delay on the drained availableNow run closes every
     prefix by stream end, so the full fixture's matches all emit.
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        # the watermark delay is the disorder tolerance: arrivals more
-        # than `watermark_delay` behind the max seen event time are
-        # late data (dropped upstream of the operator). 0 seconds for
-        # the declared single-file run (no disorder, every prefix
-        # closes by stream end); the out-of-order test passes a real
-        # delay sized to its planted disorder.
+    with _rocksdb_state_store(spark):
+        # the watermark delay is the disorder tolerance: the processor
+        # discards arrivals at or below the watermark it has already
+        # drained (this Spark build's TWS does NOT filter late rows
+        # upstream, so the operator enforces its own lateness bound).
+        # 0 seconds for the declared single-file run (no disorder,
+        # every prefix closes by stream end); the out-of-order test
+        # passes a real delay sized to its planted disorder.
         ev = _events_stream(spark, sf_dir).withWatermark(
             "ts", watermark_delay
         )
@@ -712,11 +731,6 @@ def stream_pattern_cep_eventtime(
             timeMode="EventTime",
         )
         return _run_to_memory(matches, "append")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

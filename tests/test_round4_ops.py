@@ -352,37 +352,54 @@ def test_curation_score_deciles(spark, sf_small):
 def test_stream_pattern_cep_eventtime_out_of_order(
     spark, sf_small, tmp_path_factory
 ):
-    """Cross-batch event-time disorder must not change the event-time
-    CEP's match set: the fixture is split into two files that arrive
-    with interleaved (out-of-order) event times, bounded within the
-    watermark delay; the match set must equal the replay over the
-    watermark-closed, event-time-ordered prefix."""
+    """Cross-batch event-time disorder BOUNDED WITHIN the watermark
+    delay must not change the event-time CEP's match set. Layout:
+    file0 = events up to a cut point minus a planted subset S drawn
+    from the last 6 days before the cut; file1 = S (arrives second:
+    each S event is older than file0 events already seen, but still
+    ABOVE the watermark max(file0)−7d, i.e. genuinely out of order yet
+    not late); file2 = the post-cut tail, which advances the watermark
+    so the machine must interleave S back into event-time order. The
+    match set must equal the replay over the watermark-closed ordered
+    prefix."""
     import os
 
     import pytest
 
     if not stateful.TWS_AVAILABLE:
         pytest.skip("transformWithStateInPandas unavailable")
-    import pyarrow as pa
+    import pandas as pd
     import pyarrow.parquet as pq
 
-    src = pq.read_table(os.path.join(sf_small, "events.parquet"))
-    order = pa.compute.sort_indices(
-        src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-    )
-    ordered = src.take(order)
-    evens = ordered.take(pa.array(range(0, ordered.num_rows, 2)))
-    odds = ordered.take(pa.array(range(1, ordered.num_rows, 2)))
-    d = tmp_path_factory.mktemp("ooo_events")
-    pq.write_table(evens, str(d / "events0.parquet"))
-    pq.write_table(odds, str(d / "events1.parquet"))
-    # arrival order: evens first (older mtime), odds second — every
-    # odd event arrives AFTER its ts-successor even event: bounded
-    # cross-batch disorder, inside the 7-day watermark delay
-    now = os.path.getmtime(str(d / "events1.parquet"))
-    os.utime(str(d / "events0.parquet"), (now - 100, now - 100))
-
     delay_s = 7 * 86400
+    df = (
+        pq.read_table(os.path.join(sf_small, "events.parquet"))
+        .to_pandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    tmax = df["ts"].max()
+    cut = tmax - pd.Timedelta(days=10)
+    head = df[df["ts"] <= cut]
+    tail = df[df["ts"] > cut]
+    late_zone = head[head["ts"] > cut - pd.Timedelta(days=6)]
+    s_mask = late_zone.index[1::2]  # every 2nd late-zone event -> S
+    s_part = head.loc[s_mask]
+    file0 = head.drop(index=s_mask)
+    assert len(s_part) > 0 and len(tail) > 0
+    # S really is out of order on arrival: older than data already seen
+    assert s_part["ts"].min() < file0["ts"].max()
+    # ...but within the delay: above the batch-1 watermark
+    wm1 = file0["ts"].max() - pd.Timedelta(seconds=delay_s)
+    assert s_part["ts"].min() > wm1
+
+    d = tmp_path_factory.mktemp("ooo_events")
+    for i, part in enumerate((file0, s_part, tail)):
+        part.to_parquet(str(d / f"events{i}.parquet"), index=False)
+    now = os.path.getmtime(str(d / "events2.parquet"))
+    for i, age in ((0, 200), (1, 100)):
+        os.utime(str(d / f"events{i}.parquet"), (now - age, now - age))
+
     got = sorted(
         (r.user_id, int(r.started_ts_s * 1000), int(r.completed_ts_s * 1000))
         for r in stateful.stream_pattern_cep_eventtime(
@@ -397,9 +414,8 @@ def test_stream_pattern_cep_eventtime_out_of_order(
     )
     max_ms = max(int(r.ts.timestamp() * 1000) for r in ev)
     wm_ms = max_ms - delay_s * 1000
-    want = []
-    state: dict = {}
     win_ms = int(stateful.CEP_WINDOW_S * 1000)
+    want = []
     by_user: dict = {}
     for r in ev:
         if int(r.ts.timestamp() * 1000) <= wm_ms:
@@ -419,6 +435,26 @@ def test_stream_pattern_cep_eventtime_out_of_order(
                     stage = 0
     assert got == sorted(want)
     assert got  # disorder inside the delay: matches still found
+    # and the planted subset mattered: dropping S from the replay
+    # changes the match set (so reordered consumption was exercised)
+    s_ids = set(s_part["event_id"])
+    want_wo_s = []
+    for uid, rows_u in by_user.items():
+        stage, started = 0, 0
+        for r in rows_u:
+            if r.event_id in s_ids:
+                continue
+            t = int(r.ts.timestamp() * 1000)
+            if stage > 0 and t - started > win_ms:
+                stage = 0
+            if r.event_type == stateful.CEP_STEPS[stage]:
+                if stage == 0:
+                    started = t
+                stage += 1
+                if stage == len(stateful.CEP_STEPS):
+                    want_wo_s.append((uid, started, t))
+                    stage = 0
+    assert sorted(want_wo_s) != sorted(want)
 
 
 def test_cdc_diff_invariants(spark, sf_small):
