@@ -72,14 +72,101 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured JSON: parse once
+    into the binary variant encoding, extract typed fields with
+    ``variant_get`` — the schema-on-read replacement for repeated
+    ``get_json_object`` string re-parsing (variant parses each document
+    ONCE; every extraction is a binary traversal, which is why it's
+    the open-lakehouse default for JSON columns at scale).
+    Oracle: DuckDB's native JSON extraction over the same strings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 built-in ``to_xml``/``from_xml``):
+    orders rows serialize to XML documents and parse back through an
+    explicit schema — the declared proof that the XML reader path
+    round-trips typed data exactly (strings, bigints, doubles). The
+    oracle is the original projection: any serialization loss breaks
+    the hash. Both directions are per-row codegen expressions — no
+    shuffle, no Python.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    doc = F.to_xml(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    parsed = o.select(
+        F.from_xml(
+            doc, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        ).alias("p")
+    )
+    return parsed.select("p.o_orderkey", "p.o_orderstatus", "p.o_totalprice")
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV expression surface (``to_csv``/``from_csv``): the same
+    round-trip proof as xml_roundtrip for the delimited path — the
+    shape used when Kafka values carry CSV payloads.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    line = F.to_csv(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    parsed = o.select(
+        F.from_csv(
+            line, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        ).alias("p")
+    )
+    return parsed.select("p.o_orderkey", "p.o_orderstatus", "p.o_totalprice")
+
+
 QUERIES = {
+    "variant_json": variant_json,
+    "xml_roundtrip": xml_roundtrip,
+    "csv_roundtrip": csv_roundtrip,
     "explode_nested": explode_nested,
     "map_entries_pivot": map_entries_pivot,
     "unpivot_stack": unpivot_stack,
     "array_fns": array_fns,
 }
 
+_ROUNDTRIP_ORACLE = """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """
+
 ORACLE = {
+    "variant_json": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS n_with_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "xml_roundtrip": _ROUNDTRIP_ORACLE,
+    "csv_roundtrip": _ROUNDTRIP_ORACLE,
     "explode_nested": """
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
