@@ -137,8 +137,31 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("p.o_orderkey", "p.o_orderstatus", "p.o_totalprice")
 
 
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class surface:
+    ``filter`` / ``exists`` / ``forall`` / ``transform`` + ``aggregate``
+    (lambda expressions compiled into whole-stage codegen — the
+    JVM-side alternative to a Python UDF for per-row array logic; this
+    entire query is one shuffle-free map pass). The L1 fold replays
+    the _dot trick: acc starts at 0.0 and DuckDB's un-seeded
+    list_reduce starts at the first element — 0.0 + x == x exactly, so
+    the fold sequences are IEEE-identical and the doubles hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    absd = F.transform(emb, lambda x: F.abs(x.cast("double")))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: F.abs(x) > F.lit(2.0)).alias("any_gt2"),
+        F.forall(emb, lambda x: F.abs(x) < F.lit(10.0)).alias("all_lt10"),
+        F.aggregate(absd, F.lit(0.0), lambda a, x: a + x).alias("l1_norm"),
+        F.slice(F.reverse(F.array_sort(absd)), 1, 3).alias("top3_abs"),
+    )
+
+
 QUERIES = {
     "variant_json": variant_json,
+    "array_hof": array_hof,
     "xml_roundtrip": xml_roundtrip,
     "csv_roundtrip": csv_roundtrip,
     "explode_nested": explode_nested,
@@ -167,6 +190,24 @@ ORACLE = {
     """,
     "xml_roundtrip": _ROUNDTRIP_ORACLE,
     "csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "array_hof": """
+        WITH a AS (
+            SELECT vec_id,
+                   embedding,
+                   list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))) AS absd
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               len(list_filter(embedding, x -> abs(x) > 2.0)) > 0 AS any_gt2,
+               len(list_filter(embedding, x -> abs(x) < 10.0))
+                   = len(embedding) AS all_lt10,
+               list_reduce(absd, (x, y) -> x + y) AS l1_norm,
+               list_transform(range(1, 4),
+                   i -> list_reverse_sort(absd)[i]) AS top3_abs
+        FROM a
+    """,
     "explode_nested": """
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
