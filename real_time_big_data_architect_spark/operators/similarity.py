@@ -520,7 +520,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
         .repartition("cell")
         .withColumn("csize", F.count("*").over(w_cell))
-        .withColumn("proj", proj)
         .persist()
     )
     small = v.filter(F.col("csize") <= CELL_PAIR_CAP)
@@ -537,8 +536,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     exact = a.join(b, "cell").filter(F.col("vec_id_a") < F.col("vec_id_b"))
-    # hot cells: chain each vector to its next-k projection neighbors
-    hot = v.filter(F.col("csize") > CELL_PAIR_CAP)
+    # hot cells: chain each vector to its next-k projection neighbors.
+    # proj (a 64-element fold) is computed HERE, on hot rows only —
+    # normal cells (the entire corpus when nothing is degenerate)
+    # never pay for it
+    hot = v.filter(F.col("csize") > CELL_PAIR_CAP).withColumn("proj", proj)
     w_proj = w_cell.orderBy("proj", "vec_id")
     nbr = F.array(
         *[
