@@ -336,8 +336,35 @@ def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-GLOBAL-SORT decile assignment curation_score's docstring
+    promises: compute the 9 interior score percentiles once (one
+    aggregation — at 100 TB, swap ``percentile`` for the mergeable
+    ``approx_percentile`` sketch with identical plan shape), broadcast
+    the 1-row cut-point set back, and assign each document's decile by
+    comparison — a pure map pass instead of pushing the whole corpus
+    through one NTILE window partition. Decile d = 1 + count of cut
+    points strictly below the score (ascending: decile 10 = best);
+    exact-percentile parity with quantile_cont makes it oracle-exact.
+    """
+    scored = curation_score(spark, sf_dir).select("doc_id", "lang", "score")
+    cuts = scored.agg(
+        *[
+            F.percentile("score", F.lit(i / 10.0)).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    d = F.lit(1)
+    for i in range(1, 10):
+        d = d + (F.col("score") > F.col(f"c{i}")).cast("int")
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "lang", "score", d.alias("decile")
+    )
+
+
 QUERIES = {
     "curation_score": curation_score,
+    "decile_cutpoints": decile_cutpoints,
     "sample_stratified": sample_stratified,
     "pack_sequences": pack_sequences,
     "cap_per_source": cap_per_source,
@@ -349,7 +376,40 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
 }
 
+_SCORED_CTE = f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST({SCORE_W[0]!r} AS DOUBLE)
+                   * (CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + CAST({SCORE_W[1]!r} AS DOUBLE)
+                   * (CAST(LEAST(n_chars, {LEN_NORM_CAP}) AS DOUBLE)
+                      / CAST({float(LEN_NORM_CAP)!r} AS DOUBLE))
+                 + CAST({SCORE_W[2]!r} AS DOUBLE)
+                   * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS score
+          FROM documents
+        )
+"""
+
+_CUTS = ",\n               ".join(
+    f"quantile_cont(score, {i / 10.0!r}) AS c{i}" for i in range(1, 10)
+)
+_DSUM = " + ".join(
+    f"CASE WHEN s.score > c.c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+)
+
 ORACLE = {
+    "decile_cutpoints": _SCORED_CTE
+    + f""",
+        cuts AS (
+            SELECT {_CUTS}
+            FROM scored
+        )
+        SELECT s.doc_id, s.lang, s.score,
+               CAST(1 + {_DSUM} AS INT) AS decile
+        FROM scored s CROSS JOIN cuts c
+    """,
     "curation_score": f"""
         WITH scored AS (
           SELECT doc_id, lang,

@@ -83,12 +83,97 @@ class SentencesUDTF:
             yield doc_id, i, s
 
 
+#: epoch offset (µs) recentring x so Σx² stays inside DuckDB's HUGEINT
+_OLS_X0_US = 1_700_000_000_000_000
+
+
+def _ols_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group OLS of value against event time, in EXACT arithmetic:
+    x = recentred epoch-µs (int), y = value·10⁴ (int — fixture values
+    carry ≤4 decimals, so this is lossless); the five moment sums
+    accumulate as Python big-ints, and only the final closed-form
+    expressions run in double — each one `float(exact int)` (correctly
+    rounded) then the identical IEEE op sequence as the oracle SQL, so
+    the slope/intercept hash bit-for-bit. The numpy/pandas float path
+    could not promise this (pairwise summation order differs)."""
+    import math
+
+    x_us = (
+        (pdf["ts"] - pd.Timestamp("1970-01-01")) // pd.Timedelta(microseconds=1)
+    ).astype("int64")
+    n = sx = sy = sxx = sxy = 0
+    for xv, v in zip(x_us, pdf["value"]):
+        x = int(xv) - _OLS_X0_US
+        y = math.floor(v * 10000 + 0.5)  # half-up, mirrored in SQL
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    slope = num / den
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_rows": [n],
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )
+
+
+def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-event-type OLS trend of value
+    over time — the UDF shape for per-group model fitting where each
+    group needs its whole partition at once (the others here are
+    scalar / grouped-agg / UDTF; this completes the pandas-UDF family).
+    One shuffle on the group key; each group arrives as one Arrow
+    batch. Slope is in value·10⁴ per µs (the exact-arithmetic units —
+    see _ols_kernel); fully oracle-checked, unlike weighted_mean_agg,
+    because the kernel avoids float accumulation entirely.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        _ols_kernel,
+        schema="event_type string, n_rows long, slope double, intercept double",
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
     "weighted_mean_agg": weighted_mean_agg,  # rows-only (float-sum order)
+    "grouped_map_ols": grouped_map_ols,
 }
 
 ORACLE = {
+    "grouped_map_ols": f"""
+        WITH b AS (
+            SELECT event_type,
+                   epoch_us(ts) - {_OLS_X0_US} AS x,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y4
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y4) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * CAST(y4 AS HUGEINT)) AS sxy
+            FROM b GROUP BY event_type
+        )
+        SELECT event_type, n AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept
+        FROM s
+    """,
     "udf_scalar": """
         SELECT event_id, event_type,
                least(greatest((value - 5.0) / 90.0, 0.0), 1.0) AS value_score

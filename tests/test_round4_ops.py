@@ -489,3 +489,55 @@ def test_cdc_diff_invariants(spark, sf_small):
             r.o_orderstatus,
             r.o_totalprice,
         )
+
+
+def test_grouped_map_ols_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from real_time_big_data_architect_spark.operators import udfs
+
+    got = {r.event_type: r for r in udfs.grouped_map_ols(spark, sf_small).collect()}
+    ev = [
+        r
+        for r in load_table(spark, sf_small, "events").collect()
+        if r.value is not None
+    ]
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert set(got) == set(by_type)
+    for t, rows_t in by_type.items():
+        x = np.array(
+            [r.ts.timestamp() * 1e6 - udfs._OLS_X0_US for r in rows_t]
+        )
+        y = np.array([round(r.value * 10000) for r in rows_t], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[t].n_rows == len(rows_t)
+        # numpy float path vs the exact-integer path: tolerance check
+        assert abs(got[t].slope - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(got[t].intercept - intercept) < 1e-3 * max(
+            1.0, abs(intercept)
+        )
+
+
+def test_decile_cutpoints_consistency(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import curation
+
+    rows = curation.decile_cutpoints(spark, sf_small).collect()
+    assert rows
+    import statistics
+
+    scores = sorted(r.score for r in rows)
+    cuts = [
+        statistics.quantiles(scores, n=10, method="inclusive")[i]
+        for i in range(9)
+    ]
+    for r in rows:
+        want = 1 + sum(1 for c in cuts if r.score > c)
+        assert r.decile == want, (r.doc_id, r.decile, want)
+    # deciles roughly balanced (cut-point assignment; ties may skew)
+    from collections import Counter
+
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) <= 2 * (len(rows) // 10 + 1)
