@@ -355,7 +355,32 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by plus the bitwise and boolean aggregate surface
+    (NS2): per event_type, the value carried by the newest/oldest
+    event (ordering on the UNIQUE event_id, so the answer is
+    deterministic — max_by over a tie-able ordering column is not),
+    bit_and/bit_or/bit_xor over user ids, and every/bool_or
+    predicates. All are single-pass hash aggregates with map-side
+    partials — the same one-shuffle shape as group_agg.
+    Oracle: DuckDB arg_max/arg_min and its matching bit/bool aggs.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.max_by("value", "event_id").alias("newest_value"),
+        F.min_by("value", "event_id").alias("oldest_value"),
+        F.bit_and("user_id").alias("uid_bit_and"),
+        F.bit_or("user_id").alias("uid_bit_or"),
+        F.bit_xor("user_id").alias("uid_bit_xor"),
+        F.every(F.col("value") > F.lit(0.0)).alias("all_positive"),
+        F.bool_or(F.col("value") > F.lit(50.0)).alias("any_gt50"),
+    )
+
+
 QUERIES = {
+    "argminmax_agg": argminmax_agg,
     "group_agg": group_agg,
     "agg_skew_twophase": agg_skew_twophase,
     "mode_agg": mode_agg,
@@ -378,6 +403,18 @@ QUERIES = {
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "argminmax_agg": """
+        SELECT event_type,
+               arg_max(value, event_id) AS newest_value,
+               arg_min(value, event_id) AS oldest_value,
+               bit_and(user_id) AS uid_bit_and,
+               bit_or(user_id) AS uid_bit_or,
+               bit_xor(user_id) AS uid_bit_xor,
+               bool_and(value > 0.0) AS all_positive,
+               bool_or(value > 50.0) AS any_gt50
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
     "mode_agg": """
         SELECT o_orderstatus,
                (MAX(struct_pack(n := n, v := o_orderpriority))).v

@@ -159,9 +159,32 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except) between each
+    document's first-half and second-half vocabularies — per-row JVM
+    set operations (the building block of shingle/feature overlap
+    scoring), results sorted so the arrays are order-canonical and the
+    oracle hash is well-defined. Shuffle-free map pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    h = F.floor(n / 2).cast("int")
+    a = F.array_distinct(F.slice(words, 1, h))
+    b = F.array_distinct(F.slice(words, h + 1, n - h))
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_union(a, b)).alias("vocab_union"),
+        F.array_sort(F.array_intersect(a, b)).alias("vocab_both"),
+        F.array_sort(F.array_except(a, b)).alias("vocab_first_only"),
+        F.size(F.array_intersect(a, b)).alias("n_shared"),
+    )
+
+
 QUERIES = {
     "variant_json": variant_json,
     "array_hof": array_hof,
+    "array_set_ops": array_set_ops,
     "xml_roundtrip": xml_roundtrip,
     "csv_roundtrip": csv_roundtrip,
     "explode_nested": explode_nested,
@@ -190,6 +213,32 @@ ORACLE = {
     """,
     "xml_roundtrip": _ROUNDTRIP_ORACLE,
     "csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "array_set_ops": """
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n,
+                 CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS h
+          FROM documents
+        ),
+        ab AS (
+          SELECT doc_id,
+                 list_distinct(ws[1:h]) AS a,
+                 list_distinct(ws[h + 1:n]) AS b
+          FROM w
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(a || b)) AS vocab_union,
+               list_sort(list_distinct(
+                   list_filter(a, x -> list_contains(b, x)))) AS vocab_both,
+               list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x))))
+                   AS vocab_first_only,
+               CAST(len(list_distinct(
+                   list_filter(a, x -> list_contains(b, x)))) AS INT)
+                   AS n_shared
+        FROM ab
+    """,
     "array_hof": """
         WITH a AS (
             SELECT vec_id,
