@@ -302,19 +302,10 @@ SCORE_W = (0.5, 0.3, 0.2)
 LEN_NORM_CAP = 2000
 
 
-def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ensemble curation score + decile bucketing — the final "keep the
-    top X%" ranking a pretraining pipeline applies after the individual
-    gates: 0.5·distinct-word ratio + 0.3·capped-length norm +
-    0.2·[lang=en], then NTILE(10) deciles for threshold sweeps.
-
-    The score is a shuffle-free map pass (per-row array expressions);
-    the decile is ONE global window sort — fixture-fine, but at 100 TB
-    you'd swap NTILE for approx-quantile cut points broadcast back (a
-    two-pass assignment with no global sort; `approx_quantiles` is
-    that primitive). Every fp op token-mirrored in the oracle.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _score_projection(docs: DataFrame) -> DataFrame:
+    """The shared (doc_id, lang, score) projection — shuffle-free map
+    pass; both decile assignments build on it so the formula cannot
+    diverge between them."""
     words = F.split(F.col("text"), " ")
     distinct_ratio = F.size(F.array_distinct(words)).cast("double") / F.size(
         words
@@ -329,11 +320,24 @@ def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(SCORE_W[1]) * len_norm
         + F.lit(SCORE_W[2]) * en
     )
+    return docs.select("doc_id", "lang", score.alias("score"))
+
+
+def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble curation score + decile bucketing — the final "keep the
+    top X%" ranking a pretraining pipeline applies after the individual
+    gates: 0.5·distinct-word ratio + 0.3·capped-length norm +
+    0.2·[lang=en], then NTILE(10) deciles for threshold sweeps.
+
+    The score is a shuffle-free map pass (per-row array expressions);
+    the decile is ONE global window sort — fixture-fine, but at 100 TB
+    you'd swap NTILE for approx-quantile cut points broadcast back (a
+    two-pass assignment with no global sort; `approx_quantiles` is
+    that primitive). Every fp op token-mirrored in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        docs.select("doc_id", "lang", score.alias("score"))
-        .withColumn("decile", F.ntile(10).over(w))
-    )
+    return _score_projection(docs).withColumn("decile", F.ntile(10).over(w))
 
 
 def decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +351,13 @@ def decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     points strictly below the score (ascending: decile 10 = best);
     exact-percentile parity with quantile_cont makes it oracle-exact.
     """
-    scored = curation_score(spark, sf_dir).select("doc_id", "lang", "score")
+    # built on the shared score projection directly — NOT on
+    # curation_score, whose plan carries a global NTILE window that
+    # only optimizer pruning would remove. Persisted: both the cut
+    # computation and the assignment pass consume the scored corpus.
+    scored = _score_projection(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
     cuts = scored.agg(
         *[
             F.percentile("score", F.lit(i / 10.0)).alias(f"c{i}")
@@ -410,20 +420,8 @@ ORACLE = {
                CAST(1 + {_DSUM} AS INT) AS decile
         FROM scored s CROSS JOIN cuts c
     """,
-    "curation_score": f"""
-        WITH scored AS (
-          SELECT doc_id, lang,
-                 CAST({SCORE_W[0]!r} AS DOUBLE)
-                   * (CAST(len(list_distinct(string_split(text, ' ')))
-                           AS DOUBLE)
-                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
-                 + CAST({SCORE_W[1]!r} AS DOUBLE)
-                   * (CAST(LEAST(n_chars, {LEN_NORM_CAP}) AS DOUBLE)
-                      / CAST({float(LEN_NORM_CAP)!r} AS DOUBLE))
-                 + CAST({SCORE_W[2]!r} AS DOUBLE)
-                   * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS score
-          FROM documents
-        )
+    "curation_score": _SCORED_CTE
+    + """
         SELECT doc_id, lang, score,
                CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id) AS INT)
                  AS decile

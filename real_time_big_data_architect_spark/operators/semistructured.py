@@ -252,9 +252,9 @@ ORACLE = {
                len(list_filter(embedding, x -> abs(x) > 2.0)) > 0 AS any_gt2,
                len(list_filter(embedding, x -> abs(x) < 10.0))
                    = len(embedding) AS all_lt10,
-               list_reduce(absd, (x, y) -> x + y) AS l1_norm,
-               list_transform(range(1, 4),
-                   i -> list_reverse_sort(absd)[i]) AS top3_abs
+               CASE WHEN len(absd) = 0 THEN 0.0
+                    ELSE list_reduce(absd, (x, y) -> x + y) END AS l1_norm,
+               list_reverse_sort(absd)[1:3] AS top3_abs
         FROM a
     """,
     "explode_nested": """

@@ -112,8 +112,11 @@ def _ols_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         sxy += x * y
     num = float(n * sxy - sx * sy)
     den = float(n * sxx - sx * sx)
-    slope = num / den
-    intercept = (float(sy) - slope * float(sx)) / float(n)
+    if den == 0.0:  # single row / identical timestamps: fit undefined
+        slope = intercept = None
+    else:
+        slope = num / den
+        intercept = (float(sy) - slope * float(sx)) / float(n)
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
@@ -167,10 +170,11 @@ ORACLE = {
         )
         SELECT event_type, n AS n_rows,
                CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
                (CAST(sy AS DOUBLE)
                 - (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+                   * CAST(sx AS DOUBLE))
                    / CAST(n AS DOUBLE) AS intercept
         FROM s
     """,

@@ -528,10 +528,7 @@ def test_decile_cutpoints_consistency(spark, sf_small):
     import statistics
 
     scores = sorted(r.score for r in rows)
-    cuts = [
-        statistics.quantiles(scores, n=10, method="inclusive")[i]
-        for i in range(9)
-    ]
+    cuts = statistics.quantiles(scores, n=10, method="inclusive")
     for r in rows:
         want = 1 + sum(1 for c in cuts if r.score > c)
         assert r.decile == want, (r.doc_id, r.decile, want)
@@ -541,3 +538,24 @@ def test_decile_cutpoints_consistency(spark, sf_small):
     sizes = Counter(r.decile for r in rows)
     assert set(sizes) == set(range(1, 11))
     assert max(sizes.values()) <= 2 * (len(rows) // 10 + 1)
+
+
+def test_ols_kernel_degenerate_group_yields_null():
+    import pandas as pd
+
+    from real_time_big_data_architect_spark.operators import udfs
+
+    one = pd.DataFrame(
+        {
+            "event_type": ["view"],
+            "ts": [pd.Timestamp("2024-01-01 00:00:00")],
+            "value": [42.0],
+        }
+    )
+    out = udfs._ols_kernel(one)
+    assert out["n_rows"].iloc[0] == 1
+    assert out["slope"].iloc[0] is None and out["intercept"].iloc[0] is None
+    # identical timestamps across rows: same degenerate denominator
+    same_ts = pd.concat([one, one], ignore_index=True)
+    out2 = udfs._ols_kernel(same_ts)
+    assert out2["slope"].iloc[0] is None
