@@ -43,6 +43,11 @@ HEADLINE = [
     "bloom_join_prune",
     "triangle_count",
     "hard_negatives",
+    "cdc_diff",
+    "variant_json",
+    "grouped_map_ols",
+    "ewma_smooth",
+    "bigram_lm_score",
 ]
 
 
