@@ -208,7 +208,35 @@ def regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition surface (``parse_url``: HOST / PATH / QUERY
+    param) — the web-corpus curation primitive behind domain quotas and
+    URL dedup. The synthetic corpus has no URL column, so a
+    deterministic URL is synthesized from (source, doc_id, lang) and
+    then parsed back — the parser does real work and the oracle
+    rebuilds every component from the base columns, so any parsing
+    deviation breaks the hash. Pure map pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
 QUERIES = {
+    "url_parse": url_parse,
     "ts_format": ts_format,
     "date_parts": date_parts,
     "date_arith": date_arith,
@@ -224,6 +252,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "url_parse": """
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param
+        FROM documents
+    """,
     "ts_format": """
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         FROM events

@@ -60,7 +60,27 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUYERS_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
 _SPENDERS_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0"
 
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two document snapshots with DIFFERENT
+    column sets (an old vintage without ``lang``, a new one without
+    ``n_chars``) merge by COLUMN NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)``) — how a lake unions
+    parquet written before and after a schema change without a
+    rewrite. Oracle: DuckDB's UNION ALL BY NAME, same null-fill
+    semantics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    old_snap = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    new_snap = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang"
+    )
+    return old_snap.unionByName(new_snap, allowMissingColumns=True)
+
+
 QUERIES = {
+    "union_by_name_evolution": union_by_name_evolution,
     "set_union": set_union,
     "set_union_all": set_union_all,
     "set_intersect": set_intersect,
@@ -68,6 +88,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "union_by_name_evolution": """
+        SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1
+    """,
     "set_union": f"{_BUYERS_SQL} UNION {_SPENDERS_SQL}",
     "set_union_all": f"{_BUYERS_SQL} UNION ALL {_SPENDERS_SQL}",
     "set_intersect": f"{_BUYERS_SQL} INTERSECT {_SPENDERS_SQL}",
