@@ -228,6 +228,105 @@ def _ewma_oracle() -> str:
     """
 
 
+#: interval half-width for interval_merge: each event claims
+#: [ts, ts + 30 min); touching-or-overlapping claims coalesce.
+MERGE_GAP_MINUTES = 30
+
+
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user time intervals (gaps-and-islands).
+
+    Each event claims [ts, ts + 30 min); overlapping claims per user
+    coalesce into islands — the availability-window / downtime-merge
+    primitive the reference's per-row pandas view can't express at all.
+    Classic two-window island numbering: a row starts a new island iff
+    its start exceeds the running max of all previous ends; the running
+    sum of that flag is the island id. Both windows share one
+    partitionBy(user_id) sort, so the whole operator is ONE shuffle +
+    one in-partition sort + a groupBy on the same key (no second
+    exchange: the island key is user_id-prefixed). Timestamps and
+    integer counts only — bit-exact vs the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr(f"interval {MERGE_GAP_MINUTES} minutes")).alias(
+            "stop"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("start", "event_id")
+    prev_max = F.max("stop").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("start").alias("island_start"),
+        F.max("stop").alias("island_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-fill with LINEAR interpolation — the companion to
+    gapfill_locf for numeric series where carry-forward biases flat.
+
+    Same spine as gapfill_locf (dimension-sized, never corpus-sized);
+    empty hours get prev + (next - prev) * elapsed/gap over the nearest
+    non-empty neighbors, edges clamp to the one existing side. The
+    bracketing values come from two frames over ONE partitionBy sort
+    (preceding-last / following-first with ignorenulls), so the fill
+    costs a single shuffle on event_type. The fraction arithmetic is
+    the same double expression tree on both engines (hour-granular
+    epochs are integral, so unix_timestamp vs fractional epoch() agree
+    exactly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        ),
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    base = W.partitionBy("event_type").orderBy("hour")
+    wp = base.rowsBetween(W.unboundedPreceding, 0)
+    wn = base.rowsBetween(0, W.unboundedFollowing)
+    obs_hour = F.when(F.col("sum_value").isNotNull(), F.col("hour"))
+    prev_v = F.last("sum_value", ignorenulls=True).over(wp)
+    next_v = F.first("sum_value", ignorenulls=True).over(wn)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(wp)
+    next_h = F.first(obs_hour, ignorenulls=True).over(wn)
+    frac = (
+        F.unix_timestamp("hour") - F.unix_timestamp(prev_h)
+    ).cast("double") / (
+        F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    ).cast("double")
+    return filled.select(
+        "event_type",
+        "hour",
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .alias("interp_value"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
@@ -237,10 +336,90 @@ QUERIES = {
     "window_distribution": window_distribution,
     "gapfill_locf": gapfill_locf,
     "ewma_smooth": ewma_smooth,
+    "interval_merge": interval_merge,
+    "gapfill_interp": gapfill_interp,
 }
 
 ORACLE = {
     "ewma_smooth": _ewma_oracle(),
+    "interval_merge": f"""
+        WITH iv AS (
+            SELECT user_id, event_id, ts AS start,
+                   ts + INTERVAL {MERGE_GAP_MINUTES} MINUTE AS stop
+            FROM events
+        ),
+        flag AS (
+            SELECT user_id, event_id, start, stop,
+                   CASE WHEN MAX(stop) OVER wprev IS NULL
+                             OR start > MAX(stop) OVER wprev
+                        THEN 1 ELSE 0 END AS ni
+            FROM iv
+            WINDOW wprev AS (
+                PARTITION BY user_id ORDER BY start, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
+        ),
+        isl AS (
+            SELECT user_id, start, stop,
+                   SUM(ni) OVER (
+                       PARTITION BY user_id ORDER BY start, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flag
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               MIN(start) AS island_start, MAX(stop) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island
+    """,
+    "gapfill_interp": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(hour) AS lo, max(hour) AS hi
+            FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        filled AS (
+            SELECT s.event_type, s.hour, h.sum_value
+            FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        ),
+        brk AS (
+            SELECT event_type, hour, sum_value,
+                   LAST_VALUE(sum_value IGNORE NULLS) OVER wp AS prev_v,
+                   FIRST_VALUE(sum_value IGNORE NULLS) OVER wn AS next_v,
+                   LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hour END
+                              IGNORE NULLS) OVER wp AS prev_h,
+                   FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hour END
+                               IGNORE NULLS) OVER wn AS next_h
+            FROM filled
+            WINDOW wp AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ),
+            wn AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT event_type, hour,
+               CASE WHEN sum_value IS NOT NULL THEN sum_value
+                    WHEN prev_v IS NULL THEN next_v
+                    WHEN next_v IS NULL THEN prev_v
+                    ELSE prev_v + (next_v - prev_v) *
+                         (CAST(epoch(hour) - epoch(prev_h) AS DOUBLE) /
+                          CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE))
+               END AS interp_value
+        FROM brk
+    """,
     "window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(ROW_NUMBER() OVER w AS INT) AS rn,

@@ -559,3 +559,88 @@ def test_ols_kernel_degenerate_group_yields_null():
     same_ts = pd.concat([one, one], ignore_index=True)
     out2 = udfs._ols_kernel(same_ts)
     assert out2["slope"].iloc[0] is None
+
+
+def test_interval_merge_islands_disjoint_and_complete(spark, sf_small):
+    """Merged islands are per-user disjoint, gap-separated, and
+    partition every event; a Python sweep replays one user exactly."""
+    got = windows.interval_merge(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events")
+    per_user_events = {
+        r.user_id: r.n for r in ev.groupBy("user_id").agg(
+            F.count("*").alias("n")).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user_events)
+    for uid, islands in by_user.items():
+        islands.sort(key=lambda r: r.island_start)
+        assert sum(r.n_events for r in islands) == per_user_events[uid]
+        for r in islands:
+            assert r.island_end > r.island_start
+        for a, b in zip(islands, islands[1:]):
+            # strictly separated: next island starts after this one ends
+            assert b.island_start > a.island_end
+    # replay the busiest user with a plain sweep
+    uid = max(per_user_events, key=per_user_events.get)
+    ts = sorted(
+        r.ts for r in ev.filter(F.col("user_id") == uid).collect()
+    )
+    from datetime import timedelta
+
+    gap = timedelta(minutes=windows.MERGE_GAP_MINUTES)
+    expect = []
+    cur_start, cur_end, n = ts[0], ts[0] + gap, 1
+    for t in ts[1:]:
+        if t > cur_end:
+            expect.append((cur_start, cur_end, n))
+            cur_start, cur_end, n = t, t + gap, 1
+        else:
+            cur_end, n = max(cur_end, t + gap), n + 1
+    expect.append((cur_start, cur_end, n))
+    got_u = sorted(
+        (r.island_start, r.island_end, r.n_events) for r in by_user[uid]
+    )
+    assert got_u == sorted(expect)
+
+
+def test_gapfill_interp_matches_linear_formula(spark, sf_small):
+    """Observed hours keep their value; filled hours sit exactly on the
+    line between bracketing observations (replayed in Python)."""
+    out = windows.gapfill_interp(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events")
+    hourly = {
+        (r.event_type, r.hour): r.s
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r.hour)
+        obs = [
+            (i, r.hour, hourly[(et, r.hour)])
+            for i, r in enumerate(rows)
+            if (et, r.hour) in hourly and hourly[(et, r.hour)] is not None
+        ]
+        obs_idx = {i for i, _, _ in obs}
+        for i, r in enumerate(rows):
+            if i in obs_idx:
+                if hourly[(et, r.hour)] is not None:
+                    assert abs(r.interp_value - hourly[(et, r.hour)]) < 1e-6
+                continue
+            prev = max((o for o in obs if o[0] < i), default=None)
+            nxt = min((o for o in obs if o[0] > i), default=None)
+            if prev is None:
+                assert abs(r.interp_value - nxt[2]) < 1e-6
+            elif nxt is None:
+                assert abs(r.interp_value - prev[2]) < 1e-6
+            else:
+                frac = (i - prev[0]) / (nxt[0] - prev[0])
+                want = prev[2] + (nxt[2] - prev[2]) * frac
+                assert abs(r.interp_value - want) < 1e-6
