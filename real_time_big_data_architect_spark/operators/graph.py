@@ -182,10 +182,57 @@ def count_triangles(und: DataFrame) -> DataFrame:
     return n_edges.crossJoin(n_tri)
 
 
+#: BFS seed rule and hop bound: every 97th user seeds the frontier,
+#: distances are truncated at 4 hops (the recursive-CTE oracle carries
+#: the same bound, so both engines explore the identical ball).
+BFS_SEED_MOD = 97
+BFS_MAX_HOPS = 4
+
+
+def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: min hop-distance (≤ BFS_MAX_HOPS) from the
+    seed set over the transition graph — the reachability / blast-radius
+    primitive (influence cones, contamination spread).
+
+    Frontier-relaxation BFS as a bounded DataFrame loop: each round
+    joins the current frontier against the edge list (shuffle keyed on
+    src == user_id, the same partitioning every round) and anti-joins
+    out already-visited nodes, so a node is labeled the first round it
+    is reached — which IS its BFS distance. Each frontier is persisted
+    and the loop is fixed-depth, so lineage stays shallow; at 100 TB
+    the right physical layout is both sides bucketed by user_id (the
+    Pregel partitioning, same note as pagerank above).
+    """
+    edges = (
+        _edges(spark, sf_dir).select("src", "dst").persist()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    seeds = (
+        ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    dist = seeds.withColumn("dist", F.lit(0)).persist()
+    frontier = seeds
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier["user_id"] == edges["src"])
+            .select(F.col("dst").alias("user_id"))
+            .distinct()
+        )
+        new = reached.join(dist, "user_id", "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        dist = dist.unionByName(new).persist()
+        frontier = new
+    return dist.select("user_id", F.col("dist").cast("int").alias("dist"))
+
+
 QUERIES = {
     "transition_edges": transition_edges,
     "pagerank": pagerank,
     "triangle_count": triangle_count,
+    "bfs_khop": bfs_khop,
 }
 
 _EDGE_CTE = """
@@ -267,6 +314,22 @@ ORACLE = {
         SELECT src, dst, w FROM edges
     """,
     "pagerank": _pagerank_oracle(),
+    "bfs_khop": f"""
+        WITH RECURSIVE {_EDGE_CTE.strip()},
+        seeds AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id % {BFS_SEED_MOD} = 0
+        ),
+        walk(user_id, dist) AS (
+            SELECT user_id, 0 FROM seeds
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.user_id
+            WHERE w.dist < {BFS_MAX_HOPS}
+        )
+        SELECT user_id, CAST(MIN(dist) AS INT) AS dist
+        FROM walk GROUP BY user_id
+    """,
     "triangle_count": f"""
         WITH {_EDGE_CTE.strip()},
         und AS (

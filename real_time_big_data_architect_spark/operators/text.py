@@ -360,6 +360,71 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: collocation support floor: bigrams seen fewer times are noise and
+#: are cut BEFORE the vocabulary joins (shrinks the join input ~50×).
+COLLOC_MIN_COUNT = 5
+
+
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by pointwise lift — PMI without the
+    log: lift(a,b) = p(a,b) / (p(a)·p(b)) over corpus bigrams (NS6c).
+
+    Bigrams come from one zip-with-next explode (``arrays_zip`` of the
+    token list against itself shifted by one) — no self-join, no
+    positional shuffle; the corpus is touched twice (unigram + bigram
+    counts), each a partial-agg count shuffle. The support filter runs
+    before the two vocabulary joins, so only surviving bigrams join
+    against the unigram counts. Lift stays a ratio of integer counts
+    evaluated in one fixed double expression tree — bit-exact vs the
+    oracle (a log-PMI would diverge in libm across engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c_w"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2")
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    btot = big.agg(F.count("*").alias("bt"))
+    utot = uni.agg(F.sum("c_w").alias("ut"))
+    pairs = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    joined = (
+        pairs.join(uni.withColumnRenamed("word", "w1"), "w1")
+        .withColumnRenamed("c_w", "c_a")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .withColumnRenamed("c_w", "c_b")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+    )
+    lift = (
+        F.col("c_ab").cast("double") / F.col("bt").cast("double")
+    ) / (
+        (F.col("c_a").cast("double") / F.col("ut").cast("double"))
+        * (F.col("c_b").cast("double") / F.col("ut").cast("double"))
+    )
+    return joined.select(
+        "w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift")
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
     "vocab_coverage": vocab_coverage,
@@ -371,6 +436,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "token_count_regex": token_count_regex,
     "bm25_score": bm25_score,
+    "collocations_lift": collocations_lift,
 }
 
 
@@ -431,6 +497,37 @@ def _lang_id_oracle() -> str:
     """
 
 ORACLE = {
+    "collocations_lift": f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS l FROM documents
+        ),
+        uni AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w
+            FROM (SELECT unnest(l) AS word FROM toks)
+            WHERE word <> '' GROUP BY word
+        ),
+        big AS (
+            SELECT w1, w2 FROM (
+                SELECT l[i] AS w1, l[i + 1] AS w2
+                FROM toks, UNNEST(range(1, len(l))) AS t(i)
+            ) WHERE w1 <> '' AND w2 <> ''
+        ),
+        btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big),
+        utot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS ut FROM uni),
+        pairs AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM big GROUP BY w1, w2
+            HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+        )
+        SELECT p.w1, p.w2, p.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+               (CAST(p.c_ab AS DOUBLE) / CAST(bt AS DOUBLE)) /
+               ((CAST(a.c_w AS DOUBLE) / CAST(ut AS DOUBLE)) *
+                (CAST(b.c_w AS DOUBLE) / CAST(ut AS DOUBLE))) AS lift
+        FROM pairs p
+        JOIN uni a ON a.word = p.w1
+        JOIN uni b ON b.word = p.w2
+        CROSS JOIN btot CROSS JOIN utot
+    """,
     "vocab_coverage": f"""
         WITH inst AS (
           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word

@@ -94,3 +94,38 @@ def test_pagerank_matches_numpy_replay(spark, sf_small):
     assert [r.rank for r in ranked] == list(range(1, n + 1))
     for a, b in zip(ranked, ranked[1:]):
         assert a.pagerank >= b.pagerank
+
+
+def test_bfs_khop_matches_python_bfs(spark, sf_small):
+    """The DataFrame BFS reproduces a plain Python BFS over the same
+    collected edge list (min hop distance, truncated at BFS_MAX_HOPS)."""
+    from collections import deque
+
+    from real_time_big_data_architect_spark.operators import graph as G
+    from real_time_big_data_architect_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {(r.user_id, r.dist) for r in G.bfs_khop(spark, sf_small).collect()}
+    edges = {}
+    for r in G.transition_edges(spark, sf_small).collect():
+        edges.setdefault(r.src, []).append(r.dst)
+    ev = load_table(spark, sf_small, "events")
+    seeds = {
+        r.user_id
+        for r in ev.filter(F.col("user_id") % G.BFS_SEED_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= G.BFS_MAX_HOPS:
+            continue
+        for v in edges.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == set(dist.items())
+    assert any(d > 0 for _, d in got)  # BFS actually expanded

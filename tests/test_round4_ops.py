@@ -644,3 +644,33 @@ def test_gapfill_interp_matches_linear_formula(spark, sf_small):
                 frac = (i - prev[0]) / (nxt[0] - prev[0])
                 want = prev[2] + (nxt[2] - prev[2]) * frac
                 assert abs(r.interp_value - want) < 1e-6
+
+
+def test_collocations_lift_brute_force(spark, sf_small):
+    """Counts and lift match a brute-force Python bigram count."""
+    from collections import Counter
+
+    docs = [
+        r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    ]
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in docs:
+        ws = t.split(" ")
+        uni.update(w for w in ws if w != "")
+        big.update(
+            (a, b) for a, b in zip(ws, ws[1:]) if a != "" and b != ""
+        )
+    ut, bt = sum(uni.values()), sum(big.values())
+    got = text.collocations_lift(spark, sf_small).collect()
+    expect = {k: c for k, c in big.items() if c >= text.COLLOC_MIN_COUNT}
+    assert {(r.w1, r.w2) for r in got} == set(expect)
+    for r in got:
+        assert r.c_ab == expect[(r.w1, r.w2)]
+        assert r.c_a == uni[r.w1] and r.c_b == uni[r.w2]
+        want = (r.c_ab / bt) / ((r.c_a / ut) * (r.c_b / ut))
+        assert abs(r.lift - want) < 1e-9
+    # the top pair sits above independence (the synthetic corpus is
+    # near-uniform, so lift stays modest — the invariant is > 1)
+    assert max(r.lift for r in got) > 1
