@@ -176,14 +176,81 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: shared users and
+    Jaccard — the segment-intersection question behind campaign overlap
+    and cannibalization dashboards.
+
+    One distinct pass builds the (event_type, user_id) audience
+    relation; a self-join on user_id (the natural shuffle key — high
+    cardinality, even) counts co-membership per unordered type pair,
+    and per-type audience sizes broadcast onto the tiny pair table.
+    The corpus is never crossed: the self-join fans out only within a
+    user's own type set (≤ |types|² per user). Jaccard is one double
+    division over exact bigint counts — bit-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("event_type", "type_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("event_type", "type_b"))
+    out = (
+        inter.join(sa, "type_a")
+        .withColumnRenamed("n", "n_a")
+        .join(sb, "type_b")
+        .withColumnRenamed("n", "n_b")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return out.select(
+        "type_a", "type_b", "n_shared", "n_a", "n_b", jac.alias("jaccard")
+    )
+
+
 QUERIES = {
     "sessionize": sessionize,
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
     "ohlc_bars": ohlc_bars,
+    "audience_overlap": audience_overlap,
 }
 
 ORACLE = {
+    "audience_overlap": """
+        WITH aud AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM aud GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM aud a JOIN aud b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, i.n_shared,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(i.n_shared AS DOUBLE) /
+               CAST(sa.n + sb.n - i.n_shared AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
     "sessionize": """
         WITH flagged AS (
             SELECT user_id, event_id, ts, value,

@@ -372,6 +372,44 @@ def decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample scale: a doc with n_chars >= SAMPLE_FULL_CHARS is
+#: always kept; shorter docs keep with probability n_chars / that cap.
+#: The md5-derived uniform has 2^32 resolution; the comparison is pure
+#: 64-bit integer arithmetic (u * cap < n_chars * 2^32), so inclusion
+#: is bit-exact across engines — no pow()/ln() libm dependence like a
+#: textbook A-Res key would have.
+SAMPLE_FULL_CHARS = 4000
+_U32 = 1 << 32
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample of the corpus — 'sample tokens,
+    not documents': inclusion probability proportional to n_chars, so
+    the expected token mass per source is preserved while short-doc
+    noise is down-weighted.
+
+    Deterministic and reproducible on any cluster layout: the coin is
+    the first 8 md5 hex digits of doc_id — a pure map-side projection
+    with NO shuffle, no RNG state, and the same verdict on re-runs
+    (the property incremental pipelines need: re-sampling yesterday's
+    shard never flips membership). Wholly integer comparisons.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    keep = (u * F.lit(SAMPLE_FULL_CHARS)) < (
+        F.col("n_chars").cast("bigint") * F.lit(_U32)
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.col("n_chars").cast("double") / F.lit(float(SAMPLE_FULL_CHARS)),
+    )
+    return d.filter(keep).select(
+        "doc_id", "source", "n_chars", p.alias("p_include")
+    )
+
+
 QUERIES = {
     "curation_score": curation_score,
     "decile_cutpoints": decile_cutpoints,
@@ -384,6 +422,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "mix_reweight": mix_reweight,
     "dedup_incremental": dedup_incremental,
+    "sample_weighted": sample_weighted,
 }
 
 _SCORED_CTE = f"""
@@ -410,6 +449,16 @@ _DSUM = " + ".join(
 )
 
 ORACLE = {
+    "sample_weighted": f"""
+        SELECT doc_id, source, n_chars,
+               LEAST(1.0, CAST(n_chars AS DOUBLE) /
+                          CAST({float(SAMPLE_FULL_CHARS)!r} AS DOUBLE))
+                   AS p_include
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * {SAMPLE_FULL_CHARS}
+              < CAST(n_chars AS BIGINT) * {_U32}
+    """,
     "decile_cutpoints": _SCORED_CTE
     + f""",
         cuts AS (

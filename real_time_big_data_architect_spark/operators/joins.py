@@ -519,6 +519,86 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: spatial geometry: points live on a [0,1000)² plane at 0.1 resolution
+#: (derived deterministically from user_id md5, so both engines place
+#: every point identically); radius and grid pitch coincide so a 3×3
+#: neighborhood provably covers every candidate pair.
+GEO_SPAN = 10000  # 0.1-unit lattice points per axis
+GEO_RADIUS = 15.0
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic (x, y) point per distinct user."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    hx = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hy = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    return users.select(
+        "user_id",
+        ((hx % GEO_SPAN).cast("double") / F.lit(10.0)).alias("x"),
+        ((hy % GEO_SPAN).cast("double") / F.lit(10.0)).alias("y"),
+    )
+
+
+def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid binning — all point pairs
+    within GEO_RADIUS, without a cross join.
+
+    The scale-defining trick: each point hashes to a ⌊x/R⌋×⌊y/R⌋ grid
+    cell; since the cell pitch equals the radius, any pair within R
+    lies in the same or an adjacent cell. One side explodes its 9-cell
+    neighborhood (a constant ×9 fan-out, NOT ×N), the equi-join runs on
+    the (cellx, celly) key — an ordinary hash-shuffle join Catalyst and
+    AQE treat like any other — and the exact distance predicate prunes
+    the candidates. At 100 TB this is the standard geospatial
+    bin-and-verify plan; a naive crossJoin would be O(N²). user_id
+    ordering dedups the symmetric pair. sqrt is IEEE-correctly-rounded,
+    so the emitted distance is bit-identical across engines.
+    """
+    pts = _geo_points(spark, sf_dir)
+    r = F.lit(GEO_RADIUS)
+    cellx = F.floor(F.col("x") / r)
+    celly = F.floor(F.col("y") / r)
+    binned = pts.select(
+        "user_id", "x", "y", cellx.alias("cx"), celly.alias("cy")
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("ox"),
+        ((F.col("id") / 3).cast("long") - 1).alias("oy"),
+    )
+    probe = binned.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("user_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("ox")).alias("cx"),
+        (F.col("cy") + F.col("oy")).alias("cy"),
+    )
+    build = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (d2 <= F.lit(GEO_RADIUS * GEO_RADIUS))
+        )
+        .select(
+            "user_a", "user_b", F.sqrt(d2).alias("dist")
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -537,9 +617,32 @@ QUERIES = {
     "subquery_scalar": subquery_scalar,
     "subquery_in": subquery_in,
     "bloom_join_prune": bloom_join_prune,
+    "grid_radius_join": grid_radius_join,
 }
 
+_GEO_PTS_CTE = f"""
+    pts AS (
+        SELECT user_id,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT)
+                    % {GEO_SPAN} AS DOUBLE) / 10.0 AS x,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                             9, 8)) AS BIGINT)
+                    % {GEO_SPAN} AS DOUBLE) / 10.0 AS y
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+"""
+
 ORACLE = {
+    "grid_radius_join": f"""
+        WITH {_GEO_PTS_CTE.strip()}
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               sqrt((a.x - b.x) * (a.x - b.x) +
+                    (a.y - b.y) * (a.y - b.y)) AS dist
+        FROM pts a JOIN pts b ON a.user_id < b.user_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {GEO_RADIUS * GEO_RADIUS!r}
+    """,
     "bloom_join_prune": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)

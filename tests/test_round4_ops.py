@@ -674,3 +674,70 @@ def test_collocations_lift_brute_force(spark, sf_small):
     # the top pair sits above independence (the synthetic corpus is
     # near-uniform, so lift stays modest — the invariant is > 1)
     assert max(r.lift for r in got) > 1
+
+
+def test_audience_overlap_brute_force(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    aud: dict[str, set] = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        aud.setdefault(r.event_type, set()).add(r.user_id)
+    from real_time_big_data_architect_spark.operators import behavioral
+
+    got = behavioral.audience_overlap(spark, sf_small).collect()
+    types = sorted(aud)
+    expect_pairs = {
+        (a, b)
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+        if aud[a] & aud[b]
+    }
+    assert {(r.type_a, r.type_b) for r in got} == expect_pairs
+    for r in got:
+        inter = len(aud[r.type_a] & aud[r.type_b])
+        union = len(aud[r.type_a] | aud[r.type_b])
+        assert r.n_shared == inter
+        assert r.n_a == len(aud[r.type_a]) and r.n_b == len(aud[r.type_b])
+        assert abs(r.jaccard - inter / union) < 1e-12
+
+
+def test_sample_weighted_membership_and_determinism(spark, sf_small):
+    """Inclusion follows the integer coin; long docs always kept;
+    two runs agree row-for-row."""
+    import hashlib
+
+    from real_time_big_data_architect_spark.operators import curation
+
+    docs = load_table(spark, sf_small, "documents").collect()
+    expect = set()
+    for r in docs:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        if u * curation.SAMPLE_FULL_CHARS < r.n_chars * (1 << 32):
+            expect.add(r.doc_id)
+    got1 = {r.doc_id for r in curation.sample_weighted(spark, sf_small).collect()}
+    got2 = {r.doc_id for r in curation.sample_weighted(spark, sf_small).collect()}
+    assert got1 == expect and got2 == expect
+    # every doc at/above the full-keep length is present
+    for r in docs:
+        if r.n_chars >= curation.SAMPLE_FULL_CHARS:
+            assert r.doc_id in got1
+
+
+def test_grid_radius_join_equals_brute_force(spark, sf_small):
+    """Grid bin-and-verify finds exactly the brute-force pair set."""
+    from real_time_big_data_architect_spark.operators import joins as J
+
+    pts = {r.user_id: (r.x, r.y) for r in J._geo_points(spark, sf_small).collect()}
+    ids = sorted(pts)
+    brute = set()
+    for i, a in enumerate(ids):
+        xa, ya = pts[a]
+        for b in ids[i + 1 :]:
+            xb, yb = pts[b]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= J.GEO_RADIUS**2:
+                brute.add((a, b))
+    got = J.grid_radius_join(spark, sf_small).collect()
+    assert {(r.user_a, r.user_b) for r in got} == brute
+    for r in got:
+        xa, ya = pts[r.user_a]
+        xb, yb = pts[r.user_b]
+        assert abs(r.dist - ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5) < 1e-9
