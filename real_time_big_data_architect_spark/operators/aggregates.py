@@ -16,7 +16,7 @@ shuffle of raw values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_sum
@@ -379,6 +379,43 @@ def argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas per market segment — the KPI
+    reporting staple (current, previous, absolute and percent change).
+
+    One broadcast dim join (customer segment), one partial-agg shuffle
+    to (segment, month) — after which the series is dimension-sized, so
+    the lag window is effectively free. Revenue accumulates in exact
+    decimal; the MoM ratio is a single double division at the end, the
+    same expression tree the oracle runs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )
+
+
 QUERIES = {
     "argminmax_agg": argminmax_agg,
     "group_agg": group_agg,
@@ -398,11 +435,29 @@ QUERIES = {
     "rollup_time_hierarchy": rollup_time_hierarchy,
     "corr_regression": corr_regression,
     "histogram_fixed": histogram_fixed,
+    "period_over_period": period_over_period,
 }
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "period_over_period": """
+        WITH monthly AS (
+            SELECT c_mktsegment,
+                   date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, month, revenue, n_orders,
+               LAG(revenue) OVER w AS prev_revenue,
+               (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
+                   AS mom_pct
+        FROM monthly
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+    """,
     "argminmax_agg": """
         SELECT event_type,
                arg_max(value, event_id) AS newest_value,

@@ -599,6 +599,57 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: record-linkage blocking: candidates share c_custkey % 100 (the
+#: "stable blocking key survives corruption" assumption every real
+#: linkage pipeline makes); edit distance above this is a non-match.
+LINK_BLOCK_MOD = 100
+LINK_MAX_LEV = 2
+#: corrupted character position: 1-based, derived from the key so the
+#: oracle plants the identical dirt
+_LINK_POS = "CAST(c_custkey % 8 + 2 AS INT)"
+
+
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: link corrupted records back to their clean
+    master rows — plant → block → score → best-match.
+
+    A deterministic one-character corruption builds the dirty side (the
+    oracle plants byte-identical dirt). Candidate pairs come from an
+    equi-join on the blocking key, NOT a cross join: at 100 TB the
+    pair space is |block|² per block instead of N², the same blocking
+    discipline as dedup_levenshtein. Exact ``levenshtein`` scores the
+    survivors (JVM-side, no Python), and one row_number window keeps
+    the best match per dirty record (min distance, key tiebreak).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.expr(
+            f"concat(substring(c_name, 1, {_LINK_POS} - 1), 'x',"
+            f" substring(c_name, {_LINK_POS} + 1))"
+        ).alias("d_name"),
+        (F.col("c_custkey") % LINK_BLOCK_MOD).alias("blk"),
+    )
+    clean = c.select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") % LINK_BLOCK_MOD).alias("blk"),
+    )
+    cand = (
+        dirty.join(clean, "blk")
+        .withColumn(
+            "lev", F.levenshtein("d_name", "c_name").cast("int")
+        )
+        .filter(F.col("lev") <= LINK_MAX_LEV)
+    )
+    w = W.partitionBy("d_key").orderBy("lev", "c_custkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("d_key", "d_name", "c_custkey", "c_name", "lev")
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -618,6 +669,7 @@ QUERIES = {
     "subquery_in": subquery_in,
     "bloom_join_prune": bloom_join_prune,
     "grid_radius_join": grid_radius_join,
+    "record_linkage": record_linkage,
 }
 
 _GEO_PTS_CTE = f"""
@@ -634,6 +686,31 @@ _GEO_PTS_CTE = f"""
 """
 
 ORACLE = {
+    "record_linkage": f"""
+        WITH dirty AS (
+            SELECT c_custkey AS d_key,
+                   substr(c_name, 1, {_LINK_POS} - 1) || 'x' ||
+                   substr(c_name, {_LINK_POS} + 1) AS d_name,
+                   c_custkey % {LINK_BLOCK_MOD} AS blk
+            FROM customer
+        ),
+        clean AS (
+            SELECT c_custkey, c_name, c_custkey % {LINK_BLOCK_MOD} AS blk
+            FROM customer
+        ),
+        cand AS (
+            SELECT d.d_key, d.d_name, c.c_custkey, c.c_name,
+                   CAST(levenshtein(d.d_name, c.c_name) AS INT) AS lev
+            FROM dirty d JOIN clean c USING (blk)
+            WHERE levenshtein(d.d_name, c.c_name) <= {LINK_MAX_LEV}
+        )
+        SELECT d_key, d_name, c_custkey, c_name, lev
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY d_key ORDER BY lev, c_custkey) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    """,
     "grid_radius_join": f"""
         WITH {_GEO_PTS_CTE.strip()}
         SELECT a.user_id AS user_a, b.user_id AS user_b,

@@ -16,7 +16,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.tables import load_table
@@ -88,6 +88,32 @@ def lastk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (cheaper price, larger size).
+
+    A part is dominated iff some part is ≤ on price AND ≥ on size with
+    one strict. Instead of the O(N²) dominance self-join the oracle
+    spells, the plan collapses to per-price group maxima (one partial
+    agg — the distinct-price table is tiny relative to the corpus)
+    plus one running max over price order: dominated ⇔ a strictly
+    cheaper price group reaches my size, or my own price group exceeds
+    it. One agg shuffle + one dimension-sized window + a broadcast join
+    back — the standard distributed skyline for 2 dimensions.
+    """
+    p = load_table(spark, sf_dir, "part")
+    gp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    gp = gp.withColumn("prior_max", F.max("gmax").over(w))
+    joined = p.join(F.broadcast(gp), "p_retailprice")
+    dominated = (
+        F.col("prior_max").isNotNull()
+        & (F.col("prior_max") >= F.col("p_size"))
+    ) | (F.col("gmax") > F.col("p_size"))
+    return joined.filter(~dominated).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
 QUERIES = {
     "scan_project": scan_project,
     "count_rows": count_rows,
@@ -96,9 +122,21 @@ QUERIES = {
     "filter_range": filter_range,
     "topk_order_limit": topk_order_limit,
     "lastk_tail": lastk_tail,
+    "pareto_frontier": pareto_frontier,
 }
 
 ORACLE = {
+    "pareto_frontier": """
+        SELECT b.p_partkey, b.p_retailprice, b.p_size
+        FROM part b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part a
+            WHERE a.p_retailprice <= b.p_retailprice
+              AND a.p_size >= b.p_size
+              AND (a.p_retailprice < b.p_retailprice
+                   OR a.p_size > b.p_size)
+        )
+    """,
     "scan_project": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem

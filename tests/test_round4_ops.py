@@ -741,3 +741,66 @@ def test_grid_radius_join_equals_brute_force(spark, sf_small):
         xa, ya = pts[r.user_a]
         xb, yb = pts[r.user_b]
         assert abs(r.dist - ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5) < 1e-9
+
+
+def test_pareto_frontier_brute_force(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import relational
+
+    parts = [
+        (r.p_partkey, float(r.p_retailprice), r.p_size)
+        for r in load_table(spark, sf_small, "part").collect()
+    ]
+    brute = {
+        k
+        for k, pr, sz in parts
+        if not any(
+            pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz)
+            for _, pr2, sz2 in parts
+        )
+    }
+    got = {r.p_partkey for r in relational.pareto_frontier(spark, sf_small).collect()}
+    assert got == brute and got
+
+
+def test_period_over_period_hand_check(spark, sf_small):
+    from collections import defaultdict
+
+    from real_time_big_data_architect_spark.operators import aggregates
+
+    o = load_table(spark, sf_small, "orders").collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, sf_small, "customer").collect()
+    }
+    monthly = defaultdict(float)
+    counts = defaultdict(int)
+    for r in o:
+        key = (seg[r.o_custkey], (r.o_orderdate.year, r.o_orderdate.month))
+        monthly[key] += float(r.o_totalprice)
+        counts[key] += 1
+    got = aggregates.period_over_period(spark, sf_small).collect()
+    assert len(got) == len(monthly)
+    by_seg = {}
+    for r in got:
+        k = (r.c_mktsegment, (r.month.year, r.month.month))
+        assert abs(r.revenue - monthly[k]) < 1e-6
+        assert r.n_orders == counts[k]
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for rows in by_seg.values():
+        rows.sort(key=lambda r: r.month)
+        assert rows[0].prev_revenue is None and rows[0].mom_pct is None
+        for a, b in zip(rows, rows[1:]):
+            assert abs(b.prev_revenue - a.revenue) < 1e-9
+            assert abs(b.mom_pct - (b.revenue - a.revenue) / a.revenue) < 1e-12
+
+
+def test_record_linkage_resolves_every_record_to_itself(spark, sf_small):
+    """The planted one-char corruption must link back to its own master
+    row (lev exactly 1), for every customer."""
+    got = joins.record_linkage(spark, sf_small).collect()
+    n = load_table(spark, sf_small, "customer").count()
+    assert len(got) == n
+    for r in got:
+        assert r.c_custkey == r.d_key
+        assert r.lev == 1
+        assert "x" in r.d_name and r.d_name != r.c_name
