@@ -48,6 +48,11 @@ HEADLINE = [
     "grouped_map_ols",
     "ewma_smooth",
     "bigram_lm_score",
+    "interval_merge",
+    "bfs_khop",
+    "grid_radius_join",
+    "collocations_lift",
+    "record_linkage",
 ]
 
 

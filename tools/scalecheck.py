@@ -169,6 +169,8 @@ def main() -> None:
         graph as graph_ops,
         quality as quality_ops,
         similarity as sim_ops,
+        text as text_ops,
+        windows as windows_ops,
     )
 
     scale_root = tempfile.mkdtemp(prefix="scalecheck_")
@@ -271,6 +273,28 @@ def main() -> None:
             results.append(_timed_e2e(
                 "bigram_lm_score", n_doc * mult,
                 lambda: quality_ops.bigram_lm_score(spark, d),
+            ))
+            # round-4 additions. bfs_khop: copies are disjoint
+            # subgraphs (ts-shifted), each with its own %97 seeds, so
+            # the frontier workload is mult× replicas. interval_merge:
+            # one window+agg on user_id. collocations_lift: the
+            # per-copy character rotation grows the vocab with mult
+            # while bigram instances stay linear. (grid_radius_join is
+            # deliberately absent: multiplying users on a fixed plane
+            # densifies it, so the OUTPUT pair count grows ~mult² —
+            # a property of the data, not a plan defect; its scale
+            # story is the 9-cell candidate bound, asserted in tests.)
+            results.append(_timed_e2e(
+                "bfs_khop", n_ev * mult,
+                lambda: graph_ops.bfs_khop(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "interval_merge", n_ev * mult,
+                lambda: windows_ops.interval_merge(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "collocations_lift", n_doc * mult,
+                lambda: text_ops.collocations_lift(spark, d),
             ))
             spark.catalog.clearCache()  # drop per-dir persisted stages
     finally:
