@@ -219,15 +219,69 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batch_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CEP: count strict view→click→purchase triples per user —
+    the MATCH_RECOGNIZE shape, solved relationally (the streaming twin
+    is ``stream_pattern_cep``).
+
+    Each user's history collapses to an ordered initial string (one
+    char per event, first letter of the type — all five types have
+    distinct initials), built with sort_array over (ts, event_id)
+    structs so the order is deterministic and engine-independent; the
+    pattern count is then a per-row regex scan. ONE shuffle on user_id
+    and a per-user payload of ~bytes-per-event: at 100 TB this is the
+    cheapest exact sequential-pattern plan there is — no self-joins,
+    no window chains, and the regex generalizes to any fixed pattern.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("ini"),
+                    )
+                )
+            ),
+            lambda s: s["ini"],
+        ),
+        "",
+    )
+    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return per_user.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("vcp"), 0))
+        .cast("bigint")
+        .alias("n_conversions"),
+    )
+
+
 QUERIES = {
     "sessionize": sessionize,
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
     "ohlc_bars": ohlc_bars,
     "audience_overlap": audience_overlap,
+    "batch_cep_pattern": batch_cep_pattern,
 }
 
 ORACLE = {
+    "batch_cep_pattern": """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'vcp', 0)) AS BIGINT)
+                   AS n_conversions
+        FROM seqs
+    """,
     "audience_overlap": """
         WITH aud AS (
             SELECT DISTINCT event_type, user_id FROM events

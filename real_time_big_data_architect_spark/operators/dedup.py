@@ -657,6 +657,59 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier primitive that
+    runs BEFORE any content dedup: http/https, host case, utm tracking
+    params, and fragments all collapse to one canonical URL.
+
+    The corpus has no URL column, so messy variants are planted
+    deterministically (scheme/case/param/fragment keyed on doc_id, four
+    doc_ids per logical page — the oracle plants byte-identical mess).
+    Canonicalization is a chain of lower + regexp_replace in the
+    Java∩RE2 subset — a pure map pass; the dedup itself is one
+    groupBy on the canonical string (shuffles only URLs, never
+    documents) keeping the min-doc_id survivor, same discipline as
+    dedup_exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, "https://").otherwise(
+        "http://"
+    )
+    site = F.concat(
+        F.lit("site"), F.expr("(doc_id div 4) % 50").cast("string")
+    )
+    host = F.when(F.col("doc_id") % 3 == 0, F.upper(site)).otherwise(site)
+    query = F.when(F.col("doc_id") % 2 == 1, "?utm_source=feed").otherwise(
+        ""
+    )
+    frag = F.when(F.col("doc_id") % 5 == 0, "#sec").otherwise("")
+    raw = F.concat(
+        scheme,
+        host,
+        F.lit(".Example.COM/p/"),
+        F.expr("doc_id div 4").cast("string"),
+        query,
+        frag,
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "^http://", "https://"),
+            "[?]utm_[a-z_]+=[a-z]+",
+            "",
+        ),
+        "#.*$",
+        "",
+    )
+    return (
+        d.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_paragraphs": dedup_paragraphs,
@@ -669,6 +722,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
     "dedup_clusters": dedup_clusters,
     "dedup_levenshtein": dedup_levenshtein,
+    "dedup_url_canonical": dedup_url_canonical,
 }
 
 
@@ -718,6 +772,40 @@ def _clusters_oracle() -> str:
     """
 
 ORACLE = {
+    "dedup_url_canonical": """
+        WITH planted AS (
+            SELECT doc_id,
+                   concat(
+                       CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                            ELSE 'http://' END,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN upper(concat('site',
+                                 CAST((doc_id // 4) % 50 AS VARCHAR)))
+                            ELSE concat('site',
+                                 CAST((doc_id // 4) % 50 AS VARCHAR)) END,
+                       '.Example.COM/p/',
+                       CAST(doc_id // 4 AS VARCHAR),
+                       CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed'
+                            ELSE '' END,
+                       CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END
+                   ) AS raw
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(raw),
+                                          '^http://', 'https://'),
+                           '[?]utm_[a-z_]+=[a-z]+', ''),
+                       '#.*$', '') AS canonical_url
+            FROM planted
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               MIN(doc_id) AS survivor_doc_id
+        FROM canon GROUP BY canonical_url
+    """,
     "dedup_paragraphs": """
         WITH units AS (
             SELECT doc_id, i AS para_idx,

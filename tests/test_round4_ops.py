@@ -804,3 +804,48 @@ def test_record_linkage_resolves_every_record_to_itself(spark, sf_small):
         assert r.c_custkey == r.d_key
         assert r.lev == 1
         assert "x" in r.d_name and r.d_name != r.c_name
+
+
+def test_batch_cep_pattern_python_replay(spark, sf_small):
+    """Regex conversion counting matches a Python scan of each user's
+    time-ordered history."""
+    import re as _re
+
+    from real_time_big_data_architect_spark.operators import behavioral
+
+    ev = sorted(
+        load_table(spark, sf_small, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    seqs: dict[int, str] = {}
+    for r in ev:
+        seqs[r.user_id] = seqs.get(r.user_id, "") + r.event_type[0]
+    got = {r.user_id: r for r in behavioral.batch_cep_pattern(spark, sf_small).collect()}
+    assert set(got) == set(seqs)
+    for uid, seq in seqs.items():
+        assert got[uid].n_events == len(seq)
+        assert got[uid].n_conversions == len(_re.findall("vcp", seq))
+    assert sum(r.n_conversions for r in got.values()) > 0
+
+
+def test_dedup_url_canonical_collapses_variants(spark, sf_small):
+    """All planted variants of one logical page collapse to a single
+    https, lowercase, param- and fragment-free canonical URL."""
+    from real_time_big_data_architect_spark.operators import dedup
+
+    docs = load_table(spark, sf_small, "documents").collect()
+    expect: dict[str, list] = {}
+    for r in docs:
+        page = r.doc_id // 4
+        canon = f"https://site{page % 50}.example.com/p/{page}"
+        expect.setdefault(canon, []).append(r.doc_id)
+    got = dedup.dedup_url_canonical(spark, sf_small).collect()
+    assert {r.canonical_url for r in got} == set(expect)
+    for r in got:
+        assert r.n_variants == len(expect[r.canonical_url])
+        assert r.survivor_doc_id == min(expect[r.canonical_url])
+        assert "utm" not in r.canonical_url and "#" not in r.canonical_url
+        assert r.canonical_url == r.canonical_url.lower()
+        assert r.canonical_url.startswith("https://")
+    # the plant really produced mergeable mess: some page has >1 variant
+    assert max(r.n_variants for r in got) > 1
