@@ -196,23 +196,28 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Frontier-relaxation BFS as a bounded DataFrame loop: each round
     joins the current frontier against the edge list (shuffle keyed on
-    src == user_id, the same partitioning every round) and anti-joins
-    out already-visited nodes, so a node is labeled the first round it
-    is reached — which IS its BFS distance. Each frontier is persisted
-    and the loop is fixed-depth, so lineage stays shallow; at 100 TB
-    the right physical layout is both sides bucketed by user_id (the
-    Pregel partitioning, same note as pagerank above).
+    src == user_id, the same partitioning every round). min(dist) over
+    the union of all frontiers IS the BFS distance (a node's first
+    appearance is its shortest level), so no per-round visited-set
+    anti-join is needed — frontiers may revisit nodes, bounded by |V|
+    per round, and the whole loop stays ONE lazy job: k frontier
+    shuffles + one final min-agg, no materialization barriers. Each
+    frontier is persisted (it feeds both the next round and the final
+    union) and the loop is fixed-depth, so lineage stays shallow; at
+    100 TB the right physical layout is both sides bucketed by user_id
+    (the Pregel partitioning, same note as pagerank above).
     """
-    edges = (
-        _edges(spark, sf_dir).select("src", "dst").persist()
-    )
+    edges = _edges(spark, sf_dir).select("src", "dst").persist()
     ev = load_table(spark, sf_dir, "events")
     seeds = (
         ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
         .select("user_id")
         .distinct()
+        .persist()
     )
-    dist = seeds.withColumn("dist", F.lit(0)).persist()
+    from functools import reduce
+
+    frontiers = [seeds]
     frontier = seeds
     for hop in range(1, BFS_MAX_HOPS + 1):
         reached = (
@@ -220,12 +225,20 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("user_id"))
             .distinct()
         )
-        new = reached.join(dist, "user_id", "left_anti").withColumn(
-            "dist", F.lit(hop)
-        )
-        dist = dist.unionByName(new).persist()
-        frontier = new
-    return dist.select("user_id", F.col("dist").cast("int").alias("dist"))
+        # anti-join against the (lazy) union of persisted prior
+        # frontiers: in a dense graph the frontier collapses after
+        # round 1-2, so later rounds join near-empty inputs — the
+        # shrinkage pays for the anti-join many times over
+        visited = reduce(DataFrame.unionByName, frontiers)
+        frontier = reached.join(visited, "user_id", "left_anti").persist()
+        frontiers.append(frontier)
+    return reduce(
+        DataFrame.unionByName,
+        (
+            f.withColumn("dist", F.lit(i))
+            for i, f in enumerate(frontiers)
+        ),
+    ).select("user_id", F.col("dist").cast("int").alias("dist"))
 
 
 QUERIES = {
