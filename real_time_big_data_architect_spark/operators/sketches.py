@@ -197,6 +197,104 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: columns profiled by profile_table (all of orders)
+#: HyperLogLog geometry: 256 registers (standard error 1.04/√256 ≈
+#: 6.5%), hash = first 15 md5 hex digits (60 bits: 8 bucket + 52 rank).
+HLL_M = 256
+HLL_WBITS = 52
+#: bias constant α_m for m=256, precomputed in Python doubles and
+#: emitted as a repr literal on both sides (writing the formula in SQL
+#: would evaluate in DuckDB DECIMAL arithmetic and diverge)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+#: linear-counting table: m·ln(m/V) for V = 1..m zero registers. The
+#: low-range correction needs ln(); libm is not cross-engine
+#: bit-stable, but V is an integer in [1, m] — so the ≤256 possible
+#: values are precomputed HERE in Python doubles and both engines just
+#: index the literal array. Correction applies when raw ≤ 2.5·m and
+#: V > 0 (the standard HLL regime switch).
+import math as _math
+
+HLL_LINEAR = [
+    float(HLL_M) * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)
+]
+HLL_RAW_CUTOFF = 2.5 * HLL_M
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch built RELATIONALLY — the
+    mergeable cardinality summary, next to the exact count so the
+    estimate is auditable (raw HLL, no small-range correction: the
+    correction branch needs ln(), and libm would break the cross-engine
+    hash gate).
+
+    Everything is integer/bit arithmetic until one final division:
+    register rank = 53 − length(bin(w)) (binary-string length, not
+    floor(log2)), registers = max per (type, bucket) — a partial-agg
+    shuffle whose state is ≤ m rows per type REGARDLESS of input size,
+    which is the entire point of the sketch at 100 TB. The harmonic sum
+    Σ2^−M is rescaled to the exact integer Σ2^(53−M) accumulated in
+    DECIMAL(38,0) — order-independent, so the distributed sum is
+    bit-stable. Registers merge across any partitioning by MAX (the
+    mergeability test proves per-source ∪ == global).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    parts = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % HLL_M).cast("int").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin("w"))
+    )
+    regs = (
+        parts.select("event_type", "bucket", rho.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - m)"
+        " AS DECIMAL(38,0))"
+    )
+    sums = full.groupBy("event_type").agg(
+        F.sum(term).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << (HLL_WBITS + 1)))
+    ) / F.col("s").cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LINEAR]), F.col("n_zero").cast("int")
+    )
+    joined = exact.join(sums, "event_type").withColumn("hll_raw", raw)
+    est = F.when(
+        (F.col("hll_raw") <= F.lit(HLL_RAW_CUTOFF)) & (F.col("n_zero") > 0),
+        lc,
+    ).otherwise(F.col("hll_raw"))
+    return joined.select(
+        "event_type",
+        "n_exact",
+        F.col("n_zero").cast("bigint").alias("n_zero_regs"),
+        "hll_raw",
+        est.alias("hll_estimate"),
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -257,6 +355,7 @@ def _profile_oracle() -> str:
 
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
+    "hll_distinct": hll_distinct,
     "profile_table": profile_table,
     "table_checksum": table_checksum,
     "skew_stats": skew_stats,
@@ -264,6 +363,62 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hll_distinct": f"""
+        WITH hashed AS (
+            SELECT event_type,
+                   CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        parts AS (
+            SELECT event_type, CAST(h % {HLL_M} AS INT) AS bucket,
+                   h // {HLL_M} AS w
+            FROM hashed
+        ),
+        regs AS (
+            SELECT event_type, bucket,
+                   MAX(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                            ELSE {HLL_WBITS + 1} - length(bin(w)) END) AS m
+            FROM parts GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type, CAST(bucket AS INT) AS bucket
+            FROM (SELECT DISTINCT event_type FROM events),
+                 (SELECT unnest(range({HLL_M})) AS bucket)
+        ),
+        filled AS (
+            SELECT s.event_type, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN regs r USING (event_type, bucket)
+        ),
+        sums AS (
+            SELECT event_type,
+                   SUM(CAST(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m)
+                            AS DECIMAL(38,0))) AS s,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+            FROM filled GROUP BY 1
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        ),
+        rawed AS (
+            SELECT e.event_type, e.n_exact, n_zero,
+                   CAST({HLL_ALPHA!r} AS DOUBLE)
+                     * {float(HLL_M * HLL_M)!r}
+                     * {float(1 << (HLL_WBITS + 1))!r}
+                     / CAST(s AS DOUBLE) AS hll_raw
+            FROM exact e JOIN sums USING (event_type)
+        )
+        SELECT event_type, n_exact,
+               CAST(n_zero AS BIGINT) AS n_zero_regs, hll_raw,
+               CASE WHEN hll_raw <= {HLL_RAW_CUTOFF!r} AND n_zero > 0
+                    THEN ([{", ".join(repr(x) for x in HLL_LINEAR)}])
+                         [CAST(n_zero AS INT)]
+                    ELSE hll_raw END AS hll_estimate
+        FROM rawed
+    """,
     "profile_table": _profile_oracle(),
     "cms_heavy_hitters": f"""
         WITH words AS (

@@ -105,3 +105,76 @@ def test_mv_incremental_equals_full_recompute(spark, sf_small):
         .collect()
     }
     assert inc == full
+
+
+def test_hll_distinct_replay_and_mergeability(spark, sf_small):
+    """Spark's HLL registers/estimate match a bit-exact Python replay;
+    registers built on disjoint halves max-merge to the global ones."""
+    import hashlib
+
+    from real_time_big_data_architect_spark.operators import sketches as sk
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").collect()
+
+    def regs_of(rows):
+        regs: dict[str, list[int]] = {}
+        for r in rows:
+            h = int(
+                hashlib.md5(str(r.user_id).encode()).hexdigest()[:15], 16
+            )
+            b, w = h % sk.HLL_M, h // sk.HLL_M
+            rho = (
+                sk.HLL_WBITS + 1
+                if w == 0
+                else sk.HLL_WBITS + 1 - len(bin(w)) - (-2)
+            )
+            # len(bin(w)) includes '0b' prefix; recompute cleanly:
+            rho = (
+                sk.HLL_WBITS + 1
+                if w == 0
+                else sk.HLL_WBITS + 1 - (w.bit_length())
+            )
+            regs.setdefault(r.event_type, [0] * sk.HLL_M)
+            regs[r.event_type][b] = max(regs[r.event_type][b], rho)
+        return regs
+
+    regs = regs_of(ev)
+    expect = {}
+    for et, m in regs.items():
+        s = sum(1 << (sk.HLL_WBITS + 1 - mj) for mj in m)
+        raw = (
+            sk.HLL_ALPHA
+            * float(sk.HLL_M * sk.HLL_M)
+            * float(1 << (sk.HLL_WBITS + 1))
+            / float(s)
+        )
+        n_zero = sum(1 for mj in m if mj == 0)
+        if raw <= sk.HLL_RAW_CUTOFF and n_zero > 0:
+            corrected = sk.HLL_LINEAR[n_zero - 1]
+        else:
+            corrected = raw
+        expect[et] = (raw, n_zero, corrected)
+    exact = {}
+    for r in ev:
+        exact.setdefault(r.event_type, set()).add(r.user_id)
+    got = {r.event_type: r for r in sk.hll_distinct(spark, sf_small).collect()}
+    assert set(got) == set(regs)
+    for et, r in got.items():
+        raw, n_zero, corrected = expect[et]
+        assert r.n_exact == len(exact[et])
+        assert r.n_zero_regs == n_zero
+        assert abs(r.hll_raw - raw) < 1e-9  # replay-exact
+        assert abs(r.hll_estimate - corrected) < 1e-9
+        # with linear counting the estimate lands in a tight band
+        assert 0.7 * r.n_exact < r.hll_estimate < 1.3 * r.n_exact
+    # mergeability: element-wise max of per-half registers == global
+    half_a = regs_of([r for r in ev if r.event_id % 2 == 0])
+    half_b = regs_of([r for r in ev if r.event_id % 2 == 1])
+    for et, m in regs.items():
+        merged = [
+            max(half_a.get(et, [0] * sk.HLL_M)[i],
+                half_b.get(et, [0] * sk.HLL_M)[i])
+            for i in range(sk.HLL_M)
+        ]
+        assert merged == m
