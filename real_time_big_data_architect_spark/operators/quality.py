@@ -255,8 +255,75 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: declarative expectation thresholds (Deequ/Great-Expectations shape):
+#: metric must be ≥ threshold for the check to pass. Rates are exact
+#: rationals (bigint / bigint) evaluated in one fixed double division.
+DQ_MIN_ROWS = 1000
+DQ_NULL_FREE_RATE = 0.999
+DQ_PRICE_POSITIVE_RATE = 1.0
+DQ_DATE_IN_RANGE_RATE = 1.0
+DQ_PRIORITY_DOMAIN_RATE = 1.0
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over ``orders`` — the
+    Deequ / Great-Expectations pattern: N constraints verified in ONE
+    scan, emitting (check, metric, threshold, passed) rows a pipeline
+    gates on.
+
+    All metrics — row volume, key uniqueness, null-free rate, value
+    positivity, date-domain and enum-domain conformance — come from a
+    single aggregate pass (count + conditional sums + one exact
+    distinct), then unpivot via stack into the one-row-per-check
+    verdict table. No second scan, no per-check jobs: at 100 TB the
+    whole suite costs exactly one map-side-combinable aggregation.
+    Uniqueness needs the only extra shuffle (exact countDistinct).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pri = "('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+        ).alias("n_cust"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2005-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dates"),
+        F.sum(
+            F.expr(f"CASE WHEN o_orderpriority IN {pri} THEN 1 ELSE 0 END")
+        ).alias("n_pri"),
+    )
+    checks = agg.select(
+        F.expr(
+            "stack(6, "
+            f" 'row_volume', CAST(n AS DOUBLE), CAST({DQ_MIN_ROWS} AS DOUBLE),"
+            " 'key_unique', CAST(n_keys AS DOUBLE) / CAST(n AS DOUBLE), 1.0D,"
+            f" 'custkey_null_free', CAST(n_cust AS DOUBLE) / CAST(n AS DOUBLE), {DQ_NULL_FREE_RATE}D,"
+            f" 'price_positive', CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), {DQ_PRICE_POSITIVE_RATE}D,"
+            f" 'date_in_range', CAST(n_dates AS DOUBLE) / CAST(n AS DOUBLE), {DQ_DATE_IN_RANGE_RATE}D,"
+            f" 'priority_in_domain', CAST(n_pri AS DOUBLE) / CAST(n AS DOUBLE), {DQ_PRIORITY_DOMAIN_RATE}D"
+            ") AS (check_name, metric, threshold)"
+        )
+    )
+    return checks.select(
+        "check_name",
+        "metric",
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
 QUERIES = {
     "repetition_ratios": repetition_ratios,
+    "dq_expectations": dq_expectations,
     "contamination_ngram": contamination_ngram,
     "zscore_outliers": zscore_outliers,
     "anomaly_mad": anomaly_mad,
@@ -264,6 +331,46 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_expectations": f"""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+                   CAST(SUM(CASE WHEN o_totalprice > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                                  AND o_orderdate < TIMESTAMP '2005-01-01'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dates,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                             '4-NOT SPECIFIED', '5-LOW')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pri
+            FROM orders
+        ),
+        checks AS (
+            SELECT 'row_volume' AS check_name,
+                   CAST(n AS DOUBLE) AS metric,
+                   CAST({DQ_MIN_ROWS} AS DOUBLE) AS threshold FROM m
+            UNION ALL SELECT 'key_unique',
+                   CAST(n_keys AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM m
+            UNION ALL SELECT 'custkey_null_free',
+                   CAST(n_cust AS DOUBLE) / CAST(n AS DOUBLE),
+                   {DQ_NULL_FREE_RATE!r} FROM m
+            UNION ALL SELECT 'price_positive',
+                   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE),
+                   {DQ_PRICE_POSITIVE_RATE!r} FROM m
+            UNION ALL SELECT 'date_in_range',
+                   CAST(n_dates AS DOUBLE) / CAST(n AS DOUBLE),
+                   {DQ_DATE_IN_RANGE_RATE!r} FROM m
+            UNION ALL SELECT 'priority_in_domain',
+                   CAST(n_pri AS DOUBLE) / CAST(n AS DOUBLE),
+                   {DQ_PRIORITY_DOMAIN_RATE!r} FROM m
+        )
+        SELECT check_name, metric, threshold,
+               metric >= threshold AS passed
+        FROM checks
+    """,
     "anomaly_mad": """
         WITH ev AS (
           SELECT event_type, value FROM events WHERE value IS NOT NULL

