@@ -259,6 +259,61 @@ def batch_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: attribution lookback: a purchase credits the most recent qualifying
+#: touch within this many seconds, else the 'direct' channel
+ATTR_WINDOW_S = 7 * 24 * 3600
+ATTR_CHANNELS = ("view", "click", "signup")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the
+    user's most recent qualifying touch (view/click/signup) within a
+    7-day lookback, else 'direct' — conversions and revenue per channel.
+
+    The prior touch comes from two last_value-ignorenulls expressions
+    (type and epoch) over ONE user_id window sort — no self-join, no
+    per-purchase scan; the lookback test and channel fallback are plain
+    map expressions, and the final per-channel rollup is a 4-row agg.
+    One shuffle on user_id + one tiny agg shuffle, same partitioning
+    discipline as sessionize/funnel. Revenue accumulates in exact
+    decimal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    prior_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    prior_epoch = F.last(
+        F.when(is_touch, F.unix_timestamp("ts")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.withColumn("prior_type", prior_type)
+        .withColumn("prior_epoch", prior_epoch)
+        .filter(F.col("event_type") == "purchase")
+    )
+    channel = F.when(
+        F.col("prior_type").isNull()
+        | (F.unix_timestamp("ts") - F.col("prior_epoch") > ATTR_WINDOW_S),
+        "direct",
+    ).otherwise(F.col("prior_type"))
+    return (
+        purchases.select(
+            channel.alias("channel"),
+            F.col("value").cast("decimal(18,4)").alias("rev"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "sessionize": sessionize,
     "funnel_steps": funnel_steps,
@@ -266,9 +321,39 @@ QUERIES = {
     "ohlc_bars": ohlc_bars,
     "audience_overlap": audience_overlap,
     "batch_cep_pattern": batch_cep_pattern,
+    "attribution_last_touch": attribution_last_touch,
 }
 
 ORACLE = {
+    "attribution_last_touch": f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   LAST_VALUE(CASE WHEN event_type IN
+                       ('view', 'click', 'signup')
+                       THEN event_type END IGNORE NULLS) OVER w
+                       AS prior_type,
+                   LAST_VALUE(CASE WHEN event_type IN
+                       ('view', 'click', 'signup')
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                       IGNORE NULLS) OVER w AS prior_epoch
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
+        ),
+        attributed AS (
+            SELECT CASE WHEN prior_type IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT) - prior_epoch
+                             > {ATTR_WINDOW_S}
+                        THEN 'direct' ELSE prior_type END AS channel,
+                   CAST(value AS DECIMAL(18,4)) AS rev
+            FROM marked WHERE event_type = 'purchase'
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(rev) AS DOUBLE) AS revenue
+        FROM attributed GROUP BY channel
+    """,
     "batch_cep_pattern": """
         WITH seqs AS (
             SELECT user_id,

@@ -139,3 +139,37 @@ def test_ohlc_open_close_tiebreak(spark, monkeypatch):
         7.0,
         4,
     )
+
+
+def test_attribution_last_touch_python_replay(spark, sf_small):
+    """Channel credit matches a per-user Python scan with the same
+    lookback and 'direct' fallback."""
+    from collections import defaultdict
+
+    from real_time_big_data_architect_spark.operators import behavioral as B
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = sorted(
+        load_table(spark, sf_small, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    last_touch: dict = {}
+    conv = defaultdict(int)
+    rev = defaultdict(float)
+    for r in ev:
+        if r.event_type == "purchase":
+            lt = last_touch.get(r.user_id)
+            if lt is None or (r.ts - lt[0]).total_seconds() > B.ATTR_WINDOW_S:
+                ch = "direct"
+            else:
+                ch = lt[1]
+            conv[ch] += 1
+            rev[ch] += r.value or 0.0
+        if r.event_type in B.ATTR_CHANNELS:
+            last_touch[r.user_id] = (r.ts, r.event_type)
+    got = {r.channel: r for r in B.attribution_last_touch(spark, sf_small).collect()}
+    assert set(got) == set(conv)
+    for ch in conv:
+        assert got[ch].n_conversions == conv[ch]
+        assert abs(got[ch].revenue - rev[ch]) < 1e-6
+    assert len(got) >= 2  # at least one real channel plus plausibly direct
