@@ -222,6 +222,100 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: perceptual-hash geometry: 64 histogram buckets → 64-bit signature,
+#: 4 × 16-bit Hamming-LSH bands, near-dup at Hamming ≤ 8 (content
+#: hashes are histogram-based, so small payload edits flip few bits)
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 8
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual hash per media payload + its Hamming bands.
+
+    Kernel: byte-histogram signature — bucket the payload's bytes into
+    64 ranges, set bit i when bucket i exceeds the mean bucket mass.
+    Byte-identical payloads hash identically; near-identical payloads
+    differ in few bits (the property Hamming banding exploits). One
+    Arrow-batched numpy pass per input split, no shuffle — exactly the
+    production pHash/aHash plumbing with the codec swapped for the
+    histogram stub (no image libs in this container).
+    """
+    m = build_media_table(spark, sf_dir)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        for b in batches:
+            sigs, bands = [], [[] for _ in range(PHASH_BANDS)]
+            for payload in b["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 2, minlength=64)[:64]
+                bits = (hist > hist.mean()).astype(np.uint64)
+                sig = int((bits << shifts).sum(dtype=np.uint64))
+                for i in range(PHASH_BANDS):
+                    bands[i].append((sig >> (16 * i)) & 0xFFFF)
+                sigs.append(sig - (1 << 64 if sig >= 1 << 63 else 0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "phash": pd.Series(sigs, dtype="int64"),
+                    **{
+                        f"band{i}": pd.Series(bands[i], dtype="int32")
+                        for i in range(PHASH_BANDS)
+                    },
+                }
+            )
+
+    schema = "doc_id long, phash long, " + ", ".join(
+        f"band{i} int" for i in range(PHASH_BANDS)
+    )
+    return m.select("doc_id", "payload").mapInPandas(kernel, schema)
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs by perceptual hash: Hamming ≤ 8 over the
+    64-bit signatures, banded so the candidate join shuffles only
+    (band, bucket, doc_id) — the simhash blocking discipline applied
+    to the binary media column (a pair within Hamming ≤ 8 of 64 bits
+    cannot disagree on all 4 16-bit bands... pigeonhole guarantees a
+    shared band only for Hamming ≤ 3, so this is a recall-tuned
+    LSH: candidates need ≥ 1 exact band match, verified exactly with
+    bit_count; identical payloads always agree on every band).
+    """
+    sigs = media_phash(spark, sf_dir).repartition(F.col("doc_id"))
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{i}") for i in range(PHASH_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 QUERIES = {
     "media_resize": media_resize,  # rows-only (xxhash-derived geometry)
     "media_frame_sample": media_frame_sample,
@@ -229,6 +323,7 @@ QUERIES = {
     "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
     "multimodal_features": multimodal_features,
     "media_meta_stats": media_meta_stats,
+    "media_phash_dedup": media_phash_dedup,  # rows-only (numpy kernel)
 }
 
 

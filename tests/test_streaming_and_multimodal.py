@@ -326,3 +326,45 @@ def test_mv_merge_replay_and_crash_safety(spark, sf_small, tmp_path_factory):
         f"{work}/mv_v2"
     )
     assert stateful.mv_committed(work) == second
+
+
+def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
+    """Signatures match a numpy replay; byte-identical payloads always
+    pair at Hamming 0; every reported pair respects the threshold."""
+    import numpy as np
+
+    from real_time_big_data_architect_spark.operators import multimodal as M
+    from real_time_big_data_architect_spark.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").collect()
+
+    def phash(text: str) -> int:
+        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        hist = np.bincount(arr >> 2, minlength=64)[:64]
+        bits = (hist > hist.mean()).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    expect = {d.doc_id: phash(d.text) for d in docs}
+    got_sigs = {
+        r.doc_id: r.phash & ((1 << 64) - 1)
+        for r in M.media_phash(spark, sf_small).collect()
+    }
+    assert got_sigs == expect
+    pairs = M.media_phash_dedup(spark, sf_small).collect()
+    seen = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in pairs:
+        x = (expect[r.doc_a] ^ expect[r.doc_b]).bit_count()
+        assert r.hamming == x and x <= M.PHASH_MAX_HAMMING
+    # completeness at hamming 0: equal signatures share every band, so
+    # any two docs with the same phash MUST be reported as a pair
+    by_sig: dict = {}
+    for doc_id, sig in expect.items():
+        by_sig.setdefault(sig, []).append(doc_id)
+    n_sig_dups = 0
+    for ids in by_sig.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in seen
+                n_sig_dups += 1
+    assert n_sig_dups > 0  # histogram hashing really collides on similar payloads
