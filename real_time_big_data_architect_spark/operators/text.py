@@ -425,6 +425,84 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: phrase-merge rounds (BPE-style vocabulary induction at word level —
+#: the word2vec phrase-mining shape): each round merges the corpus's
+#: most frequent adjacent pair into one token.
+PHRASE_ROUNDS = 2
+#: only plain alphanumeric tokens participate (keeps the literal
+#: replace() pattern unambiguous; merged tokens carry '_' and sit out
+#: later rounds)
+_WORD_RE = "^[a-z0-9]+$"
+
+
+def _merge_round(df: DataFrame, r: int) -> DataFrame:
+    """One merge round: find the top adjacent pair, rewrite every text.
+
+    The rewrite is a literal double-pass replace on space-padded text
+    (' w1 w2 ' → ' w1_w2 '): a single left-to-right pass misses every
+    second occurrence of an alternating run ('a b a b'), the second
+    pass catches it; both engines' replace() share these semantics
+    token-for-token, so the rewritten corpus is byte-identical.
+    """
+    toks = df.select(F.split("t", " ").alias("l"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1))"
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    top = (
+        big.filter(
+            F.col("w1").rlike(_WORD_RE) & F.col("w2").rlike(_WORD_RE)
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(1)
+    )
+    pat = F.concat(F.lit(" "), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" "))
+    padded = F.concat(F.lit(" "), F.col("t"), F.lit(" "))
+    merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+    return df.crossJoin(F.broadcast(top)).select(
+        *[c for c in df.columns if c != "t"],
+        merged.alias("t"),
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias(f"phrase_{r}"),
+    )
+
+
+def phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style phrase merging as a relational loop: PHRASE_ROUNDS
+    rounds of (count adjacent pairs → take the global argmax pair →
+    merge it corpus-wide) — vocabulary induction, the step between
+    curation and tokenizer training.
+
+    Per round: one zip-explode + partial-agg count (the same shape as
+    collocations_lift), a 1-row TakeOrdered argmax broadcast onto the
+    corpus, and a map-side literal rewrite — no shuffle touches
+    document text; at 100 TB each round costs one count-shuffle of
+    (w1, w2) pairs plus a corpus map pass, exactly how distributed BPE
+    trainers are built. Deterministic: the argmax tiebreak is total
+    (count desc, w1, w2).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens_before"),
+        F.col("text").alias("t"),
+    )
+    for r in range(1, PHRASE_ROUNDS + 1):
+        d = _merge_round(d, r)
+    return d.select(
+        "doc_id",
+        "phrase_1",
+        "phrase_2",
+        "n_tokens_before",
+        F.size(F.split("t", " ")).cast("bigint").alias("n_tokens_after"),
+        F.md5("t").alias("merged_md5"),
+    )
+
+
 QUERIES = {
     "text_wordcount": text_wordcount,
     "vocab_coverage": vocab_coverage,
@@ -437,7 +515,52 @@ QUERIES = {
     "token_count_regex": token_count_regex,
     "bm25_score": bm25_score,
     "collocations_lift": collocations_lift,
+    "phrase_merges": phrase_merges,
 }
+
+
+def _phrase_oracle() -> str:
+    """Unrolled PHRASE_ROUNDS-round twin of phrase_merges."""
+    prev = (
+        "base AS (SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_before,"
+        " text AS t FROM documents)"
+    )
+    ctes = [prev]
+    src = "base"
+    for r in range(1, PHRASE_ROUNDS + 1):
+        ctes.append(f"""
+        big{r} AS (
+            SELECT l[i] AS w1, l[i + 1] AS w2
+            FROM (SELECT string_split(t, ' ') AS l FROM {src}),
+                 UNNEST(range(1, len(l))) AS z(i)
+        ),
+        top{r} AS (
+            SELECT w1, w2 FROM big{r}
+            WHERE regexp_matches(w1, '{_WORD_RE}')
+              AND regexp_matches(w2, '{_WORD_RE}')
+            GROUP BY w1, w2
+            ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1
+        ),
+        d{r} AS (
+            SELECT s.* EXCLUDE (t),
+                   trim(replace(replace(' ' || s.t || ' ',
+                       ' ' || p.w1 || ' ' || p.w2 || ' ',
+                       ' ' || p.w1 || '_' || p.w2 || ' '),
+                       ' ' || p.w1 || ' ' || p.w2 || ' ',
+                       ' ' || p.w1 || '_' || p.w2 || ' ')) AS t,
+                   p.w1 || ' ' || p.w2 AS phrase_{r}
+            FROM {src} s, top{r} p
+        )""")
+        src = f"d{r}"
+    return (
+        "WITH " + ",".join(ctes) + f"""
+        SELECT doc_id, phrase_1, phrase_2, n_tokens_before,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens_after,
+               md5(t) AS merged_md5
+        FROM {src}
+    """
+    )
 
 
 def _bm25_oracle() -> str:
@@ -497,6 +620,7 @@ def _lang_id_oracle() -> str:
     """
 
 ORACLE = {
+    "phrase_merges": _phrase_oracle(),
     "collocations_lift": f"""
         WITH toks AS (
             SELECT string_split(text, ' ') AS l FROM documents

@@ -849,3 +849,45 @@ def test_dedup_url_canonical_collapses_variants(spark, sf_small):
         assert r.canonical_url.startswith("https://")
     # the plant really produced mergeable mess: some page has >1 variant
     assert max(r.n_variants for r in got) > 1
+
+
+def test_phrase_merges_python_replay(spark, sf_small):
+    """Two merge rounds match a Python replay: same argmax pairs, same
+    rewritten texts, same token counts."""
+    import re as _re
+    from collections import Counter
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    word_ok = _re.compile(r"^[a-z0-9]+$")
+
+    def one_round(ts):
+        cnt = Counter()
+        for t in ts.values():
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                if word_ok.match(a) and word_ok.match(b):
+                    cnt[(a, b)] += 1
+        (w1, w2), _ = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        pat, rep = f" {w1} {w2} ", f" {w1}_{w2} "
+        out = {}
+        for k, t in ts.items():
+            p = f" {t} "
+            p = p.replace(pat, rep).replace(pat, rep)
+            out[k] = p.strip()
+        return out, f"{w1} {w2}"
+
+    r1, p1 = one_round(texts)
+    r2, p2 = one_round(r1)
+    got = {r.doc_id: r for r in text.phrase_merges(spark, sf_small).collect()}
+    assert set(got) == set(texts)
+    for k, r in got.items():
+        assert r.phrase_1 == p1 and r.phrase_2 == p2
+        assert r.n_tokens_before == len(texts[k].split(" "))
+        assert r.n_tokens_after == len(r2[k].split(" "))
+    # merging really shrank the corpus
+    assert sum(r.n_tokens_after for r in got.values()) < sum(
+        r.n_tokens_before for r in got.values()
+    )
