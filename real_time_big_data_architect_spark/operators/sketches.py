@@ -237,6 +237,19 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeability test proves per-source ∪ == global).
     """
     ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    estimates = hll_estimate(spark, hll_registers(ev))
+    return exact.join(estimates, "event_type").select(
+        "event_type", "n_exact", "n_zero_regs", "hll_raw", "hll_estimate"
+    )
+
+
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, m) HLL registers for an events relation —
+    the mergeable state: registers from any partition/batch split
+    max-merge to the global ones."""
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -248,12 +261,16 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
         F.lit(HLL_WBITS + 1) - F.length(F.bin("w"))
     )
-    regs = (
+    return (
         parts.select("event_type", "bucket", rho.alias("r"))
         .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m"))
+        .agg(F.max("r").cast("int").alias("m"))
     )
-    types = ev.select("event_type").distinct()
+
+
+def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """(event_type, n_zero_regs, hll_raw, hll_estimate) from registers."""
+    types = regs.select("event_type").distinct()
     spine = types.crossJoin(
         F.broadcast(
             spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
@@ -270,9 +287,6 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).alias("s"),
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
     raw = (
         F.lit(HLL_ALPHA)
         * F.lit(float(HLL_M * HLL_M))
@@ -281,14 +295,13 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = F.element_at(
         F.array(*[F.lit(x) for x in HLL_LINEAR]), F.col("n_zero").cast("int")
     )
-    joined = exact.join(sums, "event_type").withColumn("hll_raw", raw)
+    with_raw = sums.withColumn("hll_raw", raw)
     est = F.when(
         (F.col("hll_raw") <= F.lit(HLL_RAW_CUTOFF)) & (F.col("n_zero") > 0),
         lc,
     ).otherwise(F.col("hll_raw"))
-    return joined.select(
+    return with_raw.select(
         "event_type",
-        "n_exact",
         F.col("n_zero").cast("bigint").alias("n_zero_regs"),
         "hll_raw",
         est.alias("hll_estimate"),

@@ -425,6 +425,36 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency, total term
+    frequency, and the ordered posting list (as min/max/md5 since a
+    100 TB posting list is itself a table, not a row) — the retrieval
+    structure behind BM25 serving.
+
+    One explode + one (term, doc) pre-agg (positions collapse early, so
+    the wide explode never reaches the second shuffle) + one per-term
+    agg. The posting digest hashes the '_'-joined ascending doc list
+    built by sort_array — deterministic, so two index builds (or two
+    engines) can be diffed by digest alone.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = inst.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), "_")
+        ).alias("postings_md5"),
+    )
+
+
 #: phrase-merge rounds (BPE-style vocabulary induction at word level —
 #: the word2vec phrase-mining shape): each round merges the corpus's
 #: most frequent adjacent pair into one token.
@@ -516,6 +546,7 @@ QUERIES = {
     "bm25_score": bm25_score,
     "collocations_lift": collocations_lift,
     "phrase_merges": phrase_merges,
+    "inverted_index": inverted_index,
 }
 
 
@@ -620,6 +651,22 @@ def _lang_id_oracle() -> str:
     """
 
 ORACLE = {
+    "inverted_index": """
+        WITH inst AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM inst WHERE term <> '' GROUP BY term, doc_id
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               md5(array_to_string(list_sort(list(doc_id)), '_'))
+                   AS postings_md5
+        FROM per_doc GROUP BY term
+    """,
     "phrase_merges": _phrase_oracle(),
     "collocations_lift": f"""
         WITH toks AS (

@@ -351,6 +351,81 @@ def make_mv_merge(work: str):
     return _merge
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality via mergeable sketch state: each
+    micro-batch computes its own HLL registers and MAX-merges them into
+    the committed register table (the same versioned-pointer protocol
+    as stream_foreachbatch_mv, so replays are skipped and crashes keep
+    the last committed registers).
+
+    This is the streaming payoff of sketch mergeability: per-batch
+    state is ≤ m rows per event_type FOREVER — an exact streaming
+    distinct would grow state with the key universe. After the
+    availableNow drain, the merged registers are bit-identical to the
+    batch registers over the same data (MAX is associative/commutative/
+    idempotent), so the estimate equals batch `hll_distinct` — which is
+    the oracle.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    work = tempfile.mkdtemp(prefix="hll_mv_")
+    ckpt = f"{work}/ckpt"
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        s = batch_df.sparkSession
+        committed = mv_committed(work)
+        if committed is not None and committed[0] >= batch_id:
+            return  # replayed batch (at-least-once): already merged
+        delta = hll_registers(batch_df)
+        if committed is None:
+            merged = delta
+        else:
+            current = s.read.parquet(committed[1])
+            merged = (
+                current.unionByName(delta)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("m").cast("int").alias("m"))
+            )
+        out_dir = f"{work}/regs_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out_dir)
+        tmp = f"{work}/LATEST.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{out_dir}\n")
+        os.replace(tmp, f"{work}/LATEST")  # atomic commit point
+        if committed is not None:
+            shutil.rmtree(committed[1], ignore_errors=True)
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        committed = mv_committed(work)
+        schema = (
+            "event_type string, n_zero_regs bigint,"
+            " hll_raw double, hll_estimate double"
+        )
+        if committed is None:
+            return spark.createDataFrame([], schema)
+        regs = spark.read.parquet(committed[1])
+        out = hll_estimate(spark, regs)
+        return spark.createDataFrame(out.collect(), schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Port of the reference's 60 s poll loop (app.py:37).
 
@@ -785,6 +860,7 @@ QUERIES = {
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
     "stream_foreachbatch_mv": stream_foreachbatch_mv,
+    "stream_hll_distinct": stream_hll_distinct,
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
     "stream_static_join": stream_static_join,
@@ -803,7 +879,73 @@ if TWS_AVAILABLE:
 # the availableNow stream drains, the memory sink holds exactly the
 # final snapshot — which must equal the batch answer (integer counts +
 # max timestamp are hash-safe).
+def _stream_hll_oracle() -> str:
+    """Batch twin of stream_hll_distinct: MAX over any batch split of
+    the registers equals the global registers, so the streamed estimate
+    must equal this batch construction (same SQL as hll_distinct minus
+    the exact-count column)."""
+    from real_time_big_data_architect_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_LINEAR,
+        HLL_M,
+        HLL_RAW_CUTOFF,
+        HLL_WBITS,
+    )
+
+    return f"""
+        WITH hashed AS (
+            SELECT event_type,
+                   CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        parts AS (
+            SELECT event_type, CAST(h % {HLL_M} AS INT) AS bucket,
+                   h // {HLL_M} AS w
+            FROM hashed
+        ),
+        regs AS (
+            SELECT event_type, bucket,
+                   MAX(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                            ELSE {HLL_WBITS + 1} - length(bin(w)) END) AS m
+            FROM parts GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type, CAST(bucket AS INT) AS bucket
+            FROM (SELECT DISTINCT event_type FROM events),
+                 (SELECT unnest(range({HLL_M})) AS bucket)
+        ),
+        filled AS (
+            SELECT s.event_type, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN regs r USING (event_type, bucket)
+        ),
+        sums AS (
+            SELECT event_type,
+                   SUM(CAST(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m)
+                            AS DECIMAL(38,0))) AS s,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+            FROM filled GROUP BY 1
+        ),
+        rawed AS (
+            SELECT event_type, n_zero,
+                   CAST({HLL_ALPHA!r} AS DOUBLE)
+                     * {float(HLL_M * HLL_M)!r}
+                     * {float(1 << (HLL_WBITS + 1))!r}
+                     / CAST(s AS DOUBLE) AS hll_raw
+            FROM sums
+        )
+        SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero_regs, hll_raw,
+               CASE WHEN hll_raw <= {HLL_RAW_CUTOFF!r} AND n_zero > 0
+                    THEN ([{", ".join(repr(x) for x in HLL_LINEAR)}])
+                         [CAST(n_zero AS INT)]
+                    ELSE hll_raw END AS hll_estimate
+        FROM rawed
+    """
+
+
 ORACLE: dict[str, str] = {
+    "stream_hll_distinct": _stream_hll_oracle(),
     "stream_foreachbatch_mv": """
         SELECT event_type,
                CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,

@@ -368,3 +368,32 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
                 assert (a, b) in seen
                 n_sig_dups += 1
     assert n_sig_dups > 0  # histogram hashing really collides on similar payloads
+
+
+def test_stream_hll_split_invariance(spark, sf_small, tmp_path_factory):
+    """3 event files -> 3 micro-batches: MAX-merged registers must give
+    the SAME estimate as batch hll_distinct over all events (register
+    merge is associative/commutative/idempotent, so the micro-batch
+    split cannot change the sketch)."""
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_architect_spark.operators import sketches as sk
+
+    tmp = tmp_path_factory.mktemp("shll")
+    table = pq.read_table(f"{sf_small}/events.parquet")
+    n = table.num_rows
+    pq.write_table(table.slice(0, n // 3), str(tmp / "events0.parquet"))
+    pq.write_table(
+        table.slice(n // 3, n // 3), str(tmp / "events1.parquet")
+    )
+    pq.write_table(table.slice(2 * (n // 3)), str(tmp / "events2.parquet"))
+
+    got = {
+        r.event_type: (r.n_zero_regs, r.hll_raw, r.hll_estimate)
+        for r in stateful.stream_hll_distinct(spark, str(tmp)).collect()
+    }
+    want = {
+        r.event_type: (r.n_zero_regs, r.hll_raw, r.hll_estimate)
+        for r in sk.hll_distinct(spark, sf_small).collect()
+    }
+    assert got == want
