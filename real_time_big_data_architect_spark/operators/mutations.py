@@ -256,11 +256,102 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionAll(dels).unionAll(pre).unionAll(post)
 
 
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 as-of lookup: join each purchase to the dimension
+    version VALID AT its timestamp (valid_from ≤ ts < valid_to, open
+    current version) — the canonical 'which address/plan/price was in
+    effect' join every warehouse runs against a type-2 dimension.
+
+    The join keys on user_id (equi) with the validity range as a
+    residual predicate — one shuffle on user_id and a per-user range
+    scan of that user's handful of versions; zero-width versions
+    (same-timestamp changes) match nothing and the half-open interval
+    makes every fact row match EXACTLY one version. At 100 TB both
+    sides bucket by the dimension's natural key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(spark, sf_dir).withColumnRenamed(
+        "event_type", "version_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(
+            dim,
+            (p["user_id"] == dim["user_id"])
+            & (dim["valid_from"] <= p["ts"])
+            & (dim["valid_to"].isNull() | (p["ts"] < dim["valid_to"])),
+        )
+        .select(
+            "event_id",
+            p["user_id"].alias("user_id"),
+            "ts",
+            "version_type",
+            "valid_from",
+            "version",
+        )
+    )
+
+
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship: merge duplicate records into one
+    golden row per entity — the step AFTER record_linkage clusters
+    duplicates (longest-name rule, max balance, source-priority
+    segment).
+
+    Three deterministic damaged variants per customer are planted (one
+    nulls the balance, one truncates the name, one uppercases it and
+    nulls the segment — the oracle plants byte-identical damage); the
+    merge is ONE groupBy with struct-ordered aggregates: max(struct(
+    len, name)) picks the longest-then-lexicographic-max name without
+    a window or self-join, min(struct(priority, value)) implements
+    source-priority coalesce. One shuffle on the entity key, constant
+    state per key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    variants = c.crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("src")))
+    ).select(
+        "c_custkey",
+        "src",
+        F.when(F.col("src") == 1,
+               F.expr("substring(c_name, 1, length(c_name) - 3)"))
+        .when(F.col("src") == 2, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name_v"),
+        F.when(F.col("src") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("bal_v"),
+        F.when(F.col("src") == 2, F.lit(None).cast("string"))
+        .when(F.col("src") == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_v"),
+    )
+    name_pick = F.max(
+        F.struct(F.length("name_v").alias("l"), F.col("name_v").alias("n"))
+    )["n"]
+    seg_pick = F.min(
+        F.when(
+            F.col("seg_v").isNotNull(),
+            F.struct(F.col("src").alias("p"), F.col("seg_v").alias("t")),
+        )
+    )["t"]
+    return variants.groupBy("c_custkey").agg(
+        name_pick.alias("golden_name"),
+        F.max("bal_v").alias("golden_acctbal"),
+        seg_pick.alias("golden_segment"),
+        F.count("*").alias("n_sources"),
+    )
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
+    "scd2_lookup": scd2_lookup,
     "zorder_layout": zorder_layout,
     "cdc_diff": cdc_diff,
+    "golden_record": golden_record,
 }
 
 def _zorder_oracle() -> str:
@@ -289,6 +380,60 @@ def _zorder_oracle() -> str:
 
 
 ORACLE = {
+    "scd2_lookup": """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        versions AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM flagged
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        dim AS (
+            SELECT user_id, event_type AS version_type,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS version
+            FROM versions
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               d.version_type, d.valid_from, d.version
+        FROM events p
+        JOIN dim d
+          ON p.user_id = d.user_id
+         AND d.valid_from <= p.ts
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        WHERE p.event_type = 'purchase'
+    """,
+    "golden_record": """
+        WITH variants AS (
+            SELECT c_custkey, src,
+                   CASE WHEN src = 1
+                        THEN substr(c_name, 1, length(c_name) - 3)
+                        WHEN src = 2 THEN upper(c_name)
+                        ELSE c_name END AS name_v,
+                   CASE WHEN src = 0 THEN NULL
+                        ELSE CAST(c_acctbal AS DOUBLE) END AS bal_v,
+                   CASE WHEN src = 2 THEN NULL
+                        WHEN src = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg_v
+            FROM customer,
+                 (SELECT CAST(unnest(range(3)) AS INT) AS src)
+        )
+        SELECT c_custkey,
+               (MAX(struct_pack(l := length(name_v), n := name_v))).n
+                   AS golden_name,
+               MAX(bal_v) AS golden_acctbal,
+               (MIN(CASE WHEN seg_v IS NOT NULL
+                    THEN struct_pack(p := src, t := seg_v) END)).t
+                   AS golden_segment,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM variants GROUP BY c_custkey
+    """,
     "cdc_diff": f"""
         WITH v1 AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

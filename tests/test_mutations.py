@@ -76,3 +76,48 @@ def test_zorder_files_are_locally_compact(spark, sf_small):
     avg_d = sum(r.max_day - r.min_day for r in rows) / len(rows)
     assert avg_c <= gc * 0.35, "custkey not locally compact"
     assert avg_d <= gd * 0.35, "order_day not locally compact"
+
+
+def test_scd2_lookup_exactly_one_version_per_purchase(spark, sf_small):
+    """Every purchase matches exactly one SCD2 version — the one whose
+    validity range contains its timestamp (python replay)."""
+    from real_time_big_data_architect_spark.operators import mutations as MU
+    from real_time_big_data_architect_spark.tables import load_table
+
+    dim = MU.scd2_history(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events").collect()
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    got = {r.event_id: r for r in MU.scd2_lookup(spark, sf_small).collect()}
+    assert set(got) == {p.event_id for p in purchases}
+    by_user: dict = {}
+    for d in dim:
+        by_user.setdefault(d.user_id, []).append(d)
+    for p in purchases:
+        live = [
+            d
+            for d in by_user[p.user_id]
+            if d.valid_from <= p.ts
+            and (d.valid_to is None or p.ts < d.valid_to)
+        ]
+        assert len(live) == 1
+        assert got[p.event_id].version == live[0].version
+        assert got[p.event_id].version_type == live[0].event_type
+
+
+def test_golden_record_survivorship_rules(spark, sf_small):
+    """Longest-name / max-balance / source-priority rules hold for
+    every entity."""
+    from real_time_big_data_architect_spark.operators import mutations as MU
+    from real_time_big_data_architect_spark.tables import load_table
+
+    cust = {r.c_custkey: r for r in load_table(spark, sf_small, "customer").collect()}
+    got = {r.c_custkey: r for r in MU.golden_record(spark, sf_small).collect()}
+    assert set(got) == set(cust)
+    for k, r in got.items():
+        c = cust[k]
+        variants = [c.c_name, c.c_name[:-3], c.c_name.upper()]
+        want_name = max(variants, key=lambda s: (len(s), s))
+        assert r.golden_name == want_name
+        assert abs(r.golden_acctbal - float(c.c_acctbal)) < 1e-9
+        assert r.golden_segment == c.c_mktsegment.lower()  # src-0 priority
+        assert r.n_sources == 3
