@@ -686,6 +686,64 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEG_K = 3
 
 
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal direction: per-vector
+    projection scores onto the corpus's dominant (uncentered) component
+    — the embedding-analysis primitive behind drift detection and
+    1-D semantic sorting.
+
+    Split exactly like IVF training: the DATA-sized work is
+    distributed — the 64×64 Gram matrix accumulates as one
+    posexplode self-join co-partitioned on vec_id (a single shuffle)
+    plus a 4096-key partial agg, and the projection pass is a JVM
+    fold against the broadcast component — while the 64×64
+    eigenproblem itself is 4096 scalars of MODEL parameters, solved
+    exactly driver-side with ``eigh`` (the treeAggregate-then-solve
+    shape every distributed PCA uses — power iteration would need a
+    spectral gap these near-isotropic embeddings don't have). Sign is
+    canonicalized (first nonzero coordinate positive) so results are
+    reproducible. Rows-only: distributed double sums are
+    partition-order-dependent; the numpy replay test bounds the drift
+    instead.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vi")
+    )
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+        )
+        .agg(
+            F.sum(
+                F.col("a.vi").cast("double") * F.col("b.vi").cast("double")
+            ).alias("g")
+        )
+    )
+    G = np.zeros((DIM, DIM))
+    for r in gram.collect():  # 4096 model-parameter scalars, not data
+        G[r.i, r.j] = r.g
+    eigvals, eigvecs = np.linalg.eigh(G)
+    v = eigvecs[:, -1]
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if nz.size and v[nz[0]] < 0:
+        v = -v
+    eigval = float(eigvals[-1])
+    comp = F.array(*[F.lit(float(x)) for x in v])
+    score = _dot(F.col("embedding"), comp)
+    return emb.select(
+        "vec_id",
+        "label",
+        score.alias("pc1_score"),
+        F.lit(eigval).alias("eigenvalue"),
+    )
+
+
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (NS6b): for each
     query vector, the top-k most-cosine-similar vectors carrying a
@@ -726,6 +784,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "kmeans_clusters": kmeans_clusters,
+    "pca_project": pca_project,  # rows-only (distributed double sums)
 }
 
 

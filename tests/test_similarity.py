@@ -263,3 +263,33 @@ def test_hot_cell_guard_bounds_pair_count(spark, tmp_path_factory):
     for members in by_cell.values():
         if len(members) > 1:
             assert {find(i) for i in members} == {find(members[0])}
+
+
+def test_pca_project_matches_numpy(spark, sf_small):
+    """Distributed Gram + driver power iteration reproduces numpy's
+    dominant eigenvector (projection scores within fp-sum tolerance),
+    and pc1 explains the largest variance direction."""
+    import numpy as np
+
+    from real_time_big_data_architect_spark.operators import similarity as S
+    from real_time_big_data_architect_spark.tables import load_table
+
+    X = []
+    ids = []
+    for r in load_table(spark, sf_small, "embeddings").collect():
+        ids.append(r.vec_id)
+        X.append(np.asarray(r.embedding, dtype=np.float64))
+    X = np.vstack(X)
+    G = X.T @ X
+    w, V = np.linalg.eigh(G)
+    top = V[:, -1]
+    nz = np.flatnonzero(np.abs(top) > 1e-12)
+    if top[nz[0]] < 0:
+        top = -top
+    got = {r.vec_id: r for r in S.pca_project(spark, sf_small).collect()}
+    assert set(got) == set(ids)
+    want = X @ top
+    for vid, s in zip(ids, want):
+        assert abs(got[vid].pc1_score - s) < 1e-6
+    ev = next(iter(got.values())).eigenvalue
+    assert abs(ev - w[-1]) / w[-1] < 1e-9
