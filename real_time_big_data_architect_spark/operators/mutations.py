@@ -189,9 +189,18 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per side at any scale; unchanged rows never leave the join.
     Insert keys shift past max(o_orderkey), collision-free at any SF.
     """
-    v1 = load_table(spark, sf_dir, "orders").select(
+    v1 = _cdc_v1(spark, sf_dir)
+    return _cdc_feed(v1, _cdc_v2(v1))
+
+
+def _cdc_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+def _cdc_v2(v1: DataFrame) -> DataFrame:
+    """The deterministic v2 snapshot cdc_diff diffs against."""
     key = F.col("o_orderkey")
     is_del = key % CDC_DELETE_MOD == CDC_DELETE_R
     is_upd = (key % CDC_UPDATE_MOD == 0) & ~is_del
@@ -217,7 +226,10 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
-    v2 = survivors.unionAll(inserts)
+    return survivors.unionAll(inserts)
+
+
+def _cdc_feed(v1: DataFrame, v2: DataFrame) -> DataFrame:
     a = v1.alias("a")
     b = v2.alias("b")
     j = a.join(b, "o_orderkey", "full_outer")
@@ -254,6 +266,34 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_totalprice").alias("o_totalprice"),
     )
     return ins.unionAll(dels).unionAll(pre).unionAll(post)
+
+
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore by INVERSE-applying the CDC feed: from the
+    v2 snapshot and the cdc_diff change feed, reconstruct v1 exactly —
+    time travel for tables that keep a change feed instead of full
+    snapshot copies (and the completeness proof for the feed itself:
+    the oracle is simply the original table, so a single missing or
+    mis-classified change row breaks the hash).
+
+    Inverse rules: drop inserted and update_postimage keys (one LEFT
+    ANTI on the key), add back delete and update_preimage rows (a
+    union). Both legs are key-join/union shapes co-partitioned on the
+    snapshot key — same one-shuffle discipline as cdc_diff at 100 TB.
+    """
+    v1 = _cdc_v1(spark, sf_dir)
+    v2 = _cdc_v2(v1)
+    feed = _cdc_feed(v1, v2)
+    forward_keys = feed.filter(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select("o_orderkey")
+    back_rows = feed.filter(
+        F.col("change_type").isin("delete", "update_preimage")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return (
+        v2.join(forward_keys, "o_orderkey", "left_anti")
+        .unionAll(back_rows)
+    )
 
 
 def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +391,7 @@ QUERIES = {
     "scd2_lookup": scd2_lookup,
     "zorder_layout": zorder_layout,
     "cdc_diff": cdc_diff,
+    "snapshot_restore": snapshot_restore,
     "golden_record": golden_record,
 }
 
@@ -380,6 +421,11 @@ def _zorder_oracle() -> str:
 
 
 ORACLE = {
+    # the restore must reproduce the ORIGINAL table bit-for-bit — the
+    # strongest possible oracle: no reconstruction arithmetic at all
+    "snapshot_restore": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
     "scd2_lookup": """
         WITH flagged AS (
             SELECT user_id, event_type, ts, event_id,

@@ -121,3 +121,25 @@ def test_golden_record_survivorship_rules(spark, sf_small):
         assert abs(r.golden_acctbal - float(c.c_acctbal)) < 1e-9
         assert r.golden_segment == c.c_mktsegment.lower()  # src-0 priority
         assert r.n_sources == 3
+
+
+def test_snapshot_restore_is_exact_inverse(spark, sf_small):
+    """v2 minus forward changes plus backward images == v1 exactly."""
+    from real_time_big_data_architect_spark.operators import mutations as MU
+    from real_time_big_data_architect_spark.tables import load_table
+
+    got = {
+        (r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4))
+        for r in MU.snapshot_restore(spark, sf_small).collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_orderstatus, round(float(r.o_totalprice), 4))
+        for r in load_table(spark, sf_small, "orders").collect()
+    }
+    assert got == want
+    # and the feed really changed something (the restore is not a no-op)
+    v1 = MU._cdc_v1(spark, sf_small)
+    v2 = MU._cdc_v2(v1)
+    assert v2.count() != len(want) or {
+        (r.o_orderkey, r.o_orderstatus) for r in v2.collect()
+    } != {(k, s) for k, s, _ in want}
