@@ -382,6 +382,33 @@ SAMPLE_FULL_CHARS = 4000
 _U32 = 1 << 32
 
 
+#: per-group reservoir size
+RESERVOIR_K = 5
+
+
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample without replacement, deterministic:
+    rank documents inside each source by their md5 coin and keep the
+    first RESERVOIR_K — the distributed, rerun-stable equivalent of a
+    per-group reservoir (every subset of size k is equally likely under
+    the hash ordering, and the same rows are chosen on every run and
+    every cluster layout).
+
+    One shuffle on the group key + an in-partition top-k sort; at
+    100 TB the window degrades gracefully under AQE and the sample
+    NEVER grows with the corpus — k rows per group, full stop.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(coin, "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", coin.alias("coin"))
+        .withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= RESERVOIR_K)
+        .select("doc_id", "source", "n_chars", "draw_rank")
+    )
+
+
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted Bernoulli sample of the corpus — 'sample tokens,
     not documents': inclusion probability proportional to n_chars, so
@@ -423,6 +450,7 @@ QUERIES = {
     "mix_reweight": mix_reweight,
     "dedup_incremental": dedup_incremental,
     "sample_weighted": sample_weighted,
+    "sample_reservoir_group": sample_reservoir_group,
 }
 
 _SCORED_CTE = f"""
@@ -449,6 +477,17 @@ _DSUM = " + ".join(
 )
 
 ORACLE = {
+    "sample_reservoir_group": f"""
+        SELECT doc_id, source, n_chars, draw_rank
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INT) AS draw_rank
+            FROM documents
+        ) WHERE draw_rank <= {RESERVOIR_K}
+    """,
     "sample_weighted": f"""
         SELECT doc_id, source, n_chars,
                LEAST(1.0, CAST(n_chars AS DOUBLE) /

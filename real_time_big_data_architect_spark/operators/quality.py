@@ -255,6 +255,37 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-rate anomaly detection: hourly event counts whose
+    z-score against their type's hourly profile exceeds the threshold —
+    the ops-monitoring twin of zscore_outliers (which scores VALUES;
+    this scores ARRIVAL RATES, the signal that catches outages and bot
+    floods).
+
+    Two cheap aggregations (hourly counts, then exact integer moments
+    per type) + a broadcast of the 5-row stats onto the hourly series.
+    The mean/std/z tree is mirrored token-for-token in the oracle;
+    moments are exact BIGINT sums so the boundary is bit-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    k, sx, sxx = F.col("k"), F.col("sx"), F.col("sxx")
+    mean = sx / k
+    std = F.sqrt((k * sxx - sx * sx) / (k * (k - 1)))
+    z = (F.col("n").cast("double") - mean) / std
+    return joined.select(
+        "event_type", "hour", "n", z.alias("zscore")
+    ).filter(F.abs(z) > Z_THRESHOLD)
+
+
 #: declarative expectation thresholds (Deequ/Great-Expectations shape):
 #: metric must be ≥ threshold for the check to pass. Rates are exact
 #: rationals (bigint / bigint) evaluated in one fixed double division.
@@ -324,6 +355,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "repetition_ratios": repetition_ratios,
     "dq_expectations": dq_expectations,
+    "rate_anomaly": rate_anomaly,
     "contamination_ngram": contamination_ngram,
     "zscore_outliers": zscore_outliers,
     "anomaly_mad": anomaly_mad,
@@ -331,6 +363,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rate_anomaly": f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS k,
+                   CAST(SUM(n) AS DOUBLE) AS sx,
+                   CAST(SUM(n * n) AS DOUBLE) AS sxx
+            FROM hourly GROUP BY 1
+        )
+        SELECT h.event_type, h.hour, h.n,
+               (CAST(h.n AS DOUBLE) - sx / k) /
+               sqrt((k * sxx - sx * sx) / (k * (k - 1))) AS zscore
+        FROM hourly h JOIN stats USING (event_type)
+        WHERE abs((CAST(h.n AS DOUBLE) - sx / k) /
+                  sqrt((k * sxx - sx * sx) / (k * (k - 1))))
+              > {Z_THRESHOLD!r}
+    """,
     "dq_expectations": f"""
         WITH m AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,

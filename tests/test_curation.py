@@ -181,3 +181,32 @@ def test_dedup_incremental_drops_exactly_planted(spark, sf_small):
     for doc_id in batch_ids:
         planted = doc_id % (2 * curation.BATCH_MOD) == 0 and (doc_id + 1) in corpus_ids
         assert (doc_id in survivors) == (not planted)
+
+
+def test_sample_reservoir_group_uniform_and_stable(spark, sf_small):
+    """Exactly min(k, |group|) rows per source, identical across runs,
+    and equal to the md5-order prefix."""
+    import hashlib
+
+    from real_time_big_data_architect_spark.operators import curation as C
+    from real_time_big_data_architect_spark.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.doc_id)
+    expect = {}
+    for src, ids in by_src.items():
+        ordered = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect[src] = ordered[: C.RESERVOIR_K]
+    run1 = C.sample_reservoir_group(spark, sf_small).collect()
+    run2 = C.sample_reservoir_group(spark, sf_small).collect()
+    assert {(r.doc_id, r.draw_rank) for r in run1} == {
+        (r.doc_id, r.draw_rank) for r in run2
+    }
+    got: dict = {}
+    for r in run1:
+        got.setdefault(r.source, {})[r.draw_rank] = r.doc_id
+    assert set(got) == set(expect)
+    for src, picks in expect.items():
+        assert [got[src][i + 1] for i in range(len(picks))] == picks

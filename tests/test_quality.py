@@ -107,3 +107,35 @@ def test_dq_expectations_verdicts(spark, sf_small):
     assert all(
         r.passed for k, r in got.items() if k != "row_volume"
     )
+
+
+def test_rate_anomaly_hand_check(spark, sf_small):
+    """Hourly-count z-scores match a Python recompute; only |z|>2 rows
+    are reported."""
+    import math
+    from collections import Counter
+
+    from real_time_big_data_architect_spark.operators import quality as Q
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").collect()
+    hourly: Counter = Counter()
+    for r in ev:
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += 1
+    by_type: dict = {}
+    for (et, h), n in hourly.items():
+        by_type.setdefault(et, []).append(n)
+    got = {(r.event_type, r.hour): r for r in Q.rate_anomaly(spark, sf_small).collect()}
+    n_expected = 0
+    for (et, h), n in hourly.items():
+        ns = by_type[et]
+        k = len(ns)
+        mean = sum(ns) / k
+        std = math.sqrt((k * sum(x * x for x in ns) - sum(ns) ** 2) / (k * (k - 1)))
+        z = (n - mean) / std
+        if abs(z) > Q.Z_THRESHOLD:
+            n_expected += 1
+            assert (et, h) in got
+            assert abs(got[(et, h)].zscore - z) < 1e-9
+            assert got[(et, h)].n == n
+    assert len(got) == n_expected and n_expected > 0
