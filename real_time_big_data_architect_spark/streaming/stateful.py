@@ -426,6 +426,114 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change STREAM to a keyed view — the upsert sink
+    Spark lacks natively, completing the CDC triad (cdc_diff produces
+    the feed, snapshot_restore inverts it, this op replays it forward):
+    the view is seeded with v1, the feed streams in as micro-batches,
+    and each batch upserts postimages/inserts and drops deleted keys
+    under the same versioned-pointer commit protocol (replay-safe,
+    crash-safe). After the drain the view must equal v2 exactly — the
+    oracle builds v2 directly, so one lost or double-applied change
+    row breaks the hash.
+
+    Per batch the merge is LEFT ANTI on touched keys + union of new
+    images: co-partitioned key joins, cost tracks the DELTA — the
+    foreachBatch MERGE INTO shape a lakehouse runs against Debezium/
+    CDF feeds at any scale. update_preimage rows are verification
+    payload and apply as no-ops.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators.mutations import (
+        _cdc_feed,
+        _cdc_v1,
+        _cdc_v2,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_apply_")
+    feed_dir = f"{work}/feed"
+    os.makedirs(feed_dir)
+    v1 = _cdc_v1(spark, sf_dir)
+    feed = _cdc_feed(v1, _cdc_v2(v1))
+    # split the feed by key parity into two single-file batches so the
+    # drain exercises a genuine multi-batch apply (change types for one
+    # key always travel together — parity is a function of the key)
+    for i in range(2):
+        tmp_out = f"{work}/part{i}"
+        feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        shutil.move(src, f"{feed_dir}/feed{i}.parquet")
+    # seed the committed view with v1 as version -1
+    seed_dir = f"{work}/view_seed"
+    v1.write.mode("overwrite").parquet(seed_dir)
+    with open(f"{work}/LATEST.tmp", "w") as fh:
+        fh.write(f"-1\n{seed_dir}\n")
+    os.replace(f"{work}/LATEST.tmp", f"{work}/LATEST")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        committed = mv_committed(work)
+        if committed is not None and committed[0] >= batch_id:
+            return  # replayed batch: already applied
+        view = s.read.parquet(committed[1])
+        touched = (
+            batch_df.filter(
+                F.col("change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .select("o_orderkey")
+            .distinct()
+        )
+        images = batch_df.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        merged = view.join(touched, "o_orderkey", "left_anti").unionByName(
+            images
+        )
+        out_dir = f"{work}/view_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out_dir)
+        tmp = f"{work}/LATEST.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{out_dir}\n")
+        os.replace(tmp, f"{work}/LATEST")
+        if committed is not None and committed[1] != seed_dir:
+            shutil.rmtree(committed[1], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "feed*.parquet")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        committed = mv_committed(work)
+        schema = (
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        view = spark.read.parquet(committed[1]).select(
+            F.col("o_orderkey").cast("bigint"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+        )
+        return spark.createDataFrame(view.collect(), schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Port of the reference's 60 s poll loop (app.py:37).
 
@@ -861,6 +969,7 @@ QUERIES = {
     "stream_stateful_counts": stream_stateful_counts,
     "stream_foreachbatch_mv": stream_foreachbatch_mv,
     "stream_hll_distinct": stream_hll_distinct,
+    "stream_cdc_apply": stream_cdc_apply,
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
     "stream_static_join": stream_static_join,
@@ -944,7 +1053,38 @@ def _stream_hll_oracle() -> str:
     """
 
 
+def _stream_cdc_apply_oracle() -> str:
+    """The applied view must equal v2 — built directly."""
+    from real_time_big_data_architect_spark.operators.mutations import (
+        CDC_DELETE_MOD,
+        CDC_DELETE_R,
+        CDC_INSERT_MOD,
+        CDC_INSERT_R,
+        CDC_UPDATE_MOD,
+    )
+
+    return f"""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+                    THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+                    THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1
+        WHERE NOT (o_orderkey % {CDC_DELETE_MOD} = {CDC_DELETE_R})
+        UNION ALL
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM v1),
+               'N', o_totalprice
+        FROM v1
+        WHERE o_orderkey % {CDC_INSERT_MOD} = {CDC_INSERT_R}
+    """
+
+
 ORACLE: dict[str, str] = {
+    "stream_cdc_apply": _stream_cdc_apply_oracle(),
     "stream_hll_distinct": _stream_hll_oracle(),
     "stream_foreachbatch_mv": """
         SELECT event_type,

@@ -397,3 +397,26 @@ def test_stream_hll_split_invariance(spark, sf_small, tmp_path_factory):
         for r in sk.hll_distinct(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_stream_cdc_apply_equals_v2(spark, sf_small):
+    """Replaying the change feed forward over a seeded v1 view yields
+    exactly the v2 snapshot, across 2 micro-batches."""
+    from real_time_big_data_architect_spark.operators import mutations as MU
+
+    got = {
+        (r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4))
+        for r in stateful.stream_cdc_apply(spark, sf_small).collect()
+    }
+    v1 = MU._cdc_v1(spark, sf_small)
+    want = {
+        (r.o_orderkey, r.o_orderstatus, round(float(r.o_totalprice), 4))
+        for r in MU._cdc_v2(v1).collect()
+    }
+    assert got == want
+    # and it differs from v1 (the apply did real work)
+    base = {
+        (r.o_orderkey, r.o_orderstatus, round(float(r.o_totalprice), 4))
+        for r in v1.collect()
+    }
+    assert got != base
