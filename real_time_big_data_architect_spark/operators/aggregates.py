@@ -416,6 +416,39 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total reporting (Oracle's RATIO_TO_REPORT): each market
+    segment's revenue as a fraction of the grand total, plus its rank.
+
+    One partial-agg shuffle to segment grain (5 rows), then an empty-
+    frame window computes the total WITHOUT a second scan or a scalar-
+    subquery rejoin — on dimension-sized aggregates the window is free,
+    and the corpus is read exactly once. Revenue in exact decimal; the
+    share is one double division mirrored in the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+        )
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("rev").over(w_all)
+    return seg.select(
+        "c_mktsegment",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / total.cast("double")).alias(
+            "revenue_share"
+        ),
+        F.rank()
+        .over(Window.partitionBy().orderBy(F.desc("rev"), "c_mktsegment"))
+        .alias("revenue_rank"),
+    )
+
+
 QUERIES = {
     "argminmax_agg": argminmax_agg,
     "group_agg": group_agg,
@@ -436,11 +469,27 @@ QUERIES = {
     "corr_regression": corr_regression,
     "histogram_fixed": histogram_fixed,
     "period_over_period": period_over_period,
+    "ratio_to_report": ratio_to_report,
 }
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "ratio_to_report": """
+        WITH seg AS (
+            SELECT c_mktsegment,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+                   AS revenue_share,
+               CAST(RANK() OVER (ORDER BY rev DESC, c_mktsegment) AS INT)
+                   AS revenue_rank
+        FROM seg
+    """,
     "period_over_period": """
         WITH monthly AS (
             SELECT c_mktsegment,

@@ -159,6 +159,105 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys — the semantics MERGE/dedup pipelines need
+    when the business key is nullable (a plain equi-join silently drops
+    every NULL row from both sides).
+
+    Planted nullable keys (every 7th event's json k, else NULL) joined
+    null-safely against a small dim of (k, label) that includes a NULL
+    row. Spark's ``eqNullSafe`` compiles to the same hash join as ``=``
+    — NULLs hash to a bucket like any value — so the plan stays a
+    broadcast hash join, no null-handling penalty at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(
+        F.col("event_id") % 7 == 0,
+        F.get_json_object("props", "$.k").cast("bigint") % 5,
+    )
+    left = ev.select("event_id", k.alias("k"))
+    dim = spark.range(5).select(
+        F.col("id").alias("k"), F.concat(F.lit("bucket_"), "id").alias("label")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(None).cast("bigint").alias("k"),
+            F.lit("bucket_null").alias("label"),
+        )
+    )
+    return left.join(
+        F.broadcast(dim), left["k"].eqNullSafe(dim["k"])
+    ).select("event_id", left["k"].alias("k"), "label")
+
+
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor time join: each purchase matched to the same
+    user's closest view in EITHER direction (backward asof_join's
+    harder sibling — sensor alignment and event reconciliation need
+    nearest, not latest-prior).
+
+    Same one-shuffle composition as asof_join — union both streams,
+    one user-ordered window — but TWO ignorenulls frames (last view
+    at-or-before, first view at-or-after) and a final min-by-gap pick
+    with a deterministic backward tiebreak. No inequality join, no
+    per-purchase scan; the oracle replays the identical two-frame
+    construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "view_event_id",
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("long").alias("view_event_id"),
+        )
+    )
+    base = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("kind").asc())
+    wb = base.rowsBetween(W.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, W.unboundedFollowing)
+    view_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    prev_id = F.last("view_event_id", ignorenulls=True).over(wb)
+    prev_ts = F.last(view_ts, ignorenulls=True).over(wb)
+    next_id = F.first("view_event_id", ignorenulls=True).over(wf)
+    next_ts = F.first(view_ts, ignorenulls=True).over(wf)
+    marked = (
+        tagged.withColumn("prev_id", prev_id)
+        .withColumn("prev_ts", prev_ts)
+        .withColumn("next_id", next_id)
+        .withColumn("next_ts", next_ts)
+        .filter(F.col("kind") == 1)
+    )
+    gap_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    gap_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    use_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (gap_prev <= gap_next)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(use_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("view_event_id"),
+        F.when(use_prev, gap_prev).otherwise(-gap_next).alias("signed_gap_us"),
+    )
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): the canonical join+agg+top-k shape.
 
@@ -679,6 +778,8 @@ QUERIES = {
     "bloom_join_prune": bloom_join_prune,
     "grid_radius_join": grid_radius_join,
     "record_linkage": record_linkage,
+    "join_null_safe": join_null_safe,
+    "asof_nearest": asof_nearest,
 }
 
 _GEO_PTS_CTE = f"""
@@ -695,6 +796,71 @@ _GEO_PTS_CTE = f"""
 """
 
 ORACLE = {
+    "join_null_safe": """
+        WITH lft AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0
+                        THEN CAST(props->>'$.k' AS BIGINT) % 5
+                        END AS k
+            FROM events
+        ),
+        dim AS (
+            SELECT CAST(i AS BIGINT) AS k,
+                   'bucket_' || CAST(i AS VARCHAR) AS label
+            FROM (SELECT unnest(range(5)) AS i)
+            UNION ALL
+            SELECT NULL, 'bucket_null'
+        )
+        SELECT l.event_id, l.k, d.label
+        FROM lft l JOIN dim d ON l.k IS NOT DISTINCT FROM d.k
+    """,
+    "asof_nearest": """
+        WITH views AS (
+            SELECT user_id, ts, MAX(event_id) AS view_event_id
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        tagged AS (
+            SELECT user_id, ts, 0 AS kind,
+                   CAST(NULL AS BIGINT) AS event_id, view_event_id
+            FROM views
+            UNION ALL
+            SELECT user_id, ts, 1, event_id, NULL FROM purchases
+        ),
+        marked AS (
+            SELECT *,
+                   LAST_VALUE(view_event_id IGNORE NULLS) OVER wb AS prev_id,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                       OVER wb AS prev_ts,
+                   FIRST_VALUE(view_event_id IGNORE NULLS) OVER wf AS next_id,
+                   FIRST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                       OVER wf AS next_ts
+            FROM tagged
+            WINDOW wb AS (
+                PARTITION BY user_id ORDER BY ts ASC, kind ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ),
+            wf AS (
+                PARTITION BY user_id ORDER BY ts ASC, kind ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND
+                         epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                    THEN prev_id ELSE next_id END AS view_event_id,
+               CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND
+                         epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                    THEN epoch_us(ts) - epoch_us(prev_ts)
+                    ELSE -(epoch_us(next_ts) - epoch_us(ts)) END
+                   AS signed_gap_us
+        FROM marked WHERE kind = 1
+    """,
     "record_linkage": f"""
         WITH dirty AS (
             SELECT c_custkey AS d_key,

@@ -891,3 +891,52 @@ def test_phrase_merges_python_replay(spark, sf_small):
     assert sum(r.n_tokens_after for r in got.values()) < sum(
         r.n_tokens_before for r in got.values()
     )
+
+
+def test_join_null_safe_null_bucket(spark, sf_small):
+    """NULL keys land in bucket_null; non-null keys match their bucket;
+    every event appears exactly once."""
+    ev = load_table(spark, sf_small, "events").collect()
+    got = {r.event_id: r for r in joins.join_null_safe(spark, sf_small).collect()}
+    assert set(got) == {r.event_id for r in ev}
+    import json as _json
+
+    for r in ev:
+        g = got[r.event_id]
+        if r.event_id % 7 == 0:
+            k = _json.loads(r.props)["k"] % 5
+            assert g.k == k and g.label == f"bucket_{k}"
+        else:
+            assert g.k is None and g.label == "bucket_null"
+
+
+def test_asof_nearest_python_replay(spark, sf_small):
+    """The two-frame nearest pick equals a per-user brute-force nearest
+    view (backward tiebreak on equal gaps)."""
+    ev = load_table(spark, sf_small, "events").collect()
+    views: dict = {}
+    for r in ev:
+        if r.event_type == "view":
+            key = (r.user_id, r.ts)
+            views.setdefault(r.user_id, {})
+            cur = views[r.user_id].get(r.ts)
+            views[r.user_id][r.ts] = max(cur or 0, r.event_id)
+    got = {r.event_id: r for r in joins.asof_nearest(spark, sf_small).collect()}
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert set(got) == {p.event_id for p in purchases}
+    for p in purchases:
+        vs = views.get(p.user_id)
+        g = got[p.event_id]
+        if not vs:
+            assert g.view_event_id is None
+            continue
+        best = min(
+            vs.items(),
+            key=lambda kv: (
+                abs((kv[0] - p.ts).total_seconds()),
+                kv[0] > p.ts,  # backward wins ties
+            ),
+        )
+        assert g.view_event_id == vs[best[0]]
+        want_gap = (p.ts - best[0]).total_seconds() * 1e6
+        assert abs(g.signed_gap_us - round(want_gap)) <= 1
