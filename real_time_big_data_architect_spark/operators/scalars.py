@@ -235,6 +235,67 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build: one row per day spanning the orders
+    date range with the standard warehouse attributes (quarter, ISO
+    week/day-of-week, weekend and month-boundary flags) — the date_dim
+    every star schema joins against.
+
+    The spine is dimension-sized (a sequence explode off ONE min/max
+    row, never corpus-sized) and every attribute is a map expression
+    over it; Spark's weekday (0=Mon) is shifted to ISO 1=Mon so the
+    oracle can use DuckDB's isodow directly — the engines' differing
+    day-of-week conventions are exactly the trap a cross-engine date
+    dim has to pin down.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).alias("lo"),
+        F.max(F.date_trunc("day", "o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    iso_dow = F.weekday("d") + F.lit(1)
+    return spine.select(
+        F.col("d").alias("date_day"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (F.dayofmonth("d") == 1).alias("is_month_start"),
+        (F.month(F.col("d") + F.expr("interval 1 day")) != F.month("d")).alias(
+            "is_month_end"
+        ),
+    )
+
+
+#: timezone targets for the normalization surface (IANA names — both
+#: engines resolve them against the same tz database rules, DST included)
+TZ_TARGETS = ("America/New_York", "Asia/Tokyo")
+
+
+def tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone normalization: event timestamps (stored naive-UTC, the
+    lake convention) rendered in per-region local time plus the local
+    hour bucket — the session-locality primitive behind regional
+    dashboards.  Pure map pass; DST transitions come from the shared
+    IANA rules so both engines shift identically."""
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", TZ_TARGETS[0])
+    tokyo = F.from_utc_timestamp("ts", TZ_TARGETS[1])
+    return ev.select(
+        "event_id",
+        "ts",
+        ny.alias("ny_ts"),
+        tokyo.alias("tokyo_ts"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+    )
+
+
 QUERIES = {
     "url_parse": url_parse,
     "ts_format": ts_format,
@@ -249,9 +310,41 @@ QUERIES = {
     "json_extract": json_extract,
     "null_fns": null_fns,
     "regex_fns": regex_fns,
+    "date_dim_build": date_dim_build,
+    "tz_normalize": tz_normalize,
 }
 
 ORACLE = {
+    "date_dim_build": """
+        WITH bounds AS (
+            SELECT MIN(date_trunc('day', o_orderdate)) AS lo,
+                   MAX(date_trunc('day', o_orderdate)) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM bounds
+        )
+        SELECT d AS date_day,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               CAST(dayofmonth(d) AS INT) AS day_of_month,
+               CAST(weekofyear(d) AS INT) AS iso_week,
+               CAST(isodow(d) AS INT) AS iso_dow,
+               isodow(d) >= 6 AS is_weekend,
+               dayofmonth(d) = 1 AS is_month_start,
+               month(d + INTERVAL 1 DAY) <> month(d) AS is_month_end
+        FROM spine
+    """,
+    "tz_normalize": """
+        SELECT event_id, ts,
+               timezone('America/New_York', ts AT TIME ZONE 'UTC') AS ny_ts,
+               timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC') AS tokyo_ts,
+               CAST(hour(timezone('America/New_York',
+                                  ts AT TIME ZONE 'UTC')) AS INT) AS ny_hour
+        FROM events
+    """,
     "url_parse": """
         SELECT doc_id,
                'https://' || source || '.example.com/docs/'
