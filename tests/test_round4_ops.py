@@ -940,3 +940,44 @@ def test_asof_nearest_python_replay(spark, sf_small):
         assert g.view_event_id == vs[best[0]]
         want_gap = (p.ts - best[0]).total_seconds() * 1e6
         assert abs(g.signed_gap_us - round(want_gap)) <= 1
+
+
+def test_date_dim_build_calendar_invariants(spark, sf_small):
+    """Continuous day spine; attributes agree with Python's calendar."""
+    import datetime as dt
+
+    from real_time_big_data_architect_spark.operators import scalars as SC
+
+    rows = sorted(
+        SC.date_dim_build(spark, sf_small).collect(),
+        key=lambda r: r.date_day,
+    )
+    days = [r.date_day for r in rows]
+    for a, b in zip(days, days[1:]):
+        assert b - a == dt.timedelta(days=1)
+    for r in rows:
+        d = r.date_day
+        iso = d.isocalendar()
+        assert r.year == d.year and r.month == d.month
+        assert r.quarter == (d.month - 1) // 3 + 1
+        assert r.iso_week == iso[1] and r.iso_dow == iso[2]
+        assert r.is_weekend == (iso[2] >= 6)
+        assert r.is_month_start == (d.day == 1)
+        nxt = d + dt.timedelta(days=1)
+        assert r.is_month_end == (nxt.month != d.month)
+
+
+def test_tz_normalize_offsets(spark, sf_small):
+    """NY offset is -4/-5 h (DST-dependent), Tokyo +9 always."""
+    import datetime as dt
+
+    from real_time_big_data_architect_spark.operators import scalars as SC
+
+    rows = SC.tz_normalize(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        ny_off = (r.ny_ts - r.ts).total_seconds() / 3600
+        tk_off = (r.tokyo_ts - r.ts).total_seconds() / 3600
+        assert ny_off in (-4.0, -5.0)
+        assert tk_off == 9.0
+        assert r.ny_hour == r.ny_ts.hour
