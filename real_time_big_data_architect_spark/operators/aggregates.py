@@ -449,6 +449,89 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per event type: the value at which cumulative
+    weight first reaches half the total — robust center for
+    importance-weighted data, which plain ``percentile`` can't express.
+
+    One window pass per group (cumulative weight over the value sort)
+    + a min-over-qualifying pick via one more aggregation — no
+    self-join, no second scan. Weights accumulate in exact decimal so
+    the half-total boundary is bit-stable; the deterministic
+    (value, event_id) sort pins ties identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wdec = F.abs(F.col("value")).cast("decimal(30,4)")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cum = ev.select(
+        "event_type",
+        "value",
+        F.sum(wdec).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumw"
+        ),
+        F.sum(wdec).over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("totw"),
+    )
+    qualifying = cum.filter(
+        F.col("cumw") * 2 >= F.col("totw")
+    )
+    return qualifying.groupBy("event_type").agg(
+        F.min("value").alias("weighted_median"),
+        F.max(F.col("totw").cast("double")).alias("total_weight"),
+    )
+
+
+def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC by rank sum (Mann-Whitney U): how well a deterministic
+    linear score separates the binary label over the embeddings — the
+    distributed model-eval primitive (no sklearn, no sampling: the
+    EXACT statistic from one global sort).
+
+    score = fixed-plane dot fold (JVM), label = label % 2; AUC =
+    (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋). One row_number
+    window over the score sort (vec_id tiebreak pins ties identically
+    cross-engine) + one aggregate — integer arithmetic until the final
+    division, so the statistic is bit-exact. At 100 TB the global sort
+    is the cost; rank via zone-map-assisted range partitioning is the
+    standard scale-out.
+    """
+    from real_time_big_data_architect_spark.operators.similarity import (
+        _PROJ_COEFS,
+        _dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 0).alias("pos"),
+        score.alias("score"),
+    )
+    w = Window.orderBy("score", "vec_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("pos"), F.col("rnk")).otherwise(0)).alias(
+            "rank_sum"
+        ),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    auc = (
+        F.col("rank_sum").cast("double")
+        - (
+            F.col("n_pos").cast("double")
+            * (F.col("n_pos") + 1).cast("double")
+        )
+        / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
 QUERIES = {
     "argminmax_agg": argminmax_agg,
     "group_agg": group_agg,
@@ -470,11 +553,66 @@ QUERIES = {
     "histogram_fixed": histogram_fixed,
     "period_over_period": period_over_period,
     "ratio_to_report": ratio_to_report,
+    "weighted_median": weighted_median,
+    "auc_rank": auc_rank,
 }
+
+
+def _auc_oracle() -> str:
+    from real_time_big_data_architect_spark.operators.similarity import (
+        _PROJ_COEFS,
+    )
+
+    coefs = ", ".join(repr(c) for c in _PROJ_COEFS)
+    return f"""
+        WITH scored AS (
+            SELECT vec_id, (label % 2 = 0) AS pos,
+                   list_reduce(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * ([{coefs}])[i]),
+                       (x, y) -> x + y) AS score
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rnk
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN pos THEN rnk ELSE 0 END) AS BIGINT)
+                       AS rank_sum,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_neg
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               (CAST(rank_sum AS DOUBLE)
+                - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE)) / 2.0)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        FROM agg
+    """
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
+    "auc_rank": _auc_oracle(),
+    "weighted_median": """
+        WITH cum AS (
+            SELECT event_type, value,
+                   SUM(CAST(abs(value) AS DECIMAL(30,4))) OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cumw,
+                   SUM(CAST(abs(value) AS DECIMAL(30,4))) OVER (
+                       PARTITION BY event_type
+                   ) AS totw
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, MIN(value) AS weighted_median,
+               MAX(CAST(totw AS DOUBLE)) AS total_weight
+        FROM cum WHERE cumw * 2 >= totw
+        GROUP BY event_type
+    """,
     "ratio_to_report": """
         WITH seg AS (
             SELECT c_mktsegment,

@@ -981,3 +981,59 @@ def test_tz_normalize_offsets(spark, sf_small):
         assert ny_off in (-4.0, -5.0)
         assert tk_off == 9.0
         assert r.ny_hour == r.ny_ts.hour
+
+
+def test_weighted_median_python_replay(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import aggregates as AG
+
+    ev = [
+        r
+        for r in load_table(spark, sf_small, "events").collect()
+        if r.value is not None
+    ]
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {r.event_type: r for r in AG.weighted_median(spark, sf_small).collect()}
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        tot = sum(abs(v) for v, _ in vals)
+        cum = 0.0
+        med = None
+        for v, _ in vals:
+            cum += abs(v)
+            if cum * 2 >= tot:
+                med = v
+                break
+        assert abs(got[et].weighted_median - med) < 1e-9
+        assert abs(got[et].total_weight - tot) < 1e-6
+
+
+def test_auc_rank_matches_sklearn_free_auc(spark, sf_small):
+    """Exact rank-sum AUC equals a Python Mann-Whitney computation and
+    sits in [0, 1]; flipping labels complements it."""
+    from real_time_big_data_architect_spark.operators import aggregates as AG
+    from real_time_big_data_architect_spark.operators.similarity import (
+        _PROJ_COEFS,
+    )
+
+    rows = load_table(spark, sf_small, "embeddings").collect()
+    scored = sorted(
+        (
+            (
+                sum(float(x) * c for x, c in zip(r.embedding, _PROJ_COEFS)),
+                r.vec_id,
+                r.label % 2 == 0,
+            )
+            for r in rows
+        )
+    )
+    rank_sum = sum(i + 1 for i, (_, _, pos) in enumerate(scored) if pos)
+    n_pos = sum(1 for _, _, p in scored if p)
+    n_neg = len(scored) - n_pos
+    want = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    got = AG.auc_rank(spark, sf_small).collect()[0]
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert abs(got.auc - want) < 1e-12
+    assert 0.0 <= got.auc <= 1.0
