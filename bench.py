@@ -53,6 +53,11 @@ HEADLINE = [
     "grid_radius_join",
     "collocations_lift",
     "record_linkage",
+    "hll_distinct",
+    "phrase_merges",
+    "audience_overlap",
+    "scd2_lookup",
+    "auc_rank",
 ]
 
 
