@@ -89,6 +89,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
     for _pass in range(3):
+        # drop the previous pass's dead persisted relations: each
+        # qs[name]() call builds NEW DataFrames, so earlier passes'
+        # persist()s are unreachable yet still occupy storage memory —
+        # at 37 queries they evict the LIVE cache mid-query (measured:
+        # dedup_embedding_cosine 1.16 s → 2.46 s purely from adding
+        # queries to the suite)
+        spark.catalog.clearCache()
         pass_total = 0.0
         for name in HEADLINE:
             t0 = time.perf_counter()

@@ -144,6 +144,10 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # each fn() builds fresh DataFrames, so prior queries' persist()s
+        # are dead weight in storage memory — left in place they evict
+        # live caches of later queries (measured on the bench suite)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR)

@@ -32,6 +32,7 @@ def main() -> int:
     fails: list[tuple[str, str]] = []
     t0 = time.perf_counter()
     for name, fn in entrymod.queries().items():
+        spark.catalog.clearCache()  # drop prior queries' dead persists
         t = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
