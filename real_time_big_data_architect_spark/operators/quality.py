@@ -136,14 +136,18 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), then mean/std/z evaluate in double with the identical token
     sequence as the oracle — bit-stable filter boundary included.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     dec = F.col("value").cast("decimal(18,4)")
     stats = ev.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(dec).cast("double").alias("sx"),
         F.sum(dec * dec).cast("double").alias("sxx"),
     )
-    joined = ev.join(F.broadcast(stats), "event_type")
+    # singleton groups have no sample variance (n-1 = 0) and cannot be
+    # outliers — drop them before the z expression divides
+    joined = ev.join(F.broadcast(stats.filter(F.col("n") > 1)), "event_type")
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     mean = sx / n
     std = F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
@@ -276,7 +280,12 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("double").alias("sx"),
         F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
     )
-    joined = hourly.join(F.broadcast(stats), "event_type")
+    # a type with a single hourly bucket has no variance to score
+    # against (k-1 = 0 divides by zero under ANSI) — it cannot be
+    # anomalous by definition, so it is filtered BEFORE the z math
+    joined = hourly.join(
+        F.broadcast(stats.filter(F.col("k") > 1)), "event_type"
+    )
     k, sx, sxx = F.col("k"), F.col("sx"), F.col("sxx")
     mean = sx / k
     std = F.sqrt((k * sxx - sx * sx) / (k * (k - 1)))
@@ -380,7 +389,8 @@ ORACLE = {
                (CAST(h.n AS DOUBLE) - sx / k) /
                sqrt((k * sxx - sx * sx) / (k * (k - 1))) AS zscore
         FROM hourly h JOIN stats USING (event_type)
-        WHERE abs((CAST(h.n AS DOUBLE) - sx / k) /
+        WHERE k > 1
+          AND abs((CAST(h.n AS DOUBLE) - sx / k) /
                   sqrt((k * sxx - sx * sx) / (k * (k - 1))))
               > {Z_THRESHOLD!r}
     """,
@@ -540,13 +550,14 @@ ORACLE = {
                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
                  CAST(SUM(CAST(value AS DECIMAL(18,4))
                           * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
-          FROM events GROUP BY event_type
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
         )
         SELECT e.event_id, e.event_type, e.value,
                (e.value - sx / n)
                  / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS zscore
         FROM events e JOIN stats s ON e.event_type = s.event_type
-        WHERE abs((e.value - sx / n)
+        WHERE e.value IS NOT NULL AND n > 1
+          AND abs((e.value - sx / n)
                  / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > {Z_THRESHOLD}
     """,
 }
