@@ -55,7 +55,10 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integers, so they hash-match cross-engine.
     """
     d = load_table(spark, sf_dir, "documents")
-    d = d.withColumn("w", F.split("text", " "))
+    # single-word docs carry no bigram signal and would index past the
+    # array (sequence(0, -1) descends under ANSI) — they are dropped,
+    # matching the oracle's inner join against the bigram counts
+    d = d.withColumn("w", F.split("text", " ")).filter(F.size("w") >= 2)
     bigrams = F.expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
     )
@@ -99,9 +102,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "w", F.split("text", " ")
     )
+    # docs shorter than the window yield NO grams (an empty array, not
+    # a descending sequence indexing before the array start) and drop
+    # out of the exploded relation — mirroring the oracle's empty range
     grams = F.expr(
-        f"transform(sequence(0, size(w) - {NGRAM_N}),"
-        f" i -> concat_ws(' ', slice(w, i + 1, {NGRAM_N})))"
+        f"if(size(w) < {NGRAM_N}, array(),"
+        f" transform(sequence(0, size(w) - {NGRAM_N}),"
+        f" i -> concat_ws(' ', slice(w, i + 1, {NGRAM_N}))))"
     )
     with_grams = d.select(
         "doc_id", F.explode(grams).alias("gram")

@@ -35,6 +35,39 @@ QUERIES_UNDER_TEST = [
     "auc_rank",
     "rate_anomaly",
     "inverted_index",
+    # windows / behavioral over events
+    "sessionize",
+    "funnel_steps",
+    "retention_cohorts",
+    "ohlc_bars",
+    "gapfill_locf",
+    "ewma_smooth",
+    "window_running_sum",
+    "window_lag",
+    "scd2_history",
+    "scd2_lookup",
+    "zscore_outliers",
+    "anomaly_mad",
+    # text / curation over documents
+    "text_wordcount",
+    "text_stats",
+    "token_count",
+    "tfidf_top_terms",
+    "bm25_score",
+    "repetition_ratios",
+    "contamination_ngram",
+    "bigram_lm_score",
+    "dedup_exact",
+    "dedup_paragraphs",
+    "doc_fingerprint",
+    "pii_scrub",
+    "train_test_split",
+    "doc_chunks",
+    "pack_sequences",
+    "cap_per_source",
+    # embeddings
+    "label_centroids",
+    "embedding_quantize",
 ]
 
 
@@ -131,8 +164,16 @@ def test_adversarial_oracle_differential(spark, adv_dir):
         srows = [tuple(r) for r in sdf.collect()]
         odf = con.execute(oracles[name]).df()
         ocols = list(odf.columns)
+        def _nan_to_none(v):
+            try:
+                if v != v:  # scalar NaN only; arrays raise TypeError
+                    return None
+            except (TypeError, ValueError):
+                pass
+            return v
+
         orows = [
-            tuple(None if v != v else v for v in row)  # NaN -> None
+            tuple(_nan_to_none(v) for v in row)
             for row in odf.itertuples(index=False, name=None)
         ]
         from tools.preflight import _from_pandas
