@@ -256,19 +256,24 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_i = round(x_i * 127 / max|x|) — the standard scalar quantizer
     that shrinks a float32 corpus 4× before indexing. Both engines
     round half-away-from-zero and evaluate the identical expression
-    tree, so the int arrays are oracle-exact; zero vectors quantize to
-    nulls via nullif.
+    tree, so the int arrays are oracle-exact. A zero vector is exactly
+    representable: it quantizes to all-zero codes with max_abs 0 (a
+    null-element array would round-trip asymmetrically through the
+    driver's pandas fetch — nullable ints coerce to float64 on one
+    side only; caught by the adversarial differential).
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     mx = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    with_mx = e.select(
-        "vec_id", "embedding", F.nullif(mx, F.lit(0.0)).alias("max_abs")
-    )
+    with_mx = e.select("vec_id", "embedding", mx.alias("max_abs"))
     q = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("int"),
+        lambda x: F.when(F.col("max_abs") == 0.0, F.lit(0))
+        .otherwise(
+            F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("int")
+        )
+        .cast("int"),
     )
     return with_mx.select("vec_id", "max_abs", q.alias("q_embedding"))
 
@@ -933,12 +938,14 @@ ORACLE = {
     "embedding_quantize": """
         SELECT vec_id, max_abs,
                list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT))
+                   x -> CASE WHEN max_abs = 0.0 THEN 0
+                        ELSE CAST(round(CAST(x AS DOUBLE) * 127.0
+                                        / max_abs) AS INT) END)
                    AS q_embedding
         FROM (
             SELECT vec_id, embedding,
-                   nullif(list_max(list_transform(embedding,
-                       x -> abs(CAST(x AS DOUBLE)))), 0.0) AS max_abs
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
             FROM embeddings
         )
     """,

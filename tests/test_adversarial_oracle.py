@@ -17,7 +17,7 @@ import duckdb
 import pytest
 
 from real_time_big_data_architect_spark.plans import workload
-from tools.preflight import value_hash
+from tools.preflight import _rows_from_pandas, value_hash
 
 #: queries whose inputs the adversarial tables fully cover
 QUERIES_UNDER_TEST = [
@@ -68,6 +68,62 @@ QUERIES_UNDER_TEST = [
     # embeddings
     "label_centroids",
     "embedding_quantize",
+    # relational / scalars over the TPC-H-ish tables
+    "scan_project",
+    "filter_eq",
+    "filter_notnull",
+    "filter_range",
+    "topk_order_limit",
+    "lastk_tail",
+    "pareto_frontier",
+    "ts_format",
+    "date_parts",
+    "date_arith",
+    "string_fns",
+    "number_format",
+    "math_expr",
+    "json_extract",
+    "null_fns",
+    "regex_fns",
+    "date_dim_build",
+    "tz_normalize",
+    # joins
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_star",
+    "asof_join",
+    "asof_nearest",
+    "join_null_safe",
+    "join_skew_salted",
+    "record_linkage",
+    # aggregates / windows / setops
+    "group_agg",
+    "distinct_count",
+    "rollup_agg",
+    "cube_agg",
+    "minmax_agg",
+    "mode_agg",
+    "string_agg_sorted",
+    "argminmax_agg",
+    "period_over_period",
+    "ratio_to_report",
+    "histogram_fixed",
+    "window_rank",
+    "topk_per_group",
+    "set_union",
+    "set_except",
+    # mutations / sketches
+    "merge_upsert",
+    "cdc_diff",
+    "snapshot_restore",
+    "golden_record",
+    "zorder_layout",
+    "table_checksum",
+    "skew_stats",
+    "cms_heavy_hitters",
 ]
 
 
@@ -144,6 +200,82 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{tmp}/embeddings.parquet"
     )
+    # TPC-H-ish tables with edge rows. Dims (nation/region) copy the
+    # real fixtures so name-correlated queries stay meaningful.
+    for t in ("nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+    cust = [
+        # key 0, shortest possible name (survivorship substring edges)
+        (0, "ab", 0, 0.0, "BUILDING"),
+        (1, "Customer#000000001", 1, -999.99, "BUILDING"),
+        (2, "Cüstomer#ünïcode", 2, 4242.42, "MACHINERY"),
+        (3, "Customer#000000003", 3, 0.01, "AUTOMOBILE"),
+        # duplicate name, different key
+        (4, "Customer#000000001", 4, 111.11, "HOUSEHOLD"),
+        # customer with NO orders
+        (5, "Customer#000000005", 0, 55.5, "FURNITURE"),
+        (100, "Customer#000000100", 1, 1e7, "BUILDING"),
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    d92 = dt.datetime(1992, 1, 1)
+    d95 = dt.datetime(1995, 6, 15)
+    d99 = dt.datetime(1999, 12, 31)
+    d04 = dt.datetime(2004, 12, 31)  # outside the dq date domain
+    orders = [
+        # key 0: update-mod branch (0 % 7 == 0), range-edge date
+        (0, 0, "O", 100.0, d92, "1-URGENT"),
+        (3, 1, "F", 0.0, d95, "5-LOW"),  # delete-mod key (3 % 11 == 3)
+        (5, 2, "O", 250.5, d95, "9-BOGUS"),  # invalid priority (dq)
+        (7, 3, "P", 1.25, d99, "2-HIGH"),
+        (14, 4, "O", 3.5, d95, "3-MEDIUM"),
+        (18, 9999, "O", 42.0, d95, "4-NOT SPECIFIED"),  # orphan custkey
+        (21, 1, "F", 7.75, d04, "1-URGENT"),
+        (22, 1, "O", 7.75, d95, "1-URGENT"),  # same price as key 21
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    li = [
+        # (okey, pkey, skey, line, qty, price, disc, tax, rf, ls, ship)
+        (0, 0, 0, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d92),
+        (0, 1, 1, 2, 50.0, 0.0, 1.0, 0.08, "R", "F", d95),  # 100% disc
+        (3, 0, 0, 1, 2.0, 55.5, 0.05, 0.0, "A", "F", d95),
+        (7, 1, 1, 1, 3.0, 10.0, 0.10, 0.02, "N", "O", d99),
+        (999, 0, 0, 1, 4.0, 20.0, 0.0, 0.0, "N", "O", d95),  # orphan
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    part = [
+        (0, "cold widget", "Brand#13", "ECONOMY", 24, 900.0),
+        (1, "tiny widget", "Brand#5", "STANDARD", 1, 0.01),
+        # pareto ties: same price, different sizes; same size, diff price
+        (2, "dup widget", "Brand#5", "ECONOMY", 24, 900.0),
+        (3, "edge widget", "Brand#13", "PROMO", 50, 900.0),
+        (4, "cheap widget", "Brand#13", "PROMO", 50, 1.0),
+    ]
+    spark.createDataFrame(
+        part, "p_partkey long, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    supp = [
+        (0, "Supplier#000000000", 0, 100.0),
+        (1, "Supplier#000000001", 1, -5.0),
+    ]
+    spark.createDataFrame(
+        supp, "s_suppkey long, s_name string, s_nationkey long,"
+        " s_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
     return str(tmp)
 
 
@@ -151,7 +283,10 @@ def test_adversarial_oracle_differential(spark, adv_dir):
     qs = workload.build_queries()
     oracles = workload.build_oracle_sql()
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in (
+        "events", "documents", "embeddings", "orders", "customer",
+        "lineitem", "part", "supplier", "nation", "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{adv_dir}/{t}.parquet/*.parquet')"
@@ -161,25 +296,13 @@ def test_adversarial_oracle_differential(spark, adv_dir):
         spark.catalog.clearCache()
         sdf = qs[name](spark, adv_dir)
         scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # identical fetch path to tools/preflight (and the driver):
+        # BOTH result sets travel through pandas, so dtype coercions
+        # (nullable BIGINT -> float64) hit both sides symmetrically
+        srows = _rows_from_pandas(sdf.toPandas())
         odf = con.execute(oracles[name]).df()
         ocols = list(odf.columns)
-        def _nan_to_none(v):
-            try:
-                if v != v:  # scalar NaN only; arrays raise TypeError
-                    return None
-            except (TypeError, ValueError):
-                pass
-            return v
-
-        orows = [
-            tuple(_nan_to_none(v) for v in row)
-            for row in odf.itertuples(index=False, name=None)
-        ]
-        from tools.preflight import _from_pandas
-
-        orows = [tuple(_from_pandas(v) for v in row) for row in orows]
-        srows = [tuple(_from_pandas(v) for v in row) for row in srows]
+        orows = _rows_from_pandas(odf)
         if len(srows) != len(orows):
             failures.append(f"{name}: rows {len(srows)} != {len(orows)}")
             continue
