@@ -255,6 +255,10 @@ def corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
     slope = cov_n / var_x
+    # correlation/slope are undefined for degenerate groups (single
+    # row, or zero variance in either variable) — they are dropped,
+    # mirrored in the oracle's WHERE; dividing would error under ANSI
+    sums = sums.filter((var_x > 0) & (var_y > 0))
     return sums.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
@@ -796,6 +800,7 @@ ORACLE = {
                (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
                    AS intercept
         FROM sums
+        WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
     """,
     "histogram_fixed": """
         SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bin,

@@ -77,8 +77,12 @@ def _norm(a):
 def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-VECTOR, so compute them once before the join — not
     # per pair (which would fold each 64-element array Q extra times).
-    return fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", _norm(F.col("embedding"))
+    # Zero-norm vectors have no cosine to anything (0/0) and are
+    # dropped here — mirrored by the oracles' nrm > 0 predicates.
+    return (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0.0)
     )
 
 
@@ -909,13 +913,15 @@ _COSINE_CTE = """
         FROM embeddings e CROSS JOIN q
     ),
     norms AS (
-        SELECT vec_id,
-               sqrt(list_reduce(
-                   list_transform(range(1, 65),
-                       i -> CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE)),
-                   (x, y) -> x + y)) AS nrm
-        FROM embeddings
+        SELECT vec_id, nrm FROM (
+            SELECT vec_id,
+                   sqrt(list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        ) WHERE nrm > 0.0
     ),
     scored AS (
         SELECT d.query_id, d.vec_id, d.dot / (nv.nrm * nq.nrm) AS cosine
@@ -1013,13 +1019,15 @@ ORACLE = {
             WHERE e.label != q.query_label
         ),
         norms AS (
-            SELECT vec_id,
-                   sqrt(list_reduce(
-                       list_transform(range(1, 65),
-                           i -> CAST(embedding[i] AS DOUBLE)
-                                * CAST(embedding[i] AS DOUBLE)),
-                       (x, y) -> x + y)) AS nrm
-            FROM embeddings
+            SELECT vec_id, nrm FROM (
+                SELECT vec_id,
+                       sqrt(list_reduce(
+                           list_transform(range(1, 65),
+                               i -> CAST(embedding[i] AS DOUBLE)
+                                    * CAST(embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)) AS nrm
+                FROM embeddings
+            ) WHERE nrm > 0.0
         ),
         scored AS (
             SELECT d.query_id, d.query_label, d.vec_id, d.neg_label,

@@ -178,16 +178,21 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec("value").alias("d_sum_value"), F.count("*").alias("d_n_events"))
     )
     zero = F.lit(0).cast("decimal(30,4)")
+    # SQL SUM of an all-NULL group is NULL — a bare coalesce-sum would
+    # turn it into 0.0 and diverge from the full recompute (adversarial
+    # differential find); NULL survives only when BOTH sides are NULL
+    merged_sum = F.when(
+        F.col("sum_value").isNull() & F.col("d_sum_value").isNull(),
+        F.lit(None).cast("decimal(30,4)"),
+    ).otherwise(
+        F.coalesce(F.col("sum_value"), zero)
+        + F.coalesce(F.col("d_sum_value"), zero)
+    )
     return (
         base.join(delta, "event_type", "full_outer")
         .select(
             "event_type",
-            (
-                F.coalesce(F.col("sum_value"), zero)
-                + F.coalesce(F.col("d_sum_value"), zero)
-            )
-            .cast("double")
-            .alias("sum_value"),
+            merged_sum.cast("double").alias("sum_value"),
             (
                 F.coalesce(F.col("n_events"), F.lit(0))
                 + F.coalesce(F.col("d_n_events"), F.lit(0))

@@ -180,7 +180,12 @@ ORACLE = {
     """,
     "udf_scalar": """
         SELECT event_id, event_type,
-               least(greatest((value - 5.0) / 90.0, 0.0), 1.0) AS value_score
+               -- NULL guard: DuckDB's greatest/least SKIP nulls (a null
+               -- input would clamp to 0.0) while the Arrow kernel is
+               -- null-in/null-out — make the oracle null-preserving too
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE least(greatest((value - 5.0) / 90.0, 0.0), 1.0)
+               END AS value_score
         FROM events
     """,
 }

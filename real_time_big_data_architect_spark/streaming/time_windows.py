@@ -68,9 +68,13 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap session windows per user (NS5).
 
-    ``session_window`` merges events whose gaps are < 30 min; the oracle
-    reproduces the same sessionization with lag + cumulative session ids
-    (textbook equivalent formulation).
+    ``session_window`` merges events whose gap is ≤ 30 min — the
+    boundary is INCLUSIVE (an event exactly gap-distance after the
+    previous one extends the session; verified against Spark by the
+    adversarial differential, which caught the oracle using the
+    strict inequality). The oracle reproduces the same sessionization
+    with lag + cumulative session ids, splitting only when the gap is
+    strictly greater than 30 min.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -121,7 +125,7 @@ ORACLE = {
         WITH ordered AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             >= INTERVAL 30 MINUTE
+                             > INTERVAL 30 MINUTE
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events

@@ -126,6 +126,37 @@ QUERIES_UNDER_TEST = [
     "cms_heavy_hitters",
 ]
 
+#: oracle-backed queries NOT adversarially checked: streaming drains
+#: (minutes each; their oracles run in preflight), lake-layout ops
+#: (tmp-warehouse infrastructure, not data semantics), the live HTTP
+#: snapshot, and the IVF/kmeans family (requires >= n_centroids
+#: training vectors; the 6-vector adversarial corpus is below the
+#:  model's minimum input contract)
+_EXCLUDED = {
+    "http_poll_usgs_snapshot",
+    "partition_prune_scan",
+    "bucketed_join_colocated",
+    "compaction_roundtrip",
+    "ingest_observe_metrics",
+    "ivf_assign",
+    "ivf_topk",
+    "kmeans_clusters",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+}
+
+
+def _full_list():
+    oracles = workload.build_oracle_sql()
+    extra = [
+        n
+        for n in oracles
+        if n not in QUERIES_UNDER_TEST
+        and n not in _EXCLUDED
+        and not n.startswith("stream_")
+    ]
+    return QUERIES_UNDER_TEST + extra
+
 
 def _ts(h: int, m: int = 0, s: int = 0, us: int = 0) -> dt.datetime:
     return dt.datetime(2024, 3, 1, h, m, s, us)
@@ -292,7 +323,7 @@ def test_adversarial_oracle_differential(spark, adv_dir):
             f" read_parquet('{adv_dir}/{t}.parquet/*.parquet')"
         )
     failures = []
-    for name in QUERIES_UNDER_TEST:
+    for name in _full_list():
         spark.catalog.clearCache()
         sdf = qs[name](spark, adv_dir)
         scols = sdf.columns
