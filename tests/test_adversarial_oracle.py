@@ -146,6 +146,20 @@ _EXCLUDED = {
 }
 
 
+#: oracle-backed streaming drains included explicitly (each runs a full
+#: availableNow micro-batch query against the adversarial events —
+#: slower than batch queries but they exercise the merge/commit paths
+#: on NULL-bearing and single-row groups)
+_STREAMING_INCLUDED = [
+    "stream_foreachbatch_mv",
+    "stream_poll_tick",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_hll_distinct",
+    "stream_cdc_apply",
+]
+
+
 def _full_list():
     oracles = workload.build_oracle_sql()
     extra = [
@@ -155,11 +169,27 @@ def _full_list():
         and n not in _EXCLUDED
         and not n.startswith("stream_")
     ]
-    return QUERIES_UNDER_TEST + extra
+    return QUERIES_UNDER_TEST + extra + _STREAMING_INCLUDED
 
 
 def _ts(h: int, m: int = 0, s: int = 0, us: int = 0) -> dt.datetime:
     return dt.datetime(2024, 3, 1, h, m, s, us)
+
+
+def _flatten(tmp) -> None:
+    """Replace each <table>.parquet DIRECTORY (Spark write layout) with
+    the single part file inside it, matching the fixtures' flat-file
+    layout — the streaming file source globs events*.parquet FILES."""
+    import glob as _glob
+    import os
+    import shutil
+
+    for d in _glob.glob(f"{tmp}/*.parquet"):
+        if os.path.isdir(d):
+            part = _glob.glob(f"{d}/part-*.parquet")[0]
+            shutil.move(part, f"{d}.file")
+            shutil.rmtree(d)
+            os.replace(f"{d}.file", d)
 
 
 @pytest.fixture(scope="module")
@@ -307,6 +337,7 @@ def adv_dir(spark, tmp_path_factory) -> str:
         supp, "s_suppkey long, s_name string, s_nationkey long,"
         " s_acctbal double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
+    _flatten(tmp)
     return str(tmp)
 
 
@@ -320,7 +351,7 @@ def test_adversarial_oracle_differential(spark, adv_dir):
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{adv_dir}/{t}.parquet/*.parquet')"
+            f" read_parquet('{adv_dir}/{t}.parquet')"
         )
     failures = []
     for name in _full_list():
