@@ -227,6 +227,8 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
     # documents: odd repeated runs, alternation, unicode, minimal text
     docs = [
+        (8, "🚀 rocket 🚀 rocket science", "en", "gamma", 26),
+        (9, " ".join(["tok"] * 500), "en", "alpha", 1999),
         (0, "a a a a a", "en", "alpha", 9),
         (1, "a a a a", "en", "alpha", 7),
         (2, "x y x y x y x y x y", "en", "beta", 19),
@@ -339,6 +341,39 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
     _flatten(tmp)
     return str(tmp)
+
+
+#: rows-only queries smoke-run on the adversarial corpus (no oracle to
+#: diff, but they must RUN clean on boundary inputs — empty-ish docs,
+#: single-token texts, zero vectors). Streaming/TWS and the centroid
+#: family are excluded for the same reasons as above.
+_ROWS_ONLY_SMOKE = [
+    "approx_distinct",
+    "approx_quantiles",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "weighted_mean_agg",
+    "media_resize",
+    "multimodal_bundle",
+    "media_phash_dedup",
+    "ann_lsh_topk",
+    "pca_project",
+]
+
+
+def test_adversarial_rows_only_smoke(spark, adv_dir):
+    qs = workload.build_queries()
+    errors = []
+    for name in _ROWS_ONLY_SMOKE:
+        spark.catalog.clearCache()
+        try:
+            qs[name](spark, adv_dir).collect()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not errors, errors
 
 
 def test_adversarial_oracle_differential(spark, adv_dir):
