@@ -165,10 +165,12 @@ def main() -> None:
     import tempfile
 
     from real_time_big_data_architect_spark.operators import (  # noqa: E402
+        behavioral as behavioral_ops,
         dedup as dedup_ops,
         graph as graph_ops,
         quality as quality_ops,
         similarity as sim_ops,
+        sketches as sketches_ops,
         text as text_ops,
         windows as windows_ops,
     )
@@ -295,6 +297,18 @@ def main() -> None:
             results.append(_timed_e2e(
                 "collocations_lift", n_doc * mult,
                 lambda: text_ops.collocations_lift(spark, d),
+            ))
+            # HLL: register state is CONSTANT per type regardless of
+            # input, so throughput must rise steeply with the multiplier
+            results.append(_timed_e2e(
+                "hll_distinct", n_ev * mult,
+                lambda: sketches_ops.hll_distinct(spark, d),
+            ))
+            # audience overlap: distinct self-join fan-out is bounded by
+            # |types|² per user — linear in users despite the self-join
+            results.append(_timed_e2e(
+                "audience_overlap", n_ev * mult,
+                lambda: behavioral_ops.audience_overlap(spark, d),
             ))
             spark.catalog.clearCache()  # drop per-dir persisted stages
     finally:
