@@ -313,6 +313,56 @@ def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
     )
 
 
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark 3.5 BITMAP aggregates — the
+    Databricks bitmap-index pattern: user ids bucket into 32k-bit
+    bitmaps (`bitmap_bucket_number` / `bitmap_bit_position`), each
+    (type, bucket) OR-aggregates its bits map-side, and the per-type
+    distinct count is the SUM of per-bucket popcounts.
+
+    Why it matters at 100 TB: the shuffle carries one 4 KB bitmap per
+    (group, 32k-id-range bucket) instead of every distinct raw id —
+    and unlike HLL the answer is EXACT; bitmaps also OR-merge
+    incrementally, so the same state backs an incremental MV. The
+    oracle is plain COUNT(DISTINCT): any dropped or double-set bit
+    breaks the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+
+
+def datasketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL via Spark 3.5's built-in
+    ``hll_sketch_agg`` / ``hll_union_agg``: per-type sketches built in
+    one pass, then UNION-merged to a global estimate — the
+    binary-mergeable sketch surface (rows-only: the estimate is
+    DataSketches-implementation-specific; the relational
+    ``hll_distinct`` above is the cross-engine-exact twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
+    )
+    global_est = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
+    ).select(F.lit("__all__").alias("event_type"), "est_users")
+    return per_type_est.unionByName(global_est)
+
+
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -374,6 +424,8 @@ def _profile_oracle() -> str:
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "hll_distinct": hll_distinct,
+    "bitmap_distinct": bitmap_distinct,
+    "datasketch_hll": datasketch_hll,  # rows-only (sketch-impl estimates)
     "profile_table": profile_table,
     "table_checksum": table_checksum,
     "skew_stats": skew_stats,
@@ -381,6 +433,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bitmap_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "hll_distinct": f"""
         WITH hashed AS (
             SELECT event_type,

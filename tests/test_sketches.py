@@ -178,3 +178,22 @@ def test_hll_distinct_replay_and_mergeability(spark, sf_small):
             for i in range(sk.HLL_M)
         ]
         assert merged == m
+
+
+def test_bitmap_and_datasketch_distinct(spark, sf_small):
+    """Bitmap popcount sum equals the exact distinct per type; the
+    DataSketches HLL estimate lands within its configured error."""
+    from real_time_big_data_architect_spark.operators import sketches as sk
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").collect()
+    exact: dict = {}
+    for r in ev:
+        exact.setdefault(r.event_type, set()).add(r.user_id)
+    got = {r.event_type: r.n_users for r in sk.bitmap_distinct(spark, sf_small).collect()}
+    assert got == {k: len(v) for k, v in exact.items()}
+    est = {r.event_type: r.est_users for r in sk.datasketch_hll(spark, sf_small).collect()}
+    all_users = set().union(*exact.values())
+    for et, s in exact.items():
+        assert abs(est[et] - len(s)) <= max(2, 0.05 * len(s))
+    assert abs(est["__all__"] - len(all_users)) <= max(2, 0.05 * len(all_users))
