@@ -221,6 +221,20 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (14, _ts(6, 30), 5, "view", 1.0, '{"k": 1}'),
         (15, _ts(7, 0, 0, 1), 5, "view", 1.0, '{"k": 1}'),
     ]
+    # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
+    # session merge, CEP over a long single-user sequence, per-user
+    # windows with deep frames)
+    for i in range(60):
+        rows.append(
+            (
+                100 + i,
+                _ts(10, i % 60, i % 7),
+                9,
+                ["view", "click", "purchase", "signup", "error"][i % 5],
+                float(i % 13) - 6.0,
+                '{"k": %d}' % (i % 9),
+            )
+        )
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long,"
         " event_type string, value double, props string"
