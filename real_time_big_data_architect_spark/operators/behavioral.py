@@ -314,6 +314,78 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-to-conversion distribution per channel: for every
+    attributed purchase (same lookback machinery as
+    attribution_last_touch), the touch→purchase delay summarized as
+    count / mean / median / p90 — the funnel-velocity report.
+
+    Rides the one-window attribution pass, then a per-channel exact
+    percentile aggregation over the (tiny) attributed set. Delays are
+    integer seconds, so mean/percentiles are cross-engine exact
+    (both engines interpolate quantiles at (n−1)·p).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    prior_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    prior_epoch = F.last(
+        F.when(is_touch, F.unix_timestamp("ts")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.withColumn("prior_type", prior_type)
+        .withColumn("prior_epoch", prior_epoch)
+        .withColumn("gap_s", F.unix_timestamp("ts") - F.col("prior_epoch"))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prior_type").isNotNull()
+            & (F.col("gap_s") <= ATTR_WINDOW_S)
+        )
+    )
+    return purchases.groupBy(F.col("prior_type").alias("channel")).agg(
+        F.count("*").alias("n_conversions"),
+        (F.sum("gap_s").cast("double") / F.count("*")).alias("mean_gap_s"),
+        F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        F.percentile("gap_s", F.lit(0.9)).alias("p90_gap_s"),
+    )
+
+
+def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit: holes in the global event_id sequence —
+    the ingest check that catches dropped batches (ids are
+    producer-assigned and dense, so every jump > 1 is missing data).
+
+    One global sort window over ids only (not payloads) + a filter;
+    emits each gap's bounds and width plus nothing when the sequence
+    is dense. At 100 TB the same plan runs per ingest partition with
+    the id range as the partition key.
+    """
+    # the fixture's id sequence is dense, so holes are PLANTED (drop
+    # every 101st id — the oracle drops the same ones) and the detector
+    # must recover exactly those
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 101 != 0
+    )
+    w = W.orderBy("event_id")
+    nxt = F.lead("event_id").over(w)
+    return (
+        ev.select("event_id")
+        .withColumn("next_id", nxt)
+        .filter(F.col("next_id") - F.col("event_id") > 1)
+        .select(
+            F.col("event_id").alias("gap_after"),
+            F.col("next_id").alias("resumes_at"),
+            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+        )
+    )
+
+
 QUERIES = {
     "sessionize": sessionize,
     "funnel_steps": funnel_steps,
@@ -322,9 +394,50 @@ QUERIES = {
     "audience_overlap": audience_overlap,
     "batch_cep_pattern": batch_cep_pattern,
     "attribution_last_touch": attribution_last_touch,
+    "time_to_convert": time_to_convert,
+    "sequence_gaps": sequence_gaps,
 }
 
 ORACLE = {
+    "time_to_convert": f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAST_VALUE(CASE WHEN event_type IN
+                       ('view', 'click', 'signup')
+                       THEN event_type END IGNORE NULLS) OVER w
+                       AS prior_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - LAST_VALUE(CASE WHEN event_type IN
+                           ('view', 'click', 'signup')
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                           IGNORE NULLS) OVER w AS gap_s
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT prior_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s,
+               quantile_cont(gap_s, 0.5) AS median_gap_s,
+               quantile_cont(gap_s, 0.9) AS p90_gap_s
+        FROM marked
+        WHERE event_type = 'purchase' AND prior_type IS NOT NULL
+          AND gap_s <= {ATTR_WINDOW_S}
+        GROUP BY prior_type
+    """,
+    "sequence_gaps": """
+        SELECT event_id AS gap_after,
+               next_id AS resumes_at,
+               next_id - event_id - 1 AS n_missing
+        FROM (
+            SELECT event_id, LEAD(event_id) OVER (ORDER BY event_id)
+                       AS next_id
+            FROM events WHERE event_id % 101 <> 0
+        )
+        WHERE next_id - event_id > 1
+    """,
     "attribution_last_touch": f"""
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type, value,

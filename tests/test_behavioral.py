@@ -173,3 +173,52 @@ def test_attribution_last_touch_python_replay(spark, sf_small):
         assert got[ch].n_conversions == conv[ch]
         assert abs(got[ch].revenue - rev[ch]) < 1e-6
     assert len(got) >= 2  # at least one real channel plus plausibly direct
+
+
+def test_time_to_convert_python_replay(spark, sf_small):
+    import statistics
+
+    from real_time_big_data_architect_spark.operators import behavioral as B
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = sorted(
+        load_table(spark, sf_small, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    last_touch: dict = {}
+    gaps: dict = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            lt = last_touch.get(r.user_id)
+            if lt is not None:
+                g = int(r.ts.timestamp()) - int(lt[0].timestamp())
+                if g <= B.ATTR_WINDOW_S:
+                    gaps.setdefault(lt[1], []).append(g)
+        if r.event_type in B.ATTR_CHANNELS:
+            last_touch[r.user_id] = (r.ts, r.event_type)
+    got = {r.channel: r for r in B.time_to_convert(spark, sf_small).collect()}
+    assert set(got) == set(gaps)
+    for ch, gs in gaps.items():
+        assert got[ch].n_conversions == len(gs)
+        assert abs(got[ch].mean_gap_s - sum(gs) / len(gs)) < 1e-9
+        med = statistics.quantiles(sorted(gs), n=2, method="inclusive")[0] if len(gs) > 1 else gs[0]
+        assert abs(got[ch].median_gap_s - med) < 1e-6
+
+
+def test_sequence_gaps_recovers_planted_holes(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import behavioral as B
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ids = sorted(
+        r.event_id
+        for r in load_table(spark, sf_small, "events").collect()
+        if r.event_id % 101 != 0
+    )
+    expect = [
+        (a, b, b - a - 1) for a, b in zip(ids, ids[1:]) if b - a > 1
+    ]
+    got = sorted(
+        (r.gap_after, r.resumes_at, r.n_missing)
+        for r in B.sequence_gaps(spark, sf_small).collect()
+    )
+    assert got == expect and got
