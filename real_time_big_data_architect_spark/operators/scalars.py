@@ -296,6 +296,23 @@ def tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mask_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.4 native ``mask()`` — structural PII redaction that
+    keeps format (upper→X, lower→x, digit→n, other kept): the
+    display-layer masking rule every governed warehouse applies to
+    name/account columns. Unicode-aware: the oracle mirrors with RE2's
+    \\p{Lu}/\\p{Ll}/\\p{Nd} classes, which agree with Java's
+    Character.isUpperCase/… on these casings (ASCII [A-Z] would
+    diverge on accented names — verified against the ünïcode row in
+    the adversarial corpus)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_mktsegment)").alias("segment_masked"),
+    )
+
+
 QUERIES = {
     "url_parse": url_parse,
     "ts_format": ts_format,
@@ -312,9 +329,22 @@ QUERIES = {
     "regex_fns": regex_fns,
     "date_dim_build": date_dim_build,
     "tz_normalize": tz_normalize,
+    "mask_native": mask_native,
 }
 
 ORACLE = {
+    "mask_native": r'''
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '\p{Lu}', 'X', 'g'),
+                   '\p{Ll}', 'x', 'g'),
+                   '\p{Nd}', 'n', 'g') AS name_masked,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_mktsegment, '\p{Lu}', 'X', 'g'),
+                   '\p{Ll}', 'x', 'g'),
+                   '\p{Nd}', 'n', 'g') AS segment_masked
+        FROM customer
+    ''',
     "date_dim_build": """
         WITH bounds AS (
             SELECT MIN(date_trunc('day', o_orderdate)) AS lo,
