@@ -313,6 +313,39 @@ def mask_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bigint ceiling used to force a deterministic overflow row set
+_I64_MAX = 9_223_372_036_854_775_807
+
+
+def try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (``try_add/try_multiply/
+    try_divide``): under ANSI mode a single bad row — division by
+    zero, bigint overflow — fails the whole 100 TB job; the try_
+    family degrades those rows to NULL and keeps the batch alive
+    (the arithmetic twin of safe_cast_fns' TRY_CAST).
+
+    Per order: a guaranteed-overflow product (every key ≥ 1 scaled by
+    i64-max → NULL for all but key 0·…), a modular denominator that
+    hits zero on every 7th key (divide-by-zero → NULL), and a safe
+    branch that stays exact. The oracle replays the same row classes
+    with CASE guards — DuckDB would raise on the raw expressions, so
+    the guard IS the cross-engine semantic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.expr(f"try_multiply(o_orderkey + 1, {_I64_MAX}L)").alias(
+            "overflow_product"
+        ),
+        F.expr("try_divide(o_totalprice, o_orderkey % 7)").alias(
+            "risky_ratio"
+        ),
+        F.expr("try_add(o_orderkey, 1L)").alias("safe_next"),
+        (denom == 0).alias("denom_was_zero"),
+    )
+
+
 QUERIES = {
     "url_parse": url_parse,
     "ts_format": ts_format,
@@ -330,9 +363,21 @@ QUERIES = {
     "date_dim_build": date_dim_build,
     "tz_normalize": tz_normalize,
     "mask_native": mask_native,
+    "try_arith": try_arith,
 }
 
 ORACLE = {
+    "try_arith": f"""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey = 0
+                    THEN CAST({_I64_MAX} AS BIGINT)
+                    ELSE CAST(NULL AS BIGINT) END AS overflow_product,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice / (o_orderkey % 7) END AS risky_ratio,
+               o_orderkey + 1 AS safe_next,
+               o_orderkey % 7 = 0 AS denom_was_zero
+        FROM orders
+    """,
     "mask_native": r'''
         SELECT c_custkey,
                regexp_replace(regexp_replace(regexp_replace(
