@@ -489,7 +489,7 @@ ORACLE = {
         SELECT event_type, n_exact,
                CAST(n_zero AS BIGINT) AS n_zero_regs, hll_raw,
                CASE WHEN hll_raw <= {HLL_RAW_CUTOFF!r} AND n_zero > 0
-                    THEN ([{", ".join(repr(x) for x in HLL_LINEAR)}])
+                    THEN ([{", ".join(repr(x) + "e0" for x in HLL_LINEAR)}])
                          [CAST(n_zero AS INT)]
                     ELSE hll_raw END AS hll_estimate
         FROM rawed

@@ -1046,7 +1046,7 @@ def _stream_hll_oracle() -> str:
         )
         SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero_regs, hll_raw,
                CASE WHEN hll_raw <= {HLL_RAW_CUTOFF!r} AND n_zero > 0
-                    THEN ([{", ".join(repr(x) for x in HLL_LINEAR)}])
+                    THEN ([{", ".join(repr(x) + "e0" for x in HLL_LINEAR)}])
                          [CAST(n_zero AS INT)]
                     ELSE hll_raw END AS hll_estimate
         FROM rawed

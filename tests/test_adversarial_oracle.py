@@ -221,6 +221,13 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (14, _ts(6, 30), 5, "view", 1.0, '{"k": 1}'),
         (15, _ts(7, 0, 0, 1), 5, "view", 1.0, '{"k": 1}'),
     ]
+    # user 8: timestamps straddling the US spring-forward DST boundary
+    # (2024-03-10 06:59/07:01 UTC = 01:59 EST / 03:01 EDT) and the
+    # fall-back boundary — the riskiest inputs for tz conversion
+    rows.append((90, dt.datetime(2024, 3, 10, 6, 59), 8, "view", 1.0, '{"k": 1}'))
+    rows.append((91, dt.datetime(2024, 3, 10, 7, 1), 8, "click", 1.0, '{"k": 1}'))
+    rows.append((92, dt.datetime(2024, 11, 3, 5, 30), 8, "view", 1.0, '{"k": 1}'))
+    rows.append((93, dt.datetime(2024, 11, 3, 6, 30), 8, "purchase", 1.0, '{"k": 1}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
