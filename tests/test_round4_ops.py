@@ -1037,3 +1037,34 @@ def test_auc_rank_matches_sklearn_free_auc(spark, sf_small):
     assert got.n_pos == n_pos and got.n_neg == n_neg
     assert abs(got.auc - want) < 1e-12
     assert 0.0 <= got.auc <= 1.0
+
+
+def test_mask_native_structure(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import scalars as SC
+
+    rows = SC.mask_native(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # masked text has identical length and only X/x/n + punctuation
+        assert len(r.name_masked) > 0
+        assert all(c in "Xxn" or not c.isalnum() for c in r.name_masked)
+        assert all(c in "Xxn" or not c.isalnum() for c in r.segment_masked)
+    # at least one row masks a digit (customer names carry key digits)
+    assert any("n" in r.name_masked for r in rows)
+
+
+def test_try_arith_null_semantics(spark, sf_small):
+    from real_time_big_data_architect_spark.operators import scalars as SC
+
+    rows = SC.try_arith(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.o_orderkey == 0:
+            assert r.overflow_product == SC._I64_MAX
+        else:
+            assert r.overflow_product is None  # overflow -> NULL, no error
+        if r.denom_was_zero:
+            assert r.risky_ratio is None  # /0 -> NULL, no error
+        else:
+            assert r.risky_ratio is not None
+        assert r.safe_next == r.o_orderkey + 1
