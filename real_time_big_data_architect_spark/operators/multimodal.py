@@ -72,6 +72,12 @@ def decode_media_batch(batch: pd.DataFrame) -> pd.DataFrame:
     byte-histogram buckets. A real deployment replaces this body with
     PIL/ffmpeg/soundfile calls — signature and batch shape are the
     production ones.
+
+    The 8 bucket shares are emitted as SCALAR double columns f0..f7
+    rather than one ``array<double>`` column: the driver's pandas
+    ``sort_values`` canonicalizer raises ``TypeError: unhashable
+    type`` on list cells (the r4 failure mode on ``array_hof``); the
+    scalar shape is also what the exact-SQL oracle can pivot to.
     """
     feats = []
     for payload in batch["payload"]:
@@ -83,12 +89,14 @@ def decode_media_batch(batch: pd.DataFrame) -> pd.DataFrame:
         total = max(int(hist.sum()), 1)
         feats.append((hist / total).astype(float).tolist())
     out = batch[["doc_id", "media_type"]].copy()
-    out["features"] = feats
+    for k in range(8):
+        out[f"f{k}"] = [fv[k] for fv in feats]
     return out
 
 
 DECODED_SCHEMA = (
-    "doc_id long, media_type string, features array<double>"
+    "doc_id long, media_type string, "
+    + ", ".join(f"f{k} double" for k in range(8))
 )
 
 
@@ -337,7 +345,7 @@ def _features_oracle() -> str:
     """
     buckets = ",\n               ".join(
         f"CAST(count(*) FILTER (WHERE bucket = {k}) AS DOUBLE)"
-        " / greatest(any_value(n), 1)"
+        f" / greatest(any_value(n), 1) AS f{k}"
         for k in range(8)
     )
     return f"""
@@ -358,7 +366,7 @@ def _features_oracle() -> str:
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               [{buckets}] AS features
+               {buckets}
         FROM b GROUP BY doc_id
     """
 

@@ -145,17 +145,28 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire query is one shuffle-free map pass). The L1 fold replays
     the _dot trick: acc starts at 0.0 and DuckDB's un-seeded
     list_reduce starts at the first element — 0.0 + x == x exactly, so
-    the fold sequences are IEEE-identical and the doubles hash."""
+    the fold sequences are IEEE-identical and the doubles hash.
+
+    The top-3 magnitudes are emitted as three SCALAR double columns
+    (``F.get`` is 0-based and null-safe out of range, matching DuckDB
+    list indexing) rather than an ``array<double>`` column: the
+    driver's canonicalizer lexsorts the result frame with
+    ``pandas.DataFrame.sort_values``, which raises ``TypeError:
+    unhashable type`` on list cells (the r4 red). Element semantics
+    are unchanged — same sorted-desc values, one per column."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     absd = F.transform(emb, lambda x: F.abs(x.cast("double")))
+    top = F.reverse(F.array_sort(absd))
     return e.select(
         "vec_id",
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
         F.exists(emb, lambda x: F.abs(x) > F.lit(2.0)).alias("any_gt2"),
         F.forall(emb, lambda x: F.abs(x) < F.lit(10.0)).alias("all_lt10"),
         F.aggregate(absd, F.lit(0.0), lambda a, x: a + x).alias("l1_norm"),
-        F.slice(F.reverse(F.array_sort(absd)), 1, 3).alias("top3_abs"),
+        F.get(top, 0).alias("top1_abs"),
+        F.get(top, 1).alias("top2_abs"),
+        F.get(top, 2).alias("top3_abs"),
     )
 
 
@@ -165,6 +176,13 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     set operations (the building block of shingle/feature overlap
     scoring), results sorted so the arrays are order-canonical and the
     oracle hash is well-defined. Shuffle-free map pass.
+
+    The three set-result arrays are serialized to canonical '|'-joined
+    strings (``array_join`` ↔ DuckDB ``array_to_string``): the driver's
+    pandas ``sort_values`` canonicalizer cannot lexsort list cells
+    (the r4 red on this query). The join is applied to the SAME sorted
+    arrays as before, so element semantics and ordering are identical
+    and unit tests still check them by splitting the string back.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -174,9 +192,12 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array_distinct(F.slice(words, h + 1, n - h))
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_union(a, b)).alias("vocab_union"),
-        F.array_sort(F.array_intersect(a, b)).alias("vocab_both"),
-        F.array_sort(F.array_except(a, b)).alias("vocab_first_only"),
+        F.array_join(F.array_sort(F.array_union(a, b)), "|")
+        .alias("vocab_union"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), "|")
+        .alias("vocab_both"),
+        F.array_join(F.array_sort(F.array_except(a, b)), "|")
+        .alias("vocab_first_only"),
         F.size(F.array_intersect(a, b)).alias("n_shared"),
     )
 
@@ -227,12 +248,17 @@ ORACLE = {
                  list_distinct(ws[h + 1:n]) AS b
           FROM w
         )
+        -- COALESCE: DuckDB's array_to_string folds an EMPTY list to
+        -- NULL (string_agg over zero rows); Spark's array_join gives ''
         SELECT doc_id,
-               list_sort(list_distinct(a || b)) AS vocab_union,
-               list_sort(list_distinct(
-                   list_filter(a, x -> list_contains(b, x)))) AS vocab_both,
-               list_sort(list_distinct(
-                   list_filter(a, x -> NOT list_contains(b, x))))
+               coalesce(array_to_string(
+                   list_sort(list_distinct(a || b)), '|'), '')
+                   AS vocab_union,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(a, x -> list_contains(b, x)))), '|'), '')
+                   AS vocab_both,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x)))), '|'), '')
                    AS vocab_first_only,
                CAST(len(list_distinct(
                    list_filter(a, x -> list_contains(b, x)))) AS INT)
@@ -254,7 +280,9 @@ ORACLE = {
                    = len(embedding) AS all_lt10,
                CASE WHEN len(absd) = 0 THEN 0.0
                     ELSE list_reduce(absd, (x, y) -> x + y) END AS l1_norm,
-               list_reverse_sort(absd)[1:3] AS top3_abs
+               list_reverse_sort(absd)[1] AS top1_abs,
+               list_reverse_sort(absd)[2] AS top2_abs,
+               list_reverse_sort(absd)[3] AS top3_abs
         FROM a
     """,
     "explode_nested": """

@@ -260,11 +260,17 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_i = round(x_i * 127 / max|x|) — the standard scalar quantizer
     that shrinks a float32 corpus 4× before indexing. Both engines
     round half-away-from-zero and evaluate the identical expression
-    tree, so the int arrays are oracle-exact. A zero vector is exactly
-    representable: it quantizes to all-zero codes with max_abs 0 (a
-    null-element array would round-trip asymmetrically through the
-    driver's pandas fetch — nullable ints coerce to float64 on one
-    side only; caught by the adversarial differential).
+    tree, so the int codes are oracle-exact. A zero vector is exactly
+    representable: it quantizes to all-zero codes with max_abs 0.
+
+    The code vector is serialized to ONE canonical comma-joined string
+    column (``array_join`` ↔ DuckDB ``array_to_string``; int→string
+    formatting is identical in both engines) instead of ``array<int>``:
+    the driver's pandas ``sort_values`` canonicalizer raises
+    ``TypeError: unhashable type`` on list cells — the failure the r4
+    driver recorded on ``array_hof`` and that this query would have hit
+    on first sampling. Element semantics stay unit-tested by splitting
+    the string back to ints.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     mx = F.array_max(
@@ -279,7 +285,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int"),
     )
-    return with_mx.select("vec_id", "max_abs", q.alias("q_embedding"))
+    return with_mx.select(
+        "vec_id",
+        "max_abs",
+        F.array_join(q.cast("array<string>"), ",").alias("q_codes"),
+    )
 
 
 def _centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,11 +953,11 @@ _COSINE_CTE = """
 ORACLE = {
     "embedding_quantize": """
         SELECT vec_id, max_abs,
-               list_transform(embedding,
+               array_to_string(list_transform(embedding,
                    x -> CASE WHEN max_abs = 0.0 THEN 0
                         ELSE CAST(round(CAST(x AS DOUBLE) * 127.0
-                                        / max_abs) AS INT) END)
-                   AS q_embedding
+                                        / max_abs) AS INT) END), ',')
+                   AS q_codes
         FROM (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,

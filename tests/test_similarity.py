@@ -96,9 +96,10 @@ def test_quantize_roundtrip_bounds(spark, sf_small):
     out = similarity.embedding_quantize(spark, sf_small).collect()
     for r in out:
         assert r.max_abs is None or r.max_abs > 0
-        if r.q_embedding is not None and r.max_abs is not None:
-            assert all(q is None or -127 <= q <= 127 for q in r.q_embedding)
-            assert any(abs(q) == 127 for q in r.q_embedding if q is not None)
+        if r.q_codes and r.max_abs is not None:
+            codes = [int(c) for c in r.q_codes.split(",")]
+            assert all(-127 <= q <= 127 for q in codes)
+            assert any(abs(q) == 127 for q in codes)
 
 
 def test_ivf_assign_is_argmin(spark, sf_small):

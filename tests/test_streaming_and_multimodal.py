@@ -70,14 +70,16 @@ def test_multimodal_features_plumbing(spark, sf_small):
     """Arrow mapInPandas over binary media column: schema + batch shape
     are real even though the decode kernel is a deterministic stub."""
     out = multimodal.multimodal_features(spark, sf_small)
-    assert dict(out.dtypes) == {
-        "doc_id": "bigint",
-        "media_type": "string",
-        "features": "array<double>",
-    }
+    expected = {"doc_id": "bigint", "media_type": "string"}
+    expected.update({f"f{k}": "double" for k in range(8)})
+    assert dict(out.dtypes) == expected
     rows = out.collect()
     assert len(rows) > 0
-    assert all(len(r.features) > 0 for r in rows[:10])
+    # bucket shares form a probability vector over the payload bytes
+    for r in rows[:10]:
+        shares = [getattr(r, f"f{k}") for k in range(8)]
+        assert abs(sum(shares) - 1.0) < 1e-9
+        assert all(s >= 0.0 for s in shares)
     # stub is deterministic: same input → same features
     again = multimodal.multimodal_features(spark, sf_small).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)

@@ -112,9 +112,37 @@ def _rows_from_pandas(df):
     ]
 
 
+def _driver_canon_check(pdf) -> str | None:
+    """Replicate the driver's frame-level canonicalization verbatim.
+
+    The driver sorts the whole pandas frame with
+    ``DataFrame.sort_values(by=all columns)`` before hashing; list /
+    ndarray / dict cells make pandas' lexsort raise ``TypeError:
+    unhashable type`` — a failure this preflight's own string-row
+    canonicalizer silently survives (the r4 blind spot: PREFLIGHT_r4
+    was 224/224 green while the driver went red on ``array_hof`` and
+    ``array_set_ops``). Returns the error string, or None if the frame
+    is driver-canonicalizable.
+    """
+    try:
+        cols = sorted(pdf.columns)
+        if cols:
+            pdf[cols].sort_values(by=cols, ignore_index=True)
+        return None
+    except Exception as exc:  # noqa: BLE001
+        return f"{type(exc).__name__}: {exc}"
+
+
 def fetch_oracle_pandas(con, sql):
-    """Driver-equivalent oracle fetch: DuckDB -> pandas -> rows."""
+    """Driver-equivalent oracle fetch: DuckDB -> pandas -> rows.
+
+    Raises if the oracle frame itself is not driver-canonicalizable
+    (same frame-level sort_values gate as the Spark side).
+    """
     odf = con.execute(sql).df()
+    canon_err = _driver_canon_check(odf)
+    if canon_err is not None:
+        raise TypeError(f"oracle not driver-canonicalizable: {canon_err}")
     return list(odf.columns), _rows_from_pandas(odf)
 
 
@@ -152,12 +180,22 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = _rows_from_pandas(sdf.toPandas())
+            spdf = sdf.toPandas()
+            srows = _rows_from_pandas(spdf)
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             report[name] = {"err": f"spark error: {str(exc)[:300]}"}
             print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
             continue
+        if name in oracles:
+            canon_err = _driver_canon_check(spdf)
+            if canon_err is not None:
+                failures.append((name, f"driver-canon error: {canon_err}"))
+                report[name] = {
+                    "err": f"driver-canon error: {canon_err[:300]}"
+                }
+                print(f"FAIL  {name}: driver-canon error: {canon_err[:200]}")
+                continue
         if name not in oracles:
             report[name] = {"rows_only": True, "spark_rows": len(srows),
                             "err": None}
