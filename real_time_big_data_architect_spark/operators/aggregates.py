@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_sum
+from real_time_big_data_architect_spark.functions.ranking import (
+    range_partitioned_rank,
+)
 from real_time_big_data_architect_spark.tables import load_table
 
 
@@ -497,12 +500,13 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT statistic from one global sort).
 
     score = fixed-plane dot fold (JVM), label = label % 2; AUC =
-    (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋). One row_number
-    window over the score sort (vec_id tiebreak pins ties identically
-    cross-engine) + one aggregate — integer arithmetic until the final
-    division, so the statistic is bit-exact. At 100 TB the global sort
-    is the cost; rank via zone-map-assisted range partitioning is the
-    standard scale-out.
+    (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋). The global rank is
+    the range-partitioned two-pass row_number (functions/ranking.py)
+    — a parallel range shuffle + broadcast offsets, never one
+    WindowExec task holding the whole corpus — with vec_id tiebreak
+    pinning ties identically cross-engine; then one aggregate.
+    Integer arithmetic until the final division, so the statistic is
+    bit-exact and the ROW_NUMBER-based oracle hashes unchanged.
     """
     from real_time_big_data_architect_spark.operators.similarity import (
         _PROJ_COEFS,
@@ -516,8 +520,13 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2 == 0).alias("pos"),
         score.alias("score"),
     )
-    w = Window.orderBy("score", "vec_id")
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    # range-partitioned two-pass rank (functions/ranking.py) — identical
+    # to row_number() OVER (ORDER BY score, vec_id) but with NO
+    # single-partition WindowExec: the sort is a parallel range shuffle,
+    # the global offset a partition-count-sized broadcast join.
+    ranked = range_partitioned_rank(
+        scored, F.col("score"), F.col("vec_id"), rank_col="rnk"
+    )
     agg = ranked.agg(
         F.sum(F.when(F.col("pos"), F.col("rnk")).otherwise(0)).alias(
             "rank_sum"

@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_big_data_architect_spark.functions.ranking import (
+    ntile_from_rank,
+    range_partitioned_rank,
+)
 from real_time_big_data_architect_spark.tables import load_table
 
 #: per-language sampling rates, percent of documents kept
@@ -330,14 +334,33 @@ def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.2·[lang=en], then NTILE(10) deciles for threshold sweeps.
 
     The score is a shuffle-free map pass (per-row array expressions);
-    the decile is ONE global window sort — fixture-fine, but at 100 TB
-    you'd swap NTILE for approx-quantile cut points broadcast back (a
-    two-pass assignment with no global sort; `approx_quantiles` is
-    that primitive). Every fp op token-mirrored in the oracle.
+    the decile replays NTILE(10) OVER (ORDER BY score DESC, doc_id)
+    bit-exactly WITHOUT the single-partition window the window function
+    itself would plan: global rank via the range-partitioned two-pass
+    row_number (functions/ranking.py — parallel range shuffle +
+    broadcast offsets), then the exact ANSI NTILE bucket as a map
+    expression from (rank, N) via ntile_from_rank. Oracle unchanged —
+    it still states plain NTILE. `decile_cutpoints` remains the
+    percentile-cutpoint alternative when rank-exact bucket edges are
+    not required. Every fp op token-mirrored in the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return _score_projection(docs).withColumn("decile", F.ntile(10).over(w))
+    scored = _score_projection(docs)
+    n_tbl = scored.agg(F.count("*").alias("__n"))
+    ranked = range_partitioned_rank(
+        scored, F.col("score").desc(), F.col("doc_id").asc(), rank_col="__rnk"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            ntile_from_rank(F.col("__rnk"), F.col("__n"), 10).alias(
+                "decile"
+            ),
+        )
+    )
 
 
 def decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_big_data_architect_spark.functions.ranking import (
+    range_partitioned_rank,
+)
 from real_time_big_data_architect_spark.tables import load_table
 
 DAMPING = 0.85
@@ -108,12 +111,15 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    w = Window.orderBy(F.col("pr").desc(), F.col("user_id").asc())
-    return pr.select(
-        "user_id",
-        F.col("pr").alias("pagerank"),
-        F.row_number().over(w).alias("rank"),
-    )
+    # final rank attachment: range-partitioned two-pass row_number
+    # (functions/ranking.py) over (pr desc, user_id) — identical ranks
+    # to ROW_NUMBER() OVER (ORDER BY pr DESC, user_id), but the sort is
+    # a parallel range shuffle instead of one WindowExec task holding
+    # every node (at 100 TB node count the single-partition window is a
+    # driver-sized sort — the r4 scale-killer).
+    return range_partitioned_rank(
+        pr, F.col("pr").desc(), F.col("user_id").asc(), rank_col="rank"
+    ).select("user_id", F.col("pr").alias("pagerank"), "rank")
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,13 +238,30 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = reduce(DataFrame.unionByName, frontiers)
         frontier = reached.join(visited, "user_id", "left_anti").persist()
         frontiers.append(frontier)
-    return reduce(
-        DataFrame.unionByName,
-        (
-            f.withColumn("dist", F.lit(i))
-            for i, f in enumerate(frontiers)
-        ),
-    ).select("user_id", F.col("dist").cast("int").alias("dist"))
+    result = (
+        reduce(
+            DataFrame.unionByName,
+            (
+                f.withColumn("dist", F.lit(i))
+                for i, f in enumerate(frontiers)
+            ),
+        )
+        .select("user_id", F.col("dist").cast("int").alias("dist"))
+        .persist()
+    )
+    # materialize the result once, then release every intermediate
+    # cache (edges + k+1 frontiers): without this, each invocation
+    # leaks 6+ dead persisted relations into executor storage, where
+    # they evict LIVE caches in long-lived sessions (the measured 2×
+    # bench slowdown that forced clearCache() into the repo's tools).
+    # The one surviving persist is the |reached-nodes|-sized result
+    # itself; an evicted result partition recomputes through full
+    # lineage — correct, merely slower.
+    result.count()
+    for f in frontiers:
+        f.unpersist()
+    edges.unpersist()
+    return result
 
 
 QUERIES = {

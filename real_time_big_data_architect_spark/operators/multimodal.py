@@ -231,10 +231,16 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: perceptual-hash geometry: 64 histogram buckets → 64-bit signature,
-#: 4 × 16-bit Hamming-LSH bands, near-dup at Hamming ≤ 8 (content
-#: hashes are histogram-based, so small payload edits flip few bits)
+#: 4 × 16-bit Hamming-LSH bands, near-dup at Hamming ≤ 3 — the SAME
+#: complete-recall discipline as SimHash (dedup.py): by pigeonhole, a
+#: pair differing in ≤ 3 of 64 bits MUST agree on at least one of 4
+#: disjoint 16-bit bands, so banding loses NO qualifying pair. The
+#: alternative (9 × ~7-bit bands to guarantee Hamming ≤ 8) leaves only
+#: 128 bucket values per band — at corpus scale every bucket holds
+#: N/128 docs and the candidate join goes quadratic; threshold 3 with
+#: 65536-value buckets is the shape that survives 100 TB.
 PHASH_BANDS = 4
-PHASH_MAX_HAMMING = 8
+PHASH_MAX_HAMMING = 3
 
 
 def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,14 +286,16 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup media pairs by perceptual hash: Hamming ≤ 8 over the
-    64-bit signatures, banded so the candidate join shuffles only
-    (band, bucket, doc_id) — the simhash blocking discipline applied
-    to the binary media column (a pair within Hamming ≤ 8 of 64 bits
-    cannot disagree on all 4 16-bit bands... pigeonhole guarantees a
-    shared band only for Hamming ≤ 3, so this is a recall-tuned
-    LSH: candidates need ≥ 1 exact band match, verified exactly with
-    bit_count; identical payloads always agree on every band).
+    """Near-dup media pairs by perceptual hash: Hamming ≤
+    PHASH_MAX_HAMMING (3) over the 64-bit signatures, banded so the
+    candidate join shuffles only (band, bucket, doc_id) — the simhash
+    blocking discipline applied to the binary media column. Recall is
+    COMPLETE, not tuned: a pair within Hamming ≤ 3 of 64 bits cannot
+    disagree on all 4 disjoint 16-bit bands (pigeonhole), so every
+    qualifying pair surfaces as a candidate and is then verified
+    exactly with bit_count. See the PHASH_BANDS note for why threshold
+    3 (matching SIMHASH_MAX_HAMMING) beats widening the guarantee with
+    narrower bands at scale.
     """
     sigs = media_phash(spark, sf_dir).repartition(F.col("doc_id"))
     buckets = sigs.select(
@@ -331,8 +339,66 @@ QUERIES = {
     "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
     "multimodal_features": multimodal_features,
     "media_meta_stats": media_meta_stats,
-    "media_phash_dedup": media_phash_dedup,  # rows-only (numpy kernel)
+    "media_phash_dedup": media_phash_dedup,
 }
+
+
+def _phash_dedup_oracle() -> str:
+    """All-pairs SQL ground truth for the banded phash dedup.
+
+    Replays the numpy kernel byte-exactly in SQL — UTF-8 bytes from
+    ``hex(encode(text))``, 64-bucket histogram (``byte // 4``), bit i
+    set when bucket i exceeds the mean bucket mass n/64.0 (missing
+    buckets hold 0, never exceed a positive mean, so the GROUP BY over
+    present buckets is complete) — then scores EVERY pair with
+    bit_count(xor) ≤ PHASH_MAX_HAMMING via a naive self-join. The
+    oracle is deliberately quadratic (ground truth, sf0.01-sized);
+    hash-matching it proves the engine's banding loses no qualifying
+    pair, i.e. the pigeonhole recall guarantee holds on real data.
+    HUGEINT accumulates the unsigned signature; the two's-complement
+    fold to BIGINT mirrors the kernel's int64 wrap.
+    """
+    return f"""
+        WITH h AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        byt AS (
+          SELECT doc_id, n,
+                 (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(r.range*2+1 AS INT), 1)) - 1) * 4
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(r.range*2+2 AS INT), 1)) - 1) // 4
+                     AS bucket
+          FROM h CROSS JOIN range(0, 100000) r
+          WHERE r.range < n
+        ),
+        hist AS (
+          SELECT doc_id, any_value(n) AS n, bucket, count(*) AS c
+          FROM byt GROUP BY doc_id, bucket
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 COALESCE(SUM(CASE WHEN c > n / 64.0
+                                   THEN CAST(1 AS HUGEINT)
+                                        << CAST(bucket AS INT)
+                                   ELSE CAST(0 AS HUGEINT) END),
+                          0) AS sig_u
+          FROM hist GROUP BY doc_id
+        ),
+        signed AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN sig_u >= 9223372036854775808
+                           THEN sig_u - 18446744073709551616
+                           ELSE sig_u END AS BIGINT) AS sig
+          FROM sigs
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {PHASH_MAX_HAMMING}
+    """
 
 
 def _features_oracle() -> str:
@@ -373,6 +439,7 @@ def _features_oracle() -> str:
 
 ORACLE = {
     "multimodal_features": _features_oracle(),
+    "media_phash_dedup": _phash_dedup_oracle(),
     "media_frame_sample": """
         SELECT doc_id,
                CAST(r.range AS INT) AS frame_idx,

@@ -1,6 +1,12 @@
 """True Structured Streaming ports: watermarks, streaming dedup,
-per-key state (north star NS5). All declared rows-only — streaming
-emission semantics have no DuckDB twin.
+per-key state (north star NS5). Oracle-backed wherever the drained
+result is batch-reconstructible: for an availableNow run over the
+single-row-group fixture, the final watermark is max(ts) − delay and
+append mode emits exactly the windows/sessions with end ≤ watermark
+(boundary verified: a window whose end EQUALS the final watermark is
+emitted — pinned by test), so a watermark-filtered batch twin hashes
+the drain exactly. Update-mode and per-batch-emission outputs stay
+rows-only by design.
 
 Each declared query drives a real streaming query to completion
 (file source over the fixture parquet → availableNow trigger → memory
@@ -95,6 +101,10 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     10-minute watermark; append mode emits only finalized windows —
     the streaming-semantics twin of time_windows.tumbling_window_agg.
+    Oracle-backed: the drain equals the batch aggregation filtered to
+    windows with end ≤ max(ts) − 10 min (the final watermark; the
+    availableNow no-data batch finalizes emission, and the ≤ boundary
+    is pinned by test_stream_watermark_boundary_emits_at_equality).
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
@@ -111,8 +121,11 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``session_window`` in a true streaming query: 30-minute inactivity
     gap, 10-minute watermark bounding the session state; append mode
-    emits a session once the watermark passes its close. Rows-only —
-    which sessions finalize depends on per-batch watermark advancement.
+    emits a session once the watermark passes its close. Oracle-backed:
+    per-batch watermark advancement is deterministic for the
+    availableNow drain over the fixture, so the drain equals the batch
+    gaps-and-islands sessionization filtered to sessions whose end
+    (last event + gap) ≤ max(ts) − 10 min.
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
@@ -137,8 +150,10 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding-window counts (NS5): 1-hour windows every
     15 minutes, so each event lands in 4 overlapping windows — the
     streaming twin of time_windows.sliding_window_agg. Append mode
-    emits a window once the watermark passes its end; rows-only (which
-    windows finalize depends on per-batch watermark advancement).
+    emits a window once the watermark passes its end; oracle-backed
+    (window end ≤ final watermark, same emission model as the
+    tumbling twin — all four overlapping windows of an event appear
+    once each provided their ends clear the watermark).
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
@@ -159,7 +174,14 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within the watermark horizon (NS5).
 
     ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
-    window — bounded memory on an unbounded stream.
+    window — bounded memory on an unbounded stream. Oracle-backed FOR
+    THE FIXTURE: the survivor per key is the first row in arrival
+    order, and the single-row-group fixture streams as ONE map task
+    whose order the shuffle preserves per state partition — so arrival
+    order is file order and the survivor is deterministically the
+    (ts, event_id)-minimal row. On multi-file/multi-row-group input
+    the choice is arrival-order-dependent (the general streaming
+    semantics); the multi-file tests stay survivor-agnostic.
     """
     ev = _events_stream(spark, sf_dir)
     deduped = (
@@ -983,11 +1005,10 @@ if TWS_AVAILABLE:
     QUERIES["stream_pattern_cep"] = stream_pattern_cep
     QUERIES["stream_pattern_cep_eventtime"] = stream_pattern_cep_eventtime
 
-# Watermark-emission and update-mode outputs are engine-timing-specific
-# (rows-only by design), but the poll tick runs in COMPLETE mode: after
-# the availableNow stream drains, the memory sink holds exactly the
-# final snapshot — which must equal the batch answer (integer counts +
-# max timestamp are hash-safe).
+# Update-mode and per-batch-emission outputs are engine-timing-specific
+# (rows-only by design); append-mode watermark drains and COMPLETE-mode
+# snapshots are deterministic for an availableNow run and carry full
+# batch-reconstruction oracles below.
 def _stream_hll_oracle() -> str:
     """Batch twin of stream_hll_distinct: MAX over any batch split of
     the registers equals the global registers, so the streamed estimate
@@ -1083,7 +1104,72 @@ def _stream_cdc_apply_oracle() -> str:
     """
 
 
+# Append-mode drain reconstruction (r5): for an availableNow run the
+# final watermark is max(ts) - delay, and append emission is exactly
+# "window/session end <= final watermark" (boundary pinned by test:
+# end == watermark DOES emit). Each oracle below is the corresponding
+# batch query with that filter — hash-exact against the real drain.
 ORACLE: dict[str, str] = {
+    "stream_tumbling_watermark": """
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events, wm
+        GROUP BY 1, 2, wm.wm
+        HAVING date_trunc('hour', ANY_VALUE(ts)) + INTERVAL 1 HOUR <= wm.wm
+    """,
+    "stream_sliding_watermark": """
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+        SELECT window_start, window_end, event_type, COUNT(*) AS n_events
+        FROM (
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                     + INTERVAL (CAST(floor(epoch(ts)/900) AS BIGINT)*900
+                                 - r.range*900) SECOND AS window_start,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                     + INTERVAL (CAST(floor(epoch(ts)/900) AS BIGINT)*900
+                                 - r.range*900 + 3600) SECOND AS window_end,
+                   event_type
+            FROM events CROSS JOIN range(4) r
+        ), wm
+        WHERE window_end <= wm.wm
+        GROUP BY 1, 2, 3
+    """,
+    "stream_session_watermark": """
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+        ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM ordered
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM sessions, wm
+        GROUP BY user_id, session_id, wm.wm
+        HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.wm
+    """,
+    "stream_dedup_watermark": """
+        SELECT event_id, user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
     "stream_cdc_apply": _stream_cdc_apply_oracle(),
     "stream_hll_distinct": _stream_hll_oracle(),
     "stream_foreachbatch_mv": """

@@ -1,0 +1,99 @@
+"""functions/ranking.py: the scale-safe global rank must be
+bit-identical to the single-partition window functions it replaces.
+
+The contract is exactness, not approximation: ``range_partitioned_rank``
+claims ranks identical to ``row_number() OVER (ORDER BY ...)`` and
+``ntile_from_rank`` claims buckets identical to ``NTILE(k)`` — every
+oracle written against the window functions must keep hashing. These
+tests diff the two implementations on adversarial layouts: ties in the
+sort key (resolved by the unique tiebreaker), heavy skew (most rows in
+one key range), descending order, more partitions than rows (empty
+range partitions), and every N-vs-k remainder shape for NTILE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_architect_spark.functions.ranking import (
+    ntile_from_rank,
+    range_partitioned_rank,
+)
+
+
+def _mismatches(df, rank_col, ref_col):
+    return df.filter(F.col(rank_col) != F.col(ref_col)).count()
+
+
+def test_rank_matches_window_row_number(spark):
+    # ties in `v` (v = i % 7) force the tiebreaker to carry the order
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    ranked = range_partitioned_rank(
+        df, F.col("v"), F.col("id"), rank_col="rnk"
+    )
+    ref = F.row_number().over(Window.orderBy("v", "id"))
+    got = ranked.withColumn("ref", ref)
+    assert _mismatches(got, "rnk", "ref") == 0
+    # ranks are a permutation of 1..N
+    agg = ranked.agg(
+        F.min("rnk").alias("lo"),
+        F.max("rnk").alias("hi"),
+        F.count_distinct("rnk").alias("n"),
+    ).first()
+    assert (agg.lo, agg.hi, agg.n) == (1, 1000, 1000)
+
+
+def test_rank_descending_order(spark):
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    ranked = range_partitioned_rank(
+        df, F.col("v").desc(), F.col("id").asc(), rank_col="rnk"
+    )
+    ref = F.row_number().over(Window.orderBy(F.col("v").desc(), "id"))
+    assert _mismatches(ranked.withColumn("ref", ref), "rnk", "ref") == 0
+
+
+def test_rank_skewed_keys(spark):
+    # 95% of rows share one key range end: range partitioner must still
+    # produce correct (if unbalanced) global ranks
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 == 0, F.col("id")).otherwise(F.lit(0)).alias(
+            "v"
+        ),
+    )
+    ranked = range_partitioned_rank(df, F.col("v"), F.col("id"), rank_col="r")
+    ref = F.row_number().over(Window.orderBy("v", "id"))
+    assert _mismatches(ranked.withColumn("ref", ref), "r", "ref") == 0
+
+
+def test_rank_more_partitions_than_rows(spark):
+    # empty range partitions must not shift offsets
+    df = spark.range(3).select(F.col("id"))
+    ranked = range_partitioned_rank(
+        df, F.col("id"), rank_col="r", num_partitions=16
+    )
+    rows = sorted((r.id, r.r) for r in ranked.collect())
+    assert rows == [(0, 1), (1, 2), (2, 3)]
+
+
+@pytest.mark.parametrize("n,k", [(10, 10), (17, 10), (9, 10), (1, 10),
+                                 (100, 7), (23, 4), (4, 4), (3, 4)])
+def test_ntile_from_rank_matches_window_ntile(spark, n, k):
+    df = spark.range(n).select(F.col("id"))
+    ranked = range_partitioned_rank(df, F.col("id"), rank_col="rnk")
+    got = ranked.crossJoin(
+        F.broadcast(df.agg(F.count("*").alias("__n")))
+    ).select(
+        "id", ntile_from_rank(F.col("rnk"), F.col("__n"), k).alias("b")
+    )
+    ref = df.select(
+        "id", F.ntile(k).over(Window.orderBy("id")).alias("ref")
+    )
+    joined = got.join(ref, "id")
+    assert joined.filter(F.col("b") != F.col("ref")).count() == 0

@@ -353,23 +353,20 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
     }
     assert got_sigs == expect
     pairs = M.media_phash_dedup(spark, sf_small).collect()
-    seen = {(r.doc_a, r.doc_b) for r in pairs}
-    for r in pairs:
-        x = (expect[r.doc_a] ^ expect[r.doc_b]).bit_count()
-        assert r.hamming == x and x <= M.PHASH_MAX_HAMMING
-    # completeness at hamming 0: equal signatures share every band, so
-    # any two docs with the same phash MUST be reported as a pair
-    by_sig: dict = {}
-    for doc_id, sig in expect.items():
-        by_sig.setdefault(sig, []).append(doc_id)
-    n_sig_dups = 0
-    for ids in by_sig.values():
-        ids.sort()
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                assert (a, b) in seen
-                n_sig_dups += 1
-    assert n_sig_dups > 0  # histogram hashing really collides on similar payloads
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs}
+    # COMPLETE recall, not just precision: with 4 disjoint 16-bit bands
+    # and threshold 3, pigeonhole guarantees every qualifying pair
+    # shares a band — so the banded join's output must EQUAL the
+    # brute-force all-pairs ground truth, exactly
+    ids = sorted(expect)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hm = (expect[a] ^ expect[b]).bit_count()
+            if hm <= M.PHASH_MAX_HAMMING:
+                truth.add((a, b, hm))
+    assert got == truth
+    assert truth  # histogram hashing really collides on similar payloads
 
 
 def test_stream_hll_split_invariance(spark, sf_small, tmp_path_factory):
@@ -422,3 +419,38 @@ def test_stream_cdc_apply_equals_v2(spark, sf_small):
         for r in v1.collect()
     }
     assert got != base
+
+
+def test_stream_watermark_boundary_emits_at_equality(spark, tmp_path):
+    """Pin the append-mode emission predicate the drain oracles rely
+    on: a window whose end EQUALS the final watermark (max ts − delay)
+    IS emitted; a window whose end exceeds it is not. Crafted so
+    max(ts) = 03:10:00.000000 exactly → watermark 03:00:00 = the end
+    of window [02:00, 03:00)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_architect_spark.streaming import stateful as S
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "view", base.replace(hour=2, minute=30)),
+        (2, 11, "view", base.replace(hour=2, minute=59)),
+        (3, 12, "view", base.replace(hour=3, minute=5)),
+        (4, 13, "view", base.replace(hour=3, minute=10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = S.stream_tumbling_watermark(spark, str(tmp_path)).collect()
+    got = {(str(r.window_start), r.n_events) for r in out}
+    assert got == {("2024-01-01 02:00:00", 2)}
