@@ -170,10 +170,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector matches at most one probe of a given query (bucket distance
     is unique), so no pair dedup is needed.
     """
-    e = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
-        .withColumn("bucket", _lsh_bucket(F.col("embedding")))
-        .withColumn("nrm", _norm(F.col("embedding")))
+    # rows-only query, but the zero-norm exclusion matches the exact
+    # paths: a zero vector has no cosine (ANSI 0/0 error otherwise)
+    e = _corpus_with_norms(spark, sf_dir).withColumn(
+        "bucket", _lsh_bucket(F.col("embedding"))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -448,9 +448,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles left are the candidate join and the final top-k window.
     """
     cents = _centroid_params(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    # zero-norm vectors carry no cosine to anything (0/0 is an ANSI
+    # DIVIDE_BY_ZERO; caught by the adversarial zero-vector corpus):
+    # _corpus_with_norms drops them from corpus AND query sides, and
+    # the oracle mirrors with nrm > 0 predicates.
+    e = _corpus_with_norms(spark, sf_dir)
     corpus = _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
     # NPROBE nearest cells per query: sort the same struct array the
     # argmin uses and slice — (dist2, c_label) ordering matches the old
@@ -530,9 +532,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors).
     """
     cents = _centroid_params(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    # zero-norm exclusion: same rationale and oracle mirror as above
+    e = _corpus_with_norms(spark, sf_dir)
     proj = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
     w_cell = W.partitionBy("cell")
     v = (
@@ -1093,6 +1094,7 @@ ORACLE = {
             JOIN norms nv ON nv.vec_id = cl.vec_id
             JOIN norms nq ON nq.vec_id = p.query_id
             WHERE cl.vec_id != p.query_id
+              AND nv.nrm > 0 AND nq.nrm > 0
         )
         SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
             SELECT *, ROW_NUMBER() OVER (
@@ -1115,6 +1117,7 @@ ORACLE = {
             JOIN embeddings b ON b.vec_id = cb.vec_id
             JOIN norms na ON na.vec_id = ca.vec_id
             JOIN norms nb ON nb.vec_id = cb.vec_id
+            WHERE na.nrm > 0 AND nb.nrm > 0
         ) WHERE cosine >= 0.35
     """,
     "label_centroids": """

@@ -126,30 +126,27 @@ QUERIES_UNDER_TEST = [
     "cms_heavy_hitters",
 ]
 
-#: oracle-backed queries NOT adversarially checked: streaming drains
-#: (minutes each; their oracles run in preflight), lake-layout ops
-#: (tmp-warehouse infrastructure, not data semantics), the live HTTP
-#: snapshot, and the IVF/kmeans family (requires >= n_centroids
-#: training vectors; the 6-vector adversarial corpus is below the
-#:  model's minimum input contract)
+#: oracle-backed queries NOT adversarially checked: lake-layout ops
+#: (tmp-warehouse infrastructure, not data semantics) and the live
+#: HTTP snapshot. The IVF/kmeans/centroid family IS checked — the
+#: embeddings corpus carries 26 vectors across 10 labels (duplicates,
+#: zero vectors, negative mirrors) precisely to exercise centroid
+#: ties and zero-norm cosines.
 _EXCLUDED = {
     "http_poll_usgs_snapshot",
     "partition_prune_scan",
     "bucketed_join_colocated",
     "compaction_roundtrip",
     "ingest_observe_metrics",
-    "ivf_assign",
-    "ivf_topk",
-    "kmeans_clusters",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
 }
 
 
 #: oracle-backed streaming drains included explicitly (each runs a full
 #: availableNow micro-batch query against the adversarial events —
 #: slower than batch queries but they exercise the merge/commit paths
-#: on NULL-bearing and single-row groups)
+#: on NULL-bearing and single-row groups). The four watermark drains
+#: additionally exercise the append-emission oracle (end <= final
+#: watermark) on hour-gapped, same-ts, DST-straddling event times.
 _STREAMING_INCLUDED = [
     "stream_foreachbatch_mv",
     "stream_poll_tick",
@@ -157,6 +154,10 @@ _STREAMING_INCLUDED = [
     "stream_stream_join",
     "stream_hll_distinct",
     "stream_cdc_apply",
+    "stream_tumbling_watermark",
+    "stream_sliding_watermark",
+    "stream_session_watermark",
+    "stream_dedup_watermark",
 ]
 
 
@@ -265,7 +266,11 @@ def adv_dir(spark, tmp_path_factory) -> str:
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{tmp}/documents.parquet"
     )
-    # embeddings: duplicate vectors (exact score ties), tiny values
+    # embeddings: duplicate vectors (exact score ties), tiny values,
+    # zero vectors, negative mirrors — 26 vectors over 10 labels so the
+    # centroid family (label_centroids, ivf_assign/topk, kmeans,
+    # dedup_embedding_cosine/clusters) runs with its full input
+    # contract (>= KMEANS_K seed ids, all 10 label cells populated)
     base = [0.0] * 64
     v1 = list(base)
     v1[0] = 1.0
@@ -279,6 +284,24 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (4, [float(i) / 64.0 for i in range(64)], 4),
         (5, [float(-i) / 64.0 for i in range(64)], 5),
     ]
+    for i in range(6, 26):
+        if i % 5 == 0:
+            vec = [float(x) for x in base]  # more zero vectors
+        elif i % 5 == 1:
+            vec = [float(x) for x in v1]  # more exact duplicates
+        elif i % 5 == 2:
+            # near-duplicate of v1: one extra tiny component
+            vec = [float(x) for x in v1]
+            vec[(i * 7) % 64] = 1e-3
+        elif i % 5 == 3:
+            # sign-alternating ramp, scaled by row
+            vec = [
+                ((-1.0) ** j) * float(j) / (16.0 + i) for j in range(64)
+            ]
+        else:
+            # tiny-magnitude vector (denormal-adjacent dot products)
+            vec = [1e-6 * float((i + j) % 7) for j in range(64)]
+        embs.append((i, vec, i % 10))
     spark.createDataFrame(
         embs, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -379,7 +402,6 @@ _ROWS_ONLY_SMOKE = [
     "weighted_mean_agg",
     "media_resize",
     "multimodal_bundle",
-    "media_phash_dedup",
     "ann_lsh_topk",
     "pca_project",
 ]
