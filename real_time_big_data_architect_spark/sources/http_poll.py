@@ -146,13 +146,115 @@ try:
         def streamReader(self, schema):
             return _HttpPollStreamReader(self.options)
 
+    def _multi_poll_options(options: dict) -> list[tuple[str, dict]]:
+        """Resolve the per-source polling plan for the all-sources
+        reader: ``[(source_key, single-source options), ...]``.
+
+        Addressing, per source key (subset via csv option ``sources``;
+        default = the full 10-source catalog):
+        - ``payload_dir`` — OFFLINE: ``{dir}/{key}.json`` captured
+          payloads (tests / the driver's no-network sandbox);
+        - ``urls`` — JSON object ``{key: url}`` overriding the catalog
+          URL (loopback servers in tests), falling back to the catalog
+          for keys not present;
+        - otherwise the catalog entry itself (live).
+        """
+        from real_time_big_data_architect_spark.sources.registry import (
+            SOURCES,
+        )
+
+        keys = [
+            k for k in options.get("sources", ",".join(SOURCES)).split(",")
+            if k
+        ]
+        overrides = json.loads(options.get("urls", "{}"))
+        plan = []
+        for key in keys:
+            if "payload_dir" in options:
+                plan.append(
+                    (key, {"payload_path": f"{options['payload_dir']}/{key}.json"})
+                )
+            elif key in overrides:
+                plan.append((key, {"url": overrides[key], "headers": "{}"}))
+            else:
+                plan.append((key, {"source": key}))
+        return plan
+
+    class _HttpMultiPollStreamReader(DataSourceStreamReader):
+        """All catalog sources per micro-batch, ONE InputPartition per
+        source — the polls run as parallel tasks, not a serial loop.
+
+        The reference polls 1 of its 10 sources per 60 s tick
+        (app.py:57-61, the ``st.selectbox`` choice); this reader
+        exceeds that: every tick fans out the whole catalog, and a
+        slow or failing endpoint degrades only its own row (the error
+        column), never the tick.
+        """
+
+        def __init__(self, options: dict[str, str]) -> None:
+            self._plan = _multi_poll_options(dict(options))
+            self._offset = 0
+
+        def initialOffset(self) -> dict:
+            return {"poll": 0}
+
+        def latestOffset(self) -> dict:
+            self._offset += 1
+            return {"poll": self._offset}
+
+        def partitions(self, start: dict, end: dict):
+            return [InputPartition(item) for item in self._plan]
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def read(self, partition):
+            key, opts = partition.value
+            ts, payload, error = _poll_once(opts)
+            yield ts, key, payload, error
+
+    class _HttpMultiPollBatchReader(DataSourceReader):
+        """One-shot all-sources snapshot: a 10-row frame fetched by 10
+        parallel tasks."""
+
+        def __init__(self, options: dict[str, str]) -> None:
+            self._plan = _multi_poll_options(dict(options))
+
+        def partitions(self):
+            return [InputPartition(item) for item in self._plan]
+
+        def read(self, partition):
+            key, opts = partition.value
+            ts, payload, error = _poll_once(opts)
+            yield ts, key, payload, error
+
+    class HttpPollAllDataSource(DataSource):
+        """``format("http_poll_all")`` — the concurrent every-source
+        poll (one row per source per tick/snapshot)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "http_poll_all"
+
+        def schema(self) -> str:
+            return "fetch_ts double, source string, payload string, error string"
+
+        def reader(self, schema):
+            return _HttpMultiPollBatchReader(self.options)
+
+        def streamReader(self, schema):
+            return _HttpMultiPollStreamReader(self.options)
+
     def register_http_poll(spark) -> None:
-        """Make ``format("http_poll")`` resolvable in this session."""
+        """Make ``format("http_poll")`` / ``format("http_poll_all")``
+        resolvable in this session."""
         spark.dataSource.register(HttpPollDataSource)
+        spark.dataSource.register(HttpPollAllDataSource)
 
     HTTP_POLL_AVAILABLE = True
 except ImportError:  # pragma: no cover - Python DataSource API unavailable
     HttpPollDataSource = None  # type: ignore[assignment]
+    HttpPollAllDataSource = None  # type: ignore[assignment]
     HTTP_POLL_AVAILABLE = False
 
 
@@ -162,6 +264,7 @@ _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _USGS_FIXTURE = f"{_REPO_ROOT}/tests/payloads/usgs_quakes.json"
+_PAYLOAD_DIR = f"{_REPO_ROOT}/tests/payloads"
 
 
 def http_poll_usgs_snapshot(spark, sf_dir: str):  # noqa: ARG001
@@ -185,11 +288,104 @@ def http_poll_usgs_snapshot(spark, sf_dir: str):  # noqa: ARG001
     return normalize_usgs_quakes(raw.select("payload"))
 
 
+def http_poll_all_snapshot(spark, sf_dir: str):  # noqa: ARG001
+    """Concurrent ALL-sources snapshot through the ``http_poll_all``
+    datasource (offline fixture payloads): 10 parallel poll tasks →
+    each payload through its own normalize branch → one (source,
+    n_rows) row per catalog entry. Exceeds the reference's 1-source-
+    per-tick loop (app.py:57-61) while reusing its normalize semantics
+    (N1-N12) unchanged. The oracle recomputes every branch's row count
+    from the same JSON files with DuckDB's independent parser.
+    ``sf_dir`` is unused: the input is the captured payload catalog.
+    """
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_architect_spark.sources.normalize import (
+        normalize,
+    )
+    from real_time_big_data_architect_spark.sources.registry import SOURCES
+
+    register_http_poll(spark)
+    raw = (
+        spark.read.format("http_poll_all")
+        .option("payload_dir", _PAYLOAD_DIR)
+        .load()
+    )
+    # one normalize branch per catalog entry over the same snapshot
+    # frame — a plan-level loop over the fixed 10-entry catalog
+    # (bounded by the catalog, not the data), unioned into one result
+    parts = []
+    for key in SOURCES:
+        tidy = normalize(
+            raw.filter(F.col("source") == key).select("payload"), key
+        )
+        parts.append(
+            tidy.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(key).alias("source"), "n_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "http_poll_usgs_snapshot": http_poll_usgs_snapshot,
+    "http_poll_all_snapshot": http_poll_all_snapshot,
 }
 
+#: per-branch row-count reconstructions for the all-sources snapshot:
+#: each mirrors its normalize branch's cardinality rule (N2 double
+#: explode, N4/N9 map→rows, N5/N8 feature explode, N7 head-slice cap,
+#: scalar branches = one row per payload) computed from the SAME JSON
+#: file with DuckDB's independent parser — nothing hardcoded.
+_ALL_SNAPSHOT_COUNTS = {
+    "openaq": """
+        SELECT CAST(COALESCE(SUM(json_array_length(m, '$.measurements')), 0)
+                    AS BIGINT)
+        FROM (SELECT unnest(CAST(json_extract(content, '$.results')
+                                 AS JSON[])) AS m
+              FROM read_text('{d}/openaq.json')) t
+    """,
+    "open_meteo": "SELECT COUNT(*) FROM read_text('{d}/open_meteo.json')",
+    "coingecko": """
+        SELECT CAST(len(json_keys(content)) AS BIGINT)
+        FROM read_text('{d}/coingecko.json')
+    """,
+    "usgs_quakes": """
+        SELECT CAST(json_array_length(content, '$.features') AS BIGINT)
+        FROM read_text('{d}/usgs_quakes.json')
+    """,
+    "spacex": "SELECT COUNT(*) FROM read_text('{d}/spacex.json')",
+    "github_events": """
+        SELECT CAST(least(30, json_array_length(content)) AS BIGINT)
+        FROM read_text('{d}/github_events.json')
+    """,
+    "nws_alerts": """
+        SELECT CAST(json_array_length(content, '$.features') AS BIGINT)
+        FROM read_text('{d}/nws_alerts.json')
+    """,
+    "fx_rates": """
+        SELECT CAST(len(json_keys(content, '$.rates')) AS BIGINT)
+        FROM read_text('{d}/fx_rates.json')
+    """,
+    "iss_now": "SELECT COUNT(*) FROM read_text('{d}/iss_now.json')",
+    "binance": "SELECT COUNT(*) FROM read_text('{d}/binance.json')",
+}
+
+
+def _all_snapshot_oracle() -> str:
+    parts = [
+        f"SELECT '{key}' AS source,"
+        f" ({sql.format(d=_PAYLOAD_DIR)}) AS n_rows"
+        for key, sql in _ALL_SNAPSHOT_COUNTS.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
 ORACLE = {
+    "http_poll_all_snapshot": _all_snapshot_oracle(),
     "http_poll_usgs_snapshot": f"""
         SELECT strftime(make_timestamp(f.properties.time * 1000),
                         '%Y-%m-%d %H:%M:%S') AS time,

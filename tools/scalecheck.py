@@ -165,7 +165,9 @@ def main() -> None:
     import tempfile
 
     from real_time_big_data_architect_spark.operators import (  # noqa: E402
+        aggregates as agg_ops,
         behavioral as behavioral_ops,
+        curation as curation_ops,
         dedup as dedup_ops,
         graph as graph_ops,
         quality as quality_ops,
@@ -309,6 +311,24 @@ def main() -> None:
             results.append(_timed_e2e(
                 "audience_overlap", n_ev * mult,
                 lambda: behavioral_ops.audience_overlap(spark, d),
+            ))
+            # round-5 rewires: the range-partitioned two-pass rank
+            # replaced single-partition windows in auc_rank /
+            # curation_score / pagerank — these rows are the direct
+            # evidence the global rank now scales (throughput must stay
+            # flat-or-rising; the old WindowExec plan would flatline at
+            # one core and nosedive)
+            results.append(_timed_e2e(
+                "auc_rank", n_emb * mult,
+                lambda: agg_ops.auc_rank(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "curation_score", n_doc * mult,
+                lambda: curation_ops.curation_score(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "pagerank", n_ev * mult,
+                lambda: graph_ops.pagerank(spark, d),
             ))
             spark.catalog.clearCache()  # drop per-dir persisted stages
     finally:
