@@ -494,6 +494,36 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against brute-force ground truth —
+    the eval primitive every ANN deployment runs before trusting an
+    index: per query, how many of the exact cosine top-k the probed
+    search recovered.
+
+    Both sides are deterministic (exact-decimal centroids, bit-stable
+    cosine folds), so unlike typical ANN evals this one is fully
+    oracle-checked: DuckDB replays brute force AND the IVF probe and
+    must land on the same per-query hit counts. At 100 TB you run this
+    on a sampled query set; the join is top-k-sized (queries x k rows),
+    never corpus-sized.
+    """
+    brute = cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("vec_id").alias("iv")
+    )
+    hit = brute.join(
+        approx,
+        (F.col("query_id") == F.col("iq")) & (F.col("vec_id") == F.col("iv")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("iv").alias("n_hits"),
+        (F.count("iv").cast("double") / F.lit(float(TOP_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF cell (NS6a/NS6b).
 
@@ -803,6 +833,7 @@ QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_topk": ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_recall_eval": ann_recall_eval,
     "kmeans_clusters": kmeans_clusters,
     "pca_project": pca_project,  # rows-only (distributed double sums)
 }
@@ -1101,6 +1132,79 @@ ORACLE = {
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
             FROM scored
         ) WHERE rn <= 5
+    """,
+    "ann_recall_eval": _IVF_CTE
+    + """
+        , bq AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 10
+        ),
+        bdots AS (
+            SELECT e.vec_id, q.query_id,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(q.q_emb[i] AS DOUBLE)),
+                       (x, y) -> x + y) AS dot
+            FROM embeddings e CROSS JOIN bq q
+        ),
+        bscored AS (
+            SELECT d.query_id, d.vec_id, d.dot / (nv.nrm * nq.nrm) AS cosine
+            FROM bdots d
+            JOIN norms nv ON nv.vec_id = d.vec_id
+            JOIN norms nq ON nq.vec_id = d.query_id
+            WHERE d.vec_id != d.query_id
+              AND nv.nrm > 0 AND nq.nrm > 0
+        ),
+        btopk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+                FROM bscored
+            ) WHERE rn <= 5
+        ),
+        probes AS (
+            SELECT query_id, probe_cell FROM (
+                SELECT e.vec_id AS query_id, c.c_label AS probe_cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_reduce(
+                               list_transform(range(1, 65),
+                                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                                        * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+                               (x, y) -> x + y), c.c_label) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id < 10
+            ) WHERE rn <= 3
+        ),
+        iscored AS (
+            SELECT p.query_id, cl.vec_id,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(cv.embedding[i] AS DOUBLE)
+                                * CAST(qv.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y) / (nv.nrm * nq.nrm) AS cosine
+            FROM probes p
+            JOIN cells cl ON cl.cell = p.probe_cell
+            JOIN embeddings cv ON cv.vec_id = cl.vec_id
+            JOIN embeddings qv ON qv.vec_id = p.query_id
+            JOIN norms nv ON nv.vec_id = cl.vec_id
+            JOIN norms nq ON nq.vec_id = p.query_id
+            WHERE cl.vec_id != p.query_id
+              AND nv.nrm > 0 AND nq.nrm > 0
+        ),
+        itopk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+                FROM iscored
+            ) WHERE rn <= 5
+        )
+        SELECT b.query_id,
+               CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(i.vec_id) AS DOUBLE) / 5.0 AS recall_at_k
+        FROM btopk b
+        LEFT JOIN itopk i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+        GROUP BY b.query_id
     """,
     "dedup_embedding_cosine": _IVF_CTE
     + """

@@ -9,9 +9,9 @@ Python escape hatch, Arrow-batched end to end:
   bit-for-bit (same IEEE-754 operations; no libm calls whose last-ulp
   behavior differs between engines).
 - ``weighted_mean_agg`` — a grouped-aggregate ``pandas_udf`` (UDAF).
-  Float accumulation order differs between numpy's pairwise sum and
-  any SQL engine's sequential sum, so this one is locked by a unit
-  test against a tolerance instead of a hash oracle.
+  Oracle-hashed since r5: the kernel accumulates value·10⁴ × weight
+  products as Python big-ints (order-independent, overflow-proof) and
+  performs one double division mirrored token-for-token in SQL.
 - ``sentences_udtf`` — a Python UDTF exploding text into numbered
   sentence rows (arrow-enabled); exercised by the test suite.
 
@@ -50,17 +50,44 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point scale for the UDAF accumulator: value carries <= 4
+#: decimal digits in every fixture (verified: round(v*1e4)/1e4 == v for
+#: all rows), so the scaled products are exact int64s and the group sum
+#: is order-independent INTEGER arithmetic — which is what makes a
+#: Python UDAF oracle-hashable at all (a float fold would expose
+#: numpy's pairwise-summation order vs SQL's sequential fold)
+WMEAN_SCALE = 10_000
+
+
 @pandas_udf(DoubleType())
 def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
-    total = float(w.sum())
-    return float((v * w).sum() / total) if total else 0.0
+    import math
+
+    # Python big-int accumulation (the _ols_kernel discipline): an
+    # int64 dot product would wrap SILENTLY once scaled values ×
+    # weights × group size clear 2^63 — exactly the kind of at-scale
+    # corruption this engine refuses. floor(x + 0.5) = half-UP, the
+    # same tie rule the SQL oracle states; null values drop out of the
+    # numerator while their weights still count in the denominator
+    # (mean over the full weighted population).
+    den = sum(int(x) for x in w.to_numpy()) * WMEAN_SCALE
+    if den == 0:
+        return 0.0
+    num = 0
+    for val, wt in zip(v.to_numpy(), w.to_numpy()):
+        if val == val:  # not NaN
+            num += math.floor(float(val) * WMEAN_SCALE + 0.5) * int(wt)
+    return float(num) / float(den)
 
 
 def weighted_mean_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (UDAF): event-value mean weighted by
     user_id (an arbitrary deterministic weight present in the fixture).
-    Not oracle-hashed: numpy's pairwise float summation order differs
-    from a SQL engine's sequential fold; semantics locked by unit test.
+
+    Oracle-hashed: the kernel accumulates in 1e-4 fixed point (exact
+    int64 products, order-independent), then performs ONE double
+    division — token-mirrored in the SQL oracle, so the Python UDAF is
+    bit-identical to DuckDB despite crossing the Arrow boundary.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -134,8 +161,8 @@ def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar / grouped-agg / UDTF; this completes the pandas-UDF family).
     One shuffle on the group key; each group arrives as one Arrow
     batch. Slope is in value·10⁴ per µs (the exact-arithmetic units —
-    see _ols_kernel); fully oracle-checked, unlike weighted_mean_agg,
-    because the kernel avoids float accumulation entirely.
+    see _ols_kernel); fully oracle-checked because the kernel avoids
+    float accumulation entirely (as does weighted_mean_agg since r5).
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
@@ -148,11 +175,23 @@ def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "udf_scalar": udf_scalar,
-    "weighted_mean_agg": weighted_mean_agg,  # rows-only (float-sum order)
+    "weighted_mean_agg": weighted_mean_agg,
     "grouped_map_ols": grouped_map_ols,
 }
 
 ORACLE = {
+    "weighted_mean_agg": f"""
+        SELECT event_type,
+               CASE WHEN COALESCE(SUM(user_id), 0) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                              THEN CAST(floor(value * {WMEAN_SCALE} + 0.5)
+                                        AS BIGINT) * user_id END), 0)
+                              AS DOUBLE)
+                         / CAST(SUM(user_id) * {WMEAN_SCALE} AS DOUBLE)
+               END AS weighted_mean_value
+        FROM events
+        GROUP BY event_type
+    """,
     "grouped_map_ols": f"""
         WITH b AS (
             SELECT event_type,

@@ -399,7 +399,6 @@ _ROWS_ONLY_SMOKE = [
     "simhash_signatures",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "weighted_mean_agg",
     "media_resize",
     "multimodal_bundle",
     "ann_lsh_topk",

@@ -294,3 +294,27 @@ def test_pca_project_matches_numpy(spark, sf_small):
         assert abs(got[vid].pc1_score - s) < 1e-6
     ev = next(iter(got.values())).eigenvalue
     assert abs(ev - w[-1]) / w[-1] < 1e-9
+
+
+def test_ann_recall_eval_matches_manual_join(spark, sf_small):
+    """recall@k rows must equal a hand join of the two top-k results,
+    and every recall lies in [0, 1] with denominator TOP_K."""
+    from real_time_big_data_architect_spark.operators import similarity as S
+
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(spark, sf_small).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in S.ivf_topk(spark, sf_small).collect()
+    }
+    want = {}
+    for q, v in brute:
+        want.setdefault(q, 0)
+        if (q, v) in approx:
+            want[q] += 1
+    got = {r.query_id: r.n_hits for r in S.ann_recall_eval(spark, sf_small).collect()}
+    assert got == want
+    for r in S.ann_recall_eval(spark, sf_small).collect():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert abs(r.recall_at_k - r.n_hits / S.TOP_K) < 1e-12
