@@ -58,6 +58,12 @@ HEADLINE = [
     "audience_overlap",
     "scd2_lookup",
     "auc_rank",
+    # round-5 additions: the NTILE-replay two-pass rank and the
+    # IVF-vs-brute recall eval (both sub-second; pagerank and
+    # media_phash_dedup stay out — multi-second by design, covered by
+    # SCALING.md / the correctness gates instead)
+    "curation_score",
+    "ann_recall_eval",
 ]
 
 

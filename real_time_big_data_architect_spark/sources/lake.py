@@ -141,6 +141,65 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the ORC format path preserves content exactly.
+
+    Events rewrite to ORC (Spark's second first-class columnar format
+    — zlib-compressed, vectorized reader) and read back; the emitted
+    row count + order-insensitive digest-sum checksum must equal the
+    oracle's computation over the ORIGINAL parquet — proving the
+    parquet→ORC→DataFrame loop is lossless for longs, strings,
+    timestamps, and nullable doubles. The timestamp column rides
+    through the digest as epoch-µs so ORC's timestamp encoding is part
+    of the proof. DuckDB cannot read ORC, which is exactly why the
+    oracle is the roundtrip INVARIANT (checksum of the source), not a
+    re-read.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").orc(f"{work}/orc")
+        out = spark.read.orc(f"{work}/orc")
+        digest = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        F.unix_micros(F.col("ts")).cast("string"),
+                        F.coalesce(
+                            F.col("value").cast("decimal(18,4)")
+                            .cast("string"),
+                            F.lit("null"),
+                        ),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(digest).alias("content_checksum"),
+        )
+        # materialize the 1-row summary so the scratch ORC copy is
+        # deleted now instead of leaking per invocation
+        return spark.createDataFrame(
+            result.collect(), "n_rows bigint, content_checksum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def partitioned_write(df: DataFrame, out_dir: str, part_col: str) -> None:
     """Hive-style partitioned layout: one directory per ``part_col``
     value. The layout IS the index — a reader filtering on the
@@ -265,6 +324,7 @@ def colocated_join(spark: SparkSession) -> DataFrame:
 QUERIES = {
     "ingest_observe_metrics": ingest_observe_metrics,
     "compaction_roundtrip": compaction_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
     "partition_prune_scan": partition_prune_scan,
     "bucketed_join_colocated": bucketed_join_colocated,
 }
@@ -291,6 +351,19 @@ ORACLE = {
                    AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "orc_roundtrip": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                     CAST(event_id AS VARCHAR) || '|' ||
+                     CAST(user_id AS VARCHAR) || '|' ||
+                     event_type || '|' ||
+                     CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                     COALESCE(CAST(CAST(round(CAST(value AS DOUBLE), 4)
+                                        AS DECIMAL(18,4)) AS VARCHAR),
+                              'null')), 1, 8)) AS BIGINT)) AS BIGINT)
+                 AS content_checksum
+        FROM events
     """,
     "compaction_roundtrip": """
         SELECT COUNT(*) AS n_rows,
