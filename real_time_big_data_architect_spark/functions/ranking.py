@@ -51,33 +51,36 @@ def range_partitioned_rank(
     npart = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # library primitive over arbitrary frames: pick helper names that
+    # cannot collide with caller columns
+    pid, local, off, cnt = "__pid", "__local", "__off", "__cnt"
+    while any(c in df.columns for c in (pid, local, off, cnt)):
+        pid, local, off, cnt = (c + "_" for c in (pid, local, off, cnt))
     ordered = df.repartitionByRange(
         npart, *sort_exprs
     ).sortWithinPartitions(*sort_exprs)
     mid = F.monotonically_increasing_id()
     with_pid = ordered.select(
         "*",
-        F.shiftright(mid, 33).alias("__pid"),
-        mid.bitwiseAND(F.lit(_MID_OFFSET_MASK)).alias("__local"),
+        F.shiftright(mid, 33).alias(pid),
+        mid.bitwiseAND(F.lit(_MID_OFFSET_MASK)).alias(local),
     )
-    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    counts = with_pid.groupBy(pid).agg(F.count("*").alias(cnt))
     # cumulative-exclusive offsets without a window or a collect:
     # off(p) = Σ cnt(q) for q < p — a triangular self-join over a
     # partition-count-sized relation (≤ npart rows on each side)
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (
         a.join(
-            F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left"
+            F.broadcast(b), F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left"
         )
-        .groupBy(F.col("a.__pid").alias("__pid"))
-        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(F.coalesce(F.sum(f"b.{cnt}"), F.lit(0)).alias(off))
     )
     return (
-        with_pid.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            rank_col, (F.col("__off") + F.col("__local") + F.lit(1))
-        )
-        .drop("__pid", "__local", "__off")
+        with_pid.join(F.broadcast(offsets), pid)
+        .withColumn(rank_col, (F.col(off) + F.col(local) + F.lit(1)))
+        .drop(pid, local, off)
     )
 
 

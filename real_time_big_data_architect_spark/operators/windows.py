@@ -327,6 +327,46 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user_id) per event_type over event time —
+    the cumulative-unique-reach curve marketing/abuse dashboards plot.
+
+    Spark's window functions reject DISTINCT aggregates outright, so
+    this is the standard two-window rewrite every warehouse migration
+    hits: (1) flag each (event_type, user_id)'s FIRST occurrence via
+    row_number over the per-user window; (2) running SUM of the flag
+    over the per-type event-time window. The oracle runs DuckDB's
+    native COUNT(DISTINCT ...) OVER — two different algorithms, one
+    hash-exact answer. Two shuffles (user grain, then type grain); at
+    100 TB both are ordinary keyed windows, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.sum("is_first").over(w_run).alias("distinct_users_so_far"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
@@ -338,9 +378,18 @@ QUERIES = {
     "ewma_smooth": ewma_smooth,
     "interval_merge": interval_merge,
     "gapfill_interp": gapfill_interp,
+    "window_count_distinct": window_count_distinct,
 }
 
 ORACLE = {
+    "window_count_distinct": """
+        SELECT event_id, event_type, user_id, ts,
+               COUNT(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS distinct_users_so_far
+        FROM events
+    """,
     "ewma_smooth": _ewma_oracle(),
     "interval_merge": f"""
         WITH iv AS (
