@@ -97,3 +97,42 @@ def test_ntile_from_rank_matches_window_ntile(spark, n, k):
     )
     joined = got.join(ref, "id")
     assert joined.filter(F.col("b") != F.col("ref")).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=200,
+    ),
+    npart=st.integers(min_value=1, max_value=40),
+)
+def test_rank_property_equals_sorted_position(spark, vals, npart):
+    """For ANY value multiset and ANY partition count, the two-pass
+    rank of (v, id) equals the row's position in the lexicographic
+    sort — the full row_number contract, not just the fixtures."""
+    rows = list(enumerate(vals))  # (id, v) — id is the tiebreaker
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.rnk
+        for r in range_partitioned_rank(
+            df, F.col("v"), F.col("id"), rank_col="rnk",
+            num_partitions=npart,
+        ).collect()
+    }
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert got == want
