@@ -126,18 +126,18 @@ QUERIES_UNDER_TEST = [
     "cms_heavy_hitters",
 ]
 
-#: oracle-backed queries NOT adversarially checked: lake-layout ops
-#: (tmp-warehouse infrastructure, not data semantics) and the live
-#: HTTP snapshot. The IVF/kmeans/centroid family IS checked — the
-#: embeddings corpus carries 26 vectors across 10 labels (duplicates,
-#: zero vectors, negative mirrors) precisely to exercise centroid
-#: ties and zero-norm cosines.
+#: oracle-backed queries NOT adversarially checked: only the HTTP
+#: snapshot pair, whose inputs are fixed captured payload files — they
+#: would "pass" on any adv_dir without reading it, which is a
+#: meaningless green. Everything else runs here, including the lake
+#: ops (they rewrite the adversarial events through their scratch
+#: layouts) and the IVF/kmeans/centroid family (the embeddings corpus
+#: carries 26 vectors across 10 labels — duplicates, zero vectors,
+#: negative mirrors — precisely to exercise centroid ties and
+#: zero-norm cosines).
 _EXCLUDED = {
     "http_poll_usgs_snapshot",
-    "partition_prune_scan",
-    "bucketed_join_colocated",
-    "compaction_roundtrip",
-    "ingest_observe_metrics",
+    "http_poll_all_snapshot",
 }
 
 
