@@ -330,9 +330,48 @@ def http_poll_all_snapshot(spark, sf_dir: str):  # noqa: ARG001
     return out
 
 
+def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
+    """The concurrent every-source loop as a TRUE streaming query, one
+    availableNow tick over the offline payload catalog: http_poll_all
+    stream source → foreachBatch (per-source normalize + agent
+    commentary) → status table. Oracle-backed: after one tick the
+    status table must hold exactly one row per catalog source whose
+    n_rows equals the branch's cardinality rule and whose agent is
+    'primary' precisely when that count is positive — both recomputed
+    by DuckDB from the same JSON files. ``sf_dir`` unused (payload
+    catalog input)."""
+    import uuid
+
+    from real_time_big_data_architect_spark.plans.pipeline import (
+        run_poll_all_pipeline,
+    )
+
+    table = f"poll_all_{uuid.uuid4().hex[:12]}"
+    q = run_poll_all_pipeline(
+        spark,
+        payload_dir=_PAYLOAD_DIR,
+        status_table=table,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.table(table).select("source", "n_rows", "agent")
+
+
+def _poll_all_tick_oracle() -> str:
+    parts = [
+        f"SELECT '{key}' AS source,"
+        f" ({sql.format(d=_PAYLOAD_DIR)}) AS n_rows,"
+        f" CASE WHEN ({sql.format(d=_PAYLOAD_DIR)}) > 0"
+        f" THEN 'primary' ELSE 'fallback' END AS agent"
+        for key, sql in _ALL_SNAPSHOT_COUNTS.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
     "http_poll_usgs_snapshot": http_poll_usgs_snapshot,
     "http_poll_all_snapshot": http_poll_all_snapshot,
+    "stream_poll_all_tick": stream_poll_all_tick,
 }
 
 #: per-branch row-count reconstructions for the all-sources snapshot:
@@ -386,6 +425,7 @@ def _all_snapshot_oracle() -> str:
 
 ORACLE = {
     "http_poll_all_snapshot": _all_snapshot_oracle(),
+    "stream_poll_all_tick": _poll_all_tick_oracle(),
     "http_poll_usgs_snapshot": f"""
         SELECT strftime(make_timestamp(f.properties.time * 1000),
                         '%Y-%m-%d %H:%M:%S') AS time,

@@ -127,9 +127,10 @@ QUERIES_UNDER_TEST = [
 ]
 
 #: oracle-backed queries NOT adversarially checked: only the HTTP
-#: snapshot pair, whose inputs are fixed captured payload files — they
-#: would "pass" on any adv_dir without reading it, which is a
-#: meaningless green. Everything else runs here, including the lake
+#: payload-catalog queries (the two batch snapshots here plus
+#: stream_poll_all_tick, which the stream_ filter already skips) —
+#: their inputs are fixed captured payload files, so they would
+#: "pass" on any adv_dir without reading it: a meaningless green. Everything else runs here, including the lake
 #: ops (they rewrite the adversarial events through their scratch
 #: layouts) and the IVF/kmeans/centroid family (the embeddings corpus
 #: carries 26 vectors across 10 labels — duplicates, zero vectors,
