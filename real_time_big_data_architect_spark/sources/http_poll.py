@@ -354,7 +354,13 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
         available_now=True,
     )
     q.awaitTermination()
-    return spark.table(table).select("source", "n_rows", "agent")
+    # materialize the catalog-sized (10-row) status set and drop the
+    # scratch table so repeated invocations leave no warehouse debris
+    rows = spark.table(table).select("source", "n_rows", "agent").collect()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.createDataFrame(
+        rows, "source string, n_rows long, agent string"
+    )
 
 
 def _poll_all_tick_oracle() -> str:
