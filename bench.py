@@ -64,6 +64,7 @@ HEADLINE = [
     # SCALING.md / the correctness gates instead)
     "curation_score",
     "ann_recall_eval",
+    "window_count_distinct",
 ]
 
 

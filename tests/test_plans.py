@@ -212,3 +212,50 @@ def test_no_row_at_a_time_python_in_any_query_plan(spark, sf_small):
             cartesians.append(name)
     assert not offenders, f"row-at-a-time Python in: {offenders}"
     assert not cartesians, f"unexpected cartesian joins in: {cartesians}"
+
+
+def test_global_ranks_plan_without_any_window(spark, sf_small):
+    """The r5 de-globalized ranks must not plan a Window operator AT
+    ALL: the two-pass rank is a range shuffle + broadcast offsets, so
+    any Window node reappearing in auc_rank / curation_score means a
+    single-partition sort snuck back in (pagerank keeps one Window —
+    the PARTITIONED lead() in edge extraction — so it is asserted to
+    have no global-rank Window beyond that)."""
+    from real_time_big_data_architect_spark.operators import (
+        aggregates,
+        curation,
+        graph,
+    )
+    from real_time_big_data_architect_spark.plans import explain
+
+    for fn in (aggregates.auc_rank, curation.curation_score):
+        plan = explain.formatted_plan(fn(spark, sf_small))
+        assert "Window" not in plan, fn.__name__
+    # pagerank: exactly the edge-extraction lead() windows (partitioned
+    # by event_type), nothing global-rank-shaped
+    plan = explain.formatted_plan(graph.pagerank(spark, sf_small))
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "event_type" in m.group(1) or "partitionspec" not in m.group(1).lower()
+
+
+def test_window_count_distinct_two_keyed_windows(spark, sf_small):
+    """The DISTINCT-window rewrite plans exactly two PARTITIONED
+    windows (first-occurrence flag at user grain, running sum at type
+    grain) — never an unpartitioned one."""
+    from real_time_big_data_architect_spark.operators import windows as W
+    from real_time_big_data_architect_spark.plans import explain
+
+    plan = explain.formatted_plan(W.window_count_distinct(spark, sf_small))
+    assert plan.count("Window") >= 2
+    # every window spec carries a partition key
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in plan"
+    for spec in specs:
+        args = [a.strip() for a in spec.split(",")]
+        # partition columns precede the sort spec; an unpartitioned
+        # window starts directly with the order-by expression ASC/DESC
+        assert not args[0].endswith("ASC NULLS FIRST"), spec
