@@ -202,22 +202,46 @@ _STATE_OUTPUT = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        # running value total in 1e-4 FIXED POINT (long): fixture
+        # values carry <= 4 decimals, so the scaled sum is exact
+        # integer arithmetic — order-independent across batch splits
+        # AND reproducible by a SQL oracle, unlike a float fold whose
+        # result depends on micro-batch boundaries
+        T.StructField("total4", T.LongType()),
     ]
 )
+
+#: fixed-point scale shared by the stateful counters and their oracle
+STATE_TOTAL_SCALE = 10_000
+
+
+def _scaled_value_sum(pdf: pd.DataFrame) -> int:
+    """Exact per-batch value sum in 1e-4 fixed point (nulls skipped,
+    half-up ties — the weighted_mean/_ols_kernel discipline)."""
+    import math
+
+    total4 = 0
+    for val in pdf["value"].to_numpy():
+        if val == val:  # not NaN
+            total4 += math.floor(float(val) * STATE_TOTAL_SCALE + 0.5)
+    return total4
 
 
 def _per_user_counter(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Running per-user counters held in group state across micro-batches."""
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total4 = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total4 += _scaled_value_sum(pdf)
+    state.update((n, total4))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total4 / float(STATE_TOTAL_SCALE)],
+        }
     )
 
 
@@ -233,6 +257,25 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(counts, "update")
+
+
+def stream_stateful_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful counters' FINAL state, oracle-backed: drain the
+    update-mode sink (one emission per user per batch-with-change) and
+    keep each user's last emission — max n_events, since the count is
+    strictly increasing. With the kernel's fixed-point accumulation
+    the final totals are exact integers scaled by 1e-4, so DuckDB
+    reproduces them from the raw events bit-for-bit: the custom
+    stateful operator itself is now hash-checked, not just
+    rows-counted (the per-batch emission stream stays rows-only in
+    stream_stateful_counts — which batches emit depends on file
+    splits; the final state does not).
+    """
+    sink = stream_stateful_counts(spark, sf_dir)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,19 +665,23 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
         timers, TTL support)."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._acc = handle.getValueState("acc", "n long, total double")
+            self._acc = handle.getValueState("acc", "n long, total4 long")
 
         def handleInputRows(self, key, rows, timerValues):
             if self._acc.exists():
-                n, total = self._acc.get()
+                n, total4 = self._acc.get()
             else:
-                n, total = 0, 0.0
+                n, total4 = 0, 0
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._acc.update((n, total))
+                total4 += _scaled_value_sum(pdf)
+            self._acc.update((n, total4))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total4 / float(STATE_TOTAL_SCALE)],
+                }
             )
 
         def close(self) -> None:
@@ -989,6 +1036,7 @@ QUERIES = {
     "stream_sliding_watermark": stream_sliding_watermark,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_stateful_counts": stream_stateful_counts,
+    "stream_stateful_final": stream_stateful_final,
     "stream_foreachbatch_mv": stream_foreachbatch_mv,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_cdc_apply": stream_cdc_apply,
@@ -1110,6 +1158,15 @@ def _stream_cdc_apply_oracle() -> str:
 # end == watermark DOES emit). Each oracle below is the corresponding
 # batch query with that filter — hash-exact against the real drain.
 ORACLE: dict[str, str] = {
+    "stream_stateful_final": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END), 0) AS DOUBLE) / 10000.0 AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
     "stream_tumbling_watermark": """
         WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
         SELECT date_trunc('hour', ts) AS window_start,

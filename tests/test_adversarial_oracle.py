@@ -159,6 +159,7 @@ _STREAMING_INCLUDED = [
     "stream_sliding_watermark",
     "stream_session_watermark",
     "stream_dedup_watermark",
+    "stream_stateful_final",
 ]
 
 
