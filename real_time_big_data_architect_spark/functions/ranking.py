@@ -42,10 +42,17 @@ def range_partitioned_rank(
     *sort_exprs: Column,
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Append ``rank_col`` = 1-based global row_number under the total
     order given by ``sort_exprs`` (pass a unique tiebreaker last), with
     NO single-partition window.
+
+    The helper persists one internal relation (see below). Callers that
+    materialize the result eagerly can pass ``cache_registry`` (a list)
+    to receive the persisted handle and ``unpersist()`` it afterwards —
+    the bfs_khop/pagerank cache-hygiene pattern; lazy callers rely on
+    the session-level clearCache() convention instead.
     """
     spark = df.sparkSession
     npart = num_partitions or int(
@@ -60,11 +67,23 @@ def range_partitioned_rank(
         npart, *sort_exprs
     ).sortWithinPartitions(*sort_exprs)
     mid = F.monotonically_increasing_id()
+    # persist BEFORE branching: the counts aggregation and the final
+    # join both consume this relation, and correctness requires they
+    # see the SAME range boundaries. RangePartitioner samples its
+    # splitters with a per-RDD-instantiation seed, so two independent
+    # compilations of this subtree could partition differently —
+    # persisting pins ONE physical instantiation (evicted partitions
+    # recompute through the same shuffle, same boundaries) instead of
+    # silently depending on whole-plan exchange reuse. One input-sized
+    # cache per invocation; repo tools clearCache() between queries,
+    # long-lived callers should do the same.
     with_pid = ordered.select(
         "*",
         F.shiftright(mid, 33).alias(pid),
         mid.bitwiseAND(F.lit(_MID_OFFSET_MASK)).alias(local),
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
     counts = with_pid.groupBy(pid).agg(F.count("*").alias(cnt))
     # cumulative-exclusive offsets without a window or a collect:
     # off(p) = Σ cnt(q) for q < p — a triangular self-join over a

@@ -346,10 +346,13 @@ def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     scored = _score_projection(docs)
-    n_tbl = scored.agg(F.count("*").alias("__n"))
     ranked = range_partitioned_rank(
         scored, F.col("score").desc(), F.col("doc_id").asc(), rank_col="__rnk"
     )
+    # N from the ranked relation itself (max rank == COUNT(*)): rides
+    # the rank helper's persisted pass instead of scanning and scoring
+    # the documents table a second time
+    n_tbl = ranked.agg(F.max("__rnk").alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(n_tbl))
         .select(

@@ -117,9 +117,26 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a parallel range shuffle instead of one WindowExec task holding
     # every node (at 100 TB node count the single-partition window is a
     # driver-sized sort — the r4 scale-killer).
-    return range_partitioned_rank(
-        pr, F.col("pr").desc(), F.col("user_id").asc(), rank_col="rank"
-    ).select("user_id", F.col("pr").alias("pagerank"), "rank")
+    rank_caches: list = []
+    result = (
+        range_partitioned_rank(
+            pr, F.col("pr").desc(), F.col("user_id").asc(), rank_col="rank",
+            cache_registry=rank_caches,
+        )
+        .select("user_id", F.col("pr").alias("pagerank"), "rank")
+        .persist()
+    )
+    # same cache hygiene as bfs_khop: materialize the node-sized result
+    # once, then release every intermediate persist (edges, weighted
+    # edges, nodes, and the rank helper's internal relation) instead of
+    # leaking them into executor storage on every invocation
+    result.count()
+    for h in rank_caches:
+        h.unpersist()
+    ew.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
+    return result
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

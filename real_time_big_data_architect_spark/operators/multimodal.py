@@ -364,28 +364,38 @@ def _phash_dedup_oracle() -> str:
                  octet_length(encode(text)) AS n
           FROM documents
         ),
+        idx AS (
+          SELECT doc_id, n,
+                 unnest(range(0, CAST(n AS BIGINT))) AS i
+          FROM h
+        ),
         byt AS (
           SELECT doc_id, n,
                  (strpos('0123456789ABCDEF',
-                         substr(hx, CAST(r.range*2+1 AS INT), 1)) - 1) * 4
+                         substr(hx, CAST(i*2+1 AS INT), 1)) - 1) * 4
                  + (strpos('0123456789ABCDEF',
-                           substr(hx, CAST(r.range*2+2 AS INT), 1)) - 1) // 4
+                           substr(hx, CAST(i*2+2 AS INT), 1)) - 1) // 4
                      AS bucket
-          FROM h CROSS JOIN range(0, 100000) r
-          WHERE r.range < n
+          FROM idx JOIN h USING (doc_id, n)
         ),
         hist AS (
           SELECT doc_id, any_value(n) AS n, bucket, count(*) AS c
           FROM byt GROUP BY doc_id, bucket
         ),
+        -- LEFT JOIN back to h: a zero-byte payload has no byt rows but
+        -- the kernel still emits sig = 0 for it (all-false bits); the
+        -- per-row range() also removes the old 100000-byte truncation
         sigs AS (
-          SELECT doc_id,
-                 COALESCE(SUM(CASE WHEN c > n / 64.0
-                                   THEN CAST(1 AS HUGEINT)
-                                        << CAST(bucket AS INT)
-                                   ELSE CAST(0 AS HUGEINT) END),
-                          0) AS sig_u
-          FROM hist GROUP BY doc_id
+          SELECT h.doc_id, COALESCE(g.sig_u, 0) AS sig_u
+          FROM h LEFT JOIN (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN c > n / 64.0
+                                       THEN CAST(1 AS HUGEINT)
+                                            << CAST(bucket AS INT)
+                                       ELSE CAST(0 AS HUGEINT) END),
+                              0) AS sig_u
+              FROM hist GROUP BY doc_id
+          ) g ON g.doc_id = h.doc_id
         ),
         signed AS (
           SELECT doc_id,
@@ -409,31 +419,44 @@ def _features_oracle() -> str:
     non-ASCII text. Shares are int/int double divisions, which both
     engines evaluate identically (same IEEE operands → same bits).
     """
-    buckets = ",\n               ".join(
-        f"CAST(count(*) FILTER (WHERE bucket = {k}) AS DOUBLE)"
-        f" / greatest(any_value(n), 1) AS f{k}"
+    counts = ",\n               ".join(
+        f"count(*) FILTER (WHERE bucket = {k}) AS c{k}" for k in range(8)
+    )
+    shares = ",\n               ".join(
+        f"CAST(COALESCE(c.c{k}, 0) AS DOUBLE) / greatest(h.n, 1) AS f{k}"
         for k in range(8)
     )
+    # per-row range() replaces the old fixed 100000-byte truncation, and
+    # the LEFT JOIN keeps zero-byte documents (the kernel emits all-zero
+    # shares for them; the old GROUP BY over byte rows dropped the row)
     return f"""
         WITH h AS (
           SELECT doc_id, upper(hex(encode(text))) AS hx,
                  octet_length(encode(text)) AS n
           FROM documents
         ),
+        idx AS (
+          SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS i
+          FROM h
+        ),
         b AS (
-          SELECT doc_id, n,
+          SELECT doc_id,
                  (strpos('0123456789ABCDEF',
-                         substr(hx, CAST(r.range*2+1 AS INT), 1)) - 1) // 2
+                         substr(hx, CAST(i*2+1 AS INT), 1)) - 1) // 2
                      AS bucket
-          FROM h CROSS JOIN range(0, 100000) r
-          WHERE r.range < n
+          FROM idx JOIN h USING (doc_id, n)
+        ),
+        cnt AS (
+          SELECT doc_id,
+               {counts}
+          FROM b GROUP BY doc_id
         )
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
+        SELECT h.doc_id,
+               CASE WHEN h.doc_id % 3 = 0 THEN 'image'
+                    WHEN h.doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               {buckets}
-        FROM b GROUP BY doc_id
+               {shares}
+        FROM h LEFT JOIN cnt c ON c.doc_id = h.doc_id
     """
 
 
@@ -442,14 +465,17 @@ ORACLE = {
     "media_phash_dedup": _phash_dedup_oracle(),
     "media_frame_sample": """
         SELECT doc_id,
-               CAST(r.range AS INT) AS frame_idx,
-               r.range * 1024 AS frame_offset,
+               CAST(i AS INT) AS frame_idx,
+               i * 1024 AS frame_offset,
                CASE WHEN n = 0 THEN 0
-                    ELSE least(1024, n - r.range * 1024) END AS frame_bytes
-        FROM (SELECT doc_id, octet_length(encode(text)) AS n
-              FROM documents WHERE doc_id % 3 = 2) v
-        CROSS JOIN range(0, 100000) r
-        WHERE r.range < greatest(CAST(ceil(n / 1024.0) AS BIGINT), 1)
+                    ELSE least(1024, n - i * 1024) END AS frame_bytes
+        FROM (
+          SELECT doc_id, n,
+                 unnest(range(0, greatest(CAST(ceil(n / 1024.0) AS BIGINT),
+                                          1))) AS i
+          FROM (SELECT doc_id, octet_length(encode(text)) AS n
+                FROM documents WHERE doc_id % 3 = 2) v
+        )
     """,
     "multimodal_join": """
         SELECT doc_id, lang, source, n_chars, label

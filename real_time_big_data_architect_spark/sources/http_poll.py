@@ -306,10 +306,16 @@ def http_poll_all_snapshot(spark, sf_dir: str):  # noqa: ARG001
     from real_time_big_data_architect_spark.sources.registry import SOURCES
 
     register_http_poll(spark)
+    # persist the catalog-sized (10-row) poll result: the 10 normalize
+    # branches below each consume this relation, and without the cache
+    # every branch would re-execute the full catalog poll (100 reads
+    # offline; 100 HTTP fetches live, each source's count then coming
+    # from a DIFFERENT poll round than its siblings)
     raw = (
         spark.read.format("http_poll_all")
         .option("payload_dir", _PAYLOAD_DIR)
         .load()
+        .persist()
     )
     # one normalize branch per catalog entry over the same snapshot
     # frame — a plan-level loop over the fixed 10-entry catalog
@@ -353,11 +359,16 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
         status_table=table,
         available_now=True,
     )
-    q.awaitTermination()
-    # materialize the catalog-sized (10-row) status set and drop the
-    # scratch table so repeated invocations leave no warehouse debris
-    rows = spark.table(table).select("source", "n_rows", "agent").collect()
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        q.awaitTermination()
+        # materialize the catalog-sized (10-row) status set, then drop
+        # the scratch table so repeated invocations leave no warehouse
+        # debris — the drop runs even when a tick fails mid-batch
+        rows = spark.table(table).select(
+            "source", "n_rows", "agent"
+        ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(
         rows, "source string, n_rows long, agent string"
     )

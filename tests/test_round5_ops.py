@@ -46,8 +46,10 @@ def test_no_complex_typed_results_on_oracle_backed_queries(spark, sf_small):
     Every oracle-backed query's result schema must be free of
     array/map/struct columns — any such column crashes the driver's
     pandas lexsort before values are even compared (the only red ink
-    in CORRECTNESS_r04). Schema inspection only; no execution beyond
-    what plan construction itself requires.
+    in CORRECTNESS_r04). Note: fn() CONSTRUCTION executes the
+    declared-materialized queries (streaming drains, roundtrip
+    writes) at sf0.001 — the cost of checking the invariant over the
+    real registry rather than a hand-maintained schema list.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 

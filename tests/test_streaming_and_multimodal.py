@@ -454,3 +454,56 @@ def test_stream_watermark_boundary_emits_at_equality(spark, tmp_path):
     out = S.stream_tumbling_watermark(spark, str(tmp_path)).collect()
     got = {(str(r.window_start), r.n_events) for r in out}
     assert got == {("2024-01-01 02:00:00", 2)}
+
+
+def test_phash_and_features_oracles_handle_empty_and_huge_docs(
+    spark, tmp_path
+):
+    """r5 review regression: the multimodal oracles must not truncate
+    large payloads nor drop zero-byte documents. Plants an empty-text
+    doc (kernel emits sig=0 / all-zero shares), a ~120 kB doc (past the
+    old fixed 100000-byte oracle bound), and a normal doc, then
+    requires hash-grade equality between engine and oracle on both
+    media_phash_dedup and multimodal_features."""
+    import duckdb
+
+    from real_time_big_data_architect_spark.operators import multimodal as M
+    from real_time_big_data_architect_spark.plans import workload
+
+    docs = [
+        (0, "", "en", "alpha", 0),
+        (1, "xyz " * 30000, "en", "alpha", 120000),
+        (2, "normal document text", "en", "beta", 20),
+        (3, "", "de", "beta", 0),  # second empty: empty-empty pair
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet.dir")
+    )
+    import glob
+    import shutil
+
+    part = glob.glob(str(tmp_path / "documents.parquet.dir" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracles = workload.build_oracle_sql()
+    for name, fn in (
+        ("media_phash_dedup", M.media_phash_dedup),
+        ("multimodal_features", M.multimodal_features),
+    ):
+        got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+        want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+        assert got == want, name
+    # the empty-empty pair is present at hamming 0
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in M.media_phash_dedup(spark, str(tmp_path)).collect()
+    }
+    assert (0, 3) in pairs
