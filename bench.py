@@ -105,6 +105,11 @@ def main() -> None:
         spark.catalog.clearCache()
         pass_total = 0.0
         for name in HEADLINE:
+            # also per query: lazy operators (auc_rank, curation_score)
+            # legitimately persist internal relations they cannot
+            # release themselves; dropping dead caches per query keeps
+            # them from evicting the NEXT query's live cache mid-pass
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink: every projected column is consumed, so the

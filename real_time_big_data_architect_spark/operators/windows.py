@@ -327,20 +327,11 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running COUNT(DISTINCT user_id) per event_type over event time —
-    the cumulative-unique-reach curve marketing/abuse dashboards plot.
-
-    Spark's window functions reject DISTINCT aggregates outright, so
-    this is the standard two-window rewrite every warehouse migration
-    hits: (1) flag each (event_type, user_id)'s FIRST occurrence via
-    row_number over the per-user window; (2) running SUM of the flag
-    over the per-type event-time window. The oracle runs DuckDB's
-    native COUNT(DISTINCT ...) OVER — two different algorithms, one
-    hash-exact answer. Two shuffles (user grain, then type grain); at
-    100 TB both are ordinary keyed windows, no global sort.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def running_count_distinct_frame(ev: DataFrame) -> DataFrame:
+    """The two-window DISTINCT rewrite as a frame-in/frame-out helper —
+    single source of truth for window_count_distinct AND the scaling
+    probe (tools/scalecheck.py), so SCALING.md always measures the
+    plan that actually ships."""
     w_first = W.partitionBy("event_type", "user_id").orderBy(
         "ts", "event_id"
     )
@@ -365,6 +356,22 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("is_first").over(w_run).alias("distinct_users_so_far"),
     )
+
+
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user_id) per event_type over event time —
+    the cumulative-unique-reach curve marketing/abuse dashboards plot.
+
+    Spark's window functions reject DISTINCT aggregates outright, so
+    this is the standard two-window rewrite every warehouse migration
+    hits: (1) flag each (event_type, user_id)'s FIRST occurrence via
+    row_number over the per-user window; (2) running SUM of the flag
+    over the per-type event-time window. The oracle runs DuckDB's
+    native COUNT(DISTINCT ...) OVER — two different algorithms, one
+    hash-exact answer. Two shuffles (user grain, then type grain); at
+    100 TB both are ordinary keyed windows, no global sort.
+    """
+    return running_count_distinct_frame(load_table(spark, sf_dir, "events"))
 
 
 QUERIES = {

@@ -217,14 +217,24 @@ STATE_TOTAL_SCALE = 10_000
 
 def _scaled_value_sum(pdf: pd.DataFrame) -> int:
     """Exact per-batch value sum in 1e-4 fixed point (nulls skipped,
-    half-up ties — the weighted_mean/_ols_kernel discipline)."""
-    import math
+    half-up ties — the weighted_mean/_ols_kernel discipline).
 
-    total4 = 0
-    for val in pdf["value"].to_numpy():
-        if val == val:  # not NaN
-            total4 += math.floor(float(val) * STATE_TOTAL_SCALE + 0.5)
-    return total4
+    Vectorized: np.floor on float64 is exact per element and the int64
+    batch sum is far from overflow (scaled values ≤ ~1e10 × batch rows
+    ≤ ~1e6 « 2^63); only the CROSS-batch accumulation lives in Python
+    big-ints (the caller's running total).
+    """
+    import numpy as np
+
+    vals = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+    mask = vals == vals  # not NaN
+    if not mask.any():
+        return 0
+    return int(
+        np.floor(vals[mask] * STATE_TOTAL_SCALE + 0.5)
+        .astype(np.int64)
+        .sum()
+    )
 
 
 def _per_user_counter(
@@ -1158,12 +1168,14 @@ def _stream_cdc_apply_oracle() -> str:
 # end == watermark DOES emit). Each oracle below is the corresponding
 # batch query with that filter — hash-exact against the real drain.
 ORACLE: dict[str, str] = {
-    "stream_stateful_final": """
+    "stream_stateful_final": f"""
         SELECT user_id,
                COUNT(*) AS n_events,
                CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
-                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
-                     ELSE 0 END), 0) AS DOUBLE) / 10000.0 AS total_value
+                     THEN CAST(floor(value * {STATE_TOTAL_SCALE} + 0.5)
+                               AS BIGINT)
+                     ELSE 0 END), 0) AS DOUBLE)
+                   / CAST({STATE_TOTAL_SCALE} AS DOUBLE) AS total_value
         FROM events
         GROUP BY user_id
     """,

@@ -85,27 +85,15 @@ def main() -> None:
                 F.countDistinct("user_id").alias("u")),
         ))
         # DISTINCT-window rewrite (r5): two keyed window sorts — cost
-        # must track the event volume, the windows stay partitioned
-        from pyspark.sql import Window as _W
+        # must track the event volume, the windows stay partitioned.
+        # Probes the SHIPPED plan via the shared frame helper.
+        from real_time_big_data_architect_spark.operators.windows import (
+            running_count_distinct_frame,
+        )
 
-        w_first = _W.partitionBy("event_type", "user_id").orderBy(
-            "ts", "event_id"
-        )
-        w_run = (
-            _W.partitionBy("event_type")
-            .orderBy("ts", "event_id")
-            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-        )
         results.append(_timed(
             "window_count_distinct", mult, n_ev * mult,
-            ev.select(
-                "event_id", "event_type", "user_id", "ts",
-                F.when(F.row_number().over(w_first) == 1, 1)
-                .otherwise(0).alias("f"),
-            ).select(
-                "event_id", "event_type", "user_id", "ts",
-                F.sum("f").over(w_run).alias("d"),
-            ),
+            running_count_distinct_frame(ev),
         ))
 
     # star join: lineitem and orders scale together (orderkey offsets
