@@ -8,19 +8,21 @@ Absent from the reference (SURVEY §2.5); designed for 100 TB corpora:
   "document fingerprint" primitive; oracle-able since both engines
   implement standard md5).
 - **MinHash + LSH near-dup** — shingle → 64 minhashes → band into 8
-  buckets → self-join per bucket (the standard big-data near-dup
-  design: Broder MinHash + banding LSH). Shingles hash once JVM-side
-  (xxhash64); the 64 affine permutations run in one Arrow-vectorized
-  pandas UDF (numpy matrix op — the interpreted higher-order-function
-  equivalent measured ~40× slower). Buckets/pairs/scoring are all
-  built-in expressions; the bucket self-join shuffles only
-  (band, bucket, doc_id).
-- **SimHash** — 64-bit signed-projection signature via word hashes;
-  near-dups = signatures at small Hamming distance within a band.
+  buckets → guarded per-bucket pair generation (the standard big-data
+  near-dup design: Broder MinHash + banding LSH). Shingles hash via
+  crc32 inside the same Arrow-vectorized pandas UDF that computes the
+  64 affine permutations (one numpy pass — the interpreted
+  higher-order-function equivalent measured ~40× slower); band bucket
+  ids hash JVM-side (xxhash64). Buckets/pairs/scoring are built-in
+  expressions; pair generation shuffles only (band, bucket, doc_id).
+- **SimHash** — 64-bit signed-projection signature via salted-crc32
+  word hashes; near-dups = signatures at small Hamming distance,
+  banded with the same guarded bucket discipline.
 - **n-gram Jaccard** — exact pairwise verification on LSH candidates.
 
-Determinism: every hash is xxhash64/md5 with fixed seeds → stable across
-runs and partitionings.
+Determinism: kernel-side hashes are crc32 with fixed salts, SQL-side
+hashes xxhash64/md5 with fixed seeds → stable across runs and
+partitionings.
 """
 
 from __future__ import annotations
@@ -160,6 +162,27 @@ def _minhash_text(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _chained_pairs_case(cap: int, k: int) -> str:
+    """Guarded pair-generation SQL over a sorted ``ids`` array: exact
+    all-pairs for buckets ≤ ``cap``, next-``k`` neighbor chains above
+    it — the hot-bucket discipline shared by the MinHash-LSH and
+    SimHash paths (single source of truth so the two cannot drift)."""
+    return f"""
+        CASE WHEN size(ids) <= {cap} THEN
+          flatten(transform(sequence(1, size(ids)-1),
+            j -> transform(slice(ids, 1, j),
+                           x -> struct(least(x, ids[j]) AS doc_a,
+                                       greatest(x, ids[j]) AS doc_b))))
+        ELSE
+          flatten(transform(sequence(0, size(ids)-2),
+            i -> transform(slice(ids, i+2,
+                                 least({k},
+                                       size(ids)-1-i)),
+                           y -> struct(least(ids[i], y) AS doc_a,
+                                       greatest(ids[i], y) AS doc_b))))
+        END"""
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64 MinHash values per document.
 
@@ -262,20 +285,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids are probe-sorted (not doc_id-sorted), so canonical pair order
     # comes from least/greatest.
     pair_expr = F.expr(
-        f"""
-        CASE WHEN size(ids) <= {LSH_BUCKET_CAP} THEN
-          flatten(transform(sequence(1, size(ids)-1),
-            j -> transform(slice(ids, 1, j),
-                           x -> struct(least(x, ids[j]) AS doc_a,
-                                       greatest(x, ids[j]) AS doc_b))))
-        ELSE
-          flatten(transform(sequence(0, size(ids)-2),
-            i -> transform(slice(ids, i+2,
-                                 least({LSH_CHAIN_NEIGHBORS},
-                                       size(ids)-1-i)),
-                           y -> struct(least(ids[i], y) AS doc_a,
-                                       greatest(ids[i], y) AS doc_b))))
-        END"""
+        _chained_pairs_case(LSH_BUCKET_CAP, LSH_CHAIN_NEIGHBORS)
     )
     pairs = (
         grouped.filter(F.size("ids") >= 2)
@@ -337,15 +347,19 @@ def _simhash_text(texts: pd.Series) -> pd.Series:
             out.append(None)
             continue
         words = t.split(" ")
+        # single pass over the words: encode each once, derive both
+        # salted crc32 values from the cached bytes (identical values
+        # to the former two-pass form — signatures are unchanged)
+        enc = [w.encode() for w in words]
         lo = np.fromiter(
-            (zlib.crc32(w.encode()) for w in words),
+            (zlib.crc32(e) for e in enc),
             dtype=np.uint64,
-            count=len(words),
+            count=len(enc),
         )
         hi = np.fromiter(
-            (zlib.crc32(w.encode() + b"\x01") for w in words),
+            (zlib.crc32(e + b"\x01") for e in enc),
             dtype=np.uint64,
-            count=len(words),
+            count=len(enc),
         )
         u = lo | (hi << np.uint64(32))
         bits = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
@@ -375,9 +389,10 @@ def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, bit-vote over word hashes (NS6a).
 
-    For each of the 64 bit positions: +1 when the word's xxhash64 has
-    the bit set, -1 otherwise; the signature bit is the sign of the
-    vote (Charikar SimHash). Full 64-bit signature space.
+    For each of the 64 bit positions: +1 when the word's 64-bit hash
+    (two salted crc32 halves, see _simhash_text) has the bit set, -1
+    otherwise; the signature bit is the sign of the vote (Charikar
+    SimHash). Full 64-bit signature space.
     """
     return _simhash_bands(spark, sf_dir).select("doc_id", "simhash")
 
@@ -391,28 +406,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) is shuffled — then the exact ``bit_count(a XOR b)`` filter
     runs per unique candidate pair.
     """
-    # Repartition so the signature pass materializes once and all three
-    # consumers (bucketing + both pair-join sides) reuse the exchange.
+    # Repartition so the signature pass materializes once and both
+    # consumers (bucketing + signature re-join) reuse the exchange.
     sigs = _simhash_bands(spark, sf_dir).repartition(F.col("doc_id"))
     buckets = sigs.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(SIMHASH_BANDS)])
         ).alias("band", "bucket"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # hot-bucket guard (the LSH discipline, shared _chained_pairs_case):
+    # a degenerate bucket — 1 M boilerplate copies agreeing on a band —
+    # would make a bucket self-join quadratic. Buckets ≤ cap emit exact
+    # pairs (identical to the old self-join); larger ones chain each doc
+    # to its next-k neighbors sorted by the FULL signature (signature-
+    # adjacent docs share the most bits), bounding an n-doc bucket at
+    # n·k candidates. Completeness within Hamming ≤ 3 therefore holds
+    # for buckets ≤ cap; boundedness above it is bought with recall,
+    # exactly as documented for the minhash path.
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("simhash", "doc_id"))),
+            lambda st: st.doc_id,
+        ).alias("ids")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        grouped.filter(F.size("ids") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.explode(
+                F.expr(_chained_pairs_case(LSH_BUCKET_CAP, LSH_CHAIN_NEIGHBORS))
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
@@ -450,10 +476,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # plain semi-join (AQE broadcasts it when small): a FORCED broadcast
+    # of the candidate-id set is unbounded on a high-duplication crawl.
+    # The shingle projection persists because BOTH pair-join sides
+    # consume it on different keys (doc_a / doc_b) — no exchange reuse
+    # applies, and without the cache the expensive
+    # array_distinct(shingles) pass would run twice.
     d = (
         fan_out(load_table(spark, sf_dir, "documents"))
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return (
         cands.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -566,6 +599,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEV_BUCKET = 32
 LEV_PREFIX = 64
 LEV_MAX_DIST = 8
+#: hot-block guard: blocks above this population switch from exact
+#: all-pairs to (prefix, doc_id)-sorted neighbor chaining
+LEV_BLOCK_CAP = 64
+LEV_CHAIN_NEIGHBORS = 4
 
 
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,10 +616,11 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the block shuffle carries 64-byte strings, not documents. Both
     engines implement the same textbook DP edit distance on identical
     prefixes, so the query is fully oracle-checked (unlike the
-    hash-seeded MinHash/SimHash paths). At 100 TB block sizes stay
-    bounded by the key cardinality; near-boundary misses are the
-    standard blocking trade-off (the MinHash path has no such blind
-    spot and runs alongside).
+    hash-seeded MinHash/SimHash paths). Key cardinality bounds the
+    NUMBER of blocks, not their population, so blocks over
+    LEV_BLOCK_CAP switch to sorted-neighborhood chaining (see body);
+    near-boundary misses are the standard blocking trade-off (the
+    MinHash path has no such blind spot and runs alongside).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -590,20 +628,43 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / LEV_BUCKET).alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # hot-BLOCK guard: blocking bounds the NUMBER of blocks, not their
+    # population — a popular (lang, len_bucket) block grows with the
+    # corpus and an unguarded self-join grows with its square. Blocks
+    # ≤ LEV_BLOCK_CAP keep the exact all-pairs semantics; larger ones
+    # chain each member to its next LEV_CHAIN_NEIGHBORS in
+    # (prefix, doc_id) order — prefix-adjacent strings are exactly the
+    # low-edit-distance candidates, the sorted-neighborhood method of
+    # record linkage. The oracle replays BOTH branches (block counts +
+    # ROW_NUMBER chains), so the query stays fully oracle-checked.
+    grouped = d.groupBy("lang", "len_bucket").agg(
+        F.array_sort(F.collect_list(F.struct("prefix", "doc_id"))).alias(
+            "members"
         )
+    )
+    pair_expr = F.expr(
+        f"""
+        CASE WHEN size(members) <= {LEV_BLOCK_CAP} THEN
+          flatten(transform(sequence(1, size(members)-1),
+            j -> transform(slice(members, 1, j),
+                           x -> struct(x AS m1, members[j] AS m2))))
+        ELSE
+          flatten(transform(sequence(0, size(members)-2),
+            i -> transform(slice(members, i+2,
+                                 least({LEV_CHAIN_NEIGHBORS},
+                                       size(members)-1-i)),
+                           y -> struct(members[i] AS m1, y AS m2))))
+        END"""
+    )
+    return (
+        grouped.filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("lev_dist"),
+            F.least("p.m1.doc_id", "p.m2.doc_id").alias("doc_a"),
+            F.greatest("p.m1.doc_id", "p.m2.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("p.m1.prefix"), F.col("p.m2.prefix")).alias(
+                "lev_dist"
+            ),
         )
         .filter(F.col("lev_dist") <= LEV_MAX_DIST)
     )
@@ -715,9 +776,9 @@ QUERIES = {
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_survivors": dedup_survivors,
     "doc_fingerprint": doc_fingerprint,
-    "minhash_signatures": minhash_signatures,  # rows-only (xxhash64-derived)
+    "minhash_signatures": minhash_signatures,  # rows-only (crc32-kernel-derived)
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (xxhash64 is Spark-specific)
-    "simhash_signatures": simhash_signatures,  # rows-only (64-bit, xxhash64-derived)
+    "simhash_signatures": simhash_signatures,  # rows-only (64-bit, crc32-kernel-derived)
     "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
     "dedup_clusters": dedup_clusters,
@@ -746,6 +807,7 @@ def _clusters_oracle() -> str:
                 JOIN embeddings b ON b.vec_id = cb.vec_id
                 JOIN norms na ON na.vec_id = ca.vec_id
                 JOIN norms nb ON nb.vec_id = cb.vec_id
+                WHERE na.nrm > 0 AND nb.nrm > 0
             ) WHERE cosine >= 0.35
         ),
         edges AS (
@@ -832,19 +894,41 @@ ORACLE = {
         FROM kept
         GROUP BY doc_id
     """,
-    "dedup_levenshtein": """
+    "dedup_levenshtein": f"""
         WITH d AS (
             SELECT doc_id, lang,
                    CAST(FLOOR(n_chars / 32) AS BIGINT) AS len_bucket,
                    substr(text, 1, 64) AS prefix
             FROM documents
+        ),
+        bc AS (
+            SELECT lang, len_bucket, COUNT(*) AS bn
+            FROM d GROUP BY lang, len_bucket
+        ),
+        o AS (
+            SELECT d.*, bc.bn,
+                   ROW_NUMBER() OVER (PARTITION BY d.lang, d.len_bucket
+                                      ORDER BY d.prefix, d.doc_id) AS rn
+            FROM d JOIN bc USING (lang, len_bucket)
+        ),
+        u AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   a.prefix AS pa, b.prefix AS pb
+            FROM o a JOIN o b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+            WHERE a.bn <= {LEV_BLOCK_CAP}
+            UNION ALL
+            SELECT a.doc_id, b.doc_id, a.prefix, b.prefix
+            FROM o a JOIN o b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND b.rn > a.rn AND b.rn <= a.rn + {LEV_CHAIN_NEIGHBORS}
+            WHERE a.bn > {LEV_BLOCK_CAP}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev_dist
-        FROM d a JOIN d b
-          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.prefix, b.prefix) <= 8
+        SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+               CAST(levenshtein(pa, pb) AS INT) AS lev_dist
+        FROM u
+        WHERE levenshtein(pa, pb) <= {LEV_MAX_DIST}
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5,

@@ -282,3 +282,57 @@ def test_paragraph_dedup_keeps_first_occurrence(spark, tmp_path_factory):
     assert out[0] == (2, 2, f"{para_a} {para_b}")  # first doc keeps all
     assert out[1] == (2, 1, para_c)                # para_b deduped away
     assert out[2] == (2, 0, "")                    # nothing left
+
+
+def test_levenshtein_hot_block_chains_and_matches_oracle(spark, tmp_path):
+    """r5 guard: a block larger than LEV_BLOCK_CAP must switch to
+    (prefix, doc_id)-sorted neighbor chaining, and the DuckDB oracle
+    must replay BOTH branches exactly. Plants one 80-doc hot block of
+    prefix-adjacent near-dups (chained branch; > cap=64) plus a small
+    exact block, then requires set equality with the oracle."""
+    import glob
+    import shutil
+
+    import duckdb
+
+    from real_time_big_data_architect_spark.operators import dedup as D
+    from real_time_big_data_architect_spark.plans import workload
+
+    docs = []
+    # hot block: lang=en, n_chars=100 -> one (en, 3) block of 80 docs;
+    # texts differ in a trailing counter so prefix-sorted neighbors are
+    # within edit distance <= LEV_MAX_DIST of each other
+    for i in range(80):
+        docs.append((i, "shared boilerplate prefix %02d" % i, "en", "a", 100))
+    # small exact block: 3 docs in (de, 1)
+    for i in range(3):
+        docs.append((100 + i, "kleine %d" % i, "de", "b", 40))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d.dir"))
+    part = glob.glob(str(tmp_path / "d.dir" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "documents.parquet"))
+
+    assert len({d[0] for d in docs if d[2] == "en"}) > D.LEV_BLOCK_CAP
+
+    got = sorted(
+        tuple(r) for r in D.dedup_levenshtein(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            workload.build_oracle_sql()["dedup_levenshtein"]
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # the chained hot block really produced pairs
+    # chain bound: each doc pairs with at most LEV_CHAIN_NEIGHBORS
+    # successors, so the hot block emits <= n*k pairs, never ~n^2/2
+    hot_pairs = [p for p in got if p[0] < 100]
+    assert len(hot_pairs) <= 80 * D.LEV_CHAIN_NEIGHBORS
