@@ -205,7 +205,15 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits its own chunks, and nothing synchronizes.
     """
     d = load_table(spark, sf_dir, "documents")
-    starts = F.expr(f"sequence(1, length(text), {CHUNK_STRIDE})")
+    # empty/NULL text -> zero chunks: Spark's sequence(1, 0) raises
+    # (illegal ascending bounds) where DuckDB's range(1, 1) is empty,
+    # so gate the generator; NULL length falls through the WHEN to the
+    # empty array too (three-valued ELSE), matching unnest(NULL) = 0 rows
+    starts = F.expr(
+        f"CASE WHEN length(text) >= 1 THEN"
+        f" sequence(1, length(text), {CHUNK_STRIDE})"
+        f" ELSE array() END"
+    )
     return d.select(
         "doc_id",
         F.posexplode(starts).alias("chunk_id", "chunk_start"),
@@ -531,7 +539,12 @@ ORACLE = {
             FROM scored
         )
         SELECT s.doc_id, s.lang, s.score,
-               CAST(1 + {_DSUM} AS INT) AS decile
+               -- NULL score (NULL text) -> NULL decile, matching the
+               -- engine's (NULL > cut) three-valued propagation; the
+               -- bare CASE chain would count NULL comparisons as 0
+               -- and misfile the doc into decile 1
+               CAST(CASE WHEN s.score IS NULL THEN NULL
+                    ELSE 1 + {_DSUM} END AS INT) AS decile
         FROM scored s CROSS JOIN cuts c
     """,
     "curation_score": _SCORED_CTE

@@ -261,7 +261,12 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             sigs, bands = [], [[] for _ in range(PHASH_BANDS)]
             for payload in b["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                # NULL payload (NULL source text) hashes like the
+                # zero-byte payload: all-zero histogram -> sig 0 — the
+                # same fold the oracle's LEFT JOIN + COALESCE performs
+                arr = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                )
                 hist = np.bincount(arr >> 2, minlength=64)[:64]
                 bits = (hist > hist.mean()).astype(np.uint64)
                 sig = int((bits << shifts).sum(dtype=np.uint64))

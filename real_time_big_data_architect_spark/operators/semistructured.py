@@ -249,16 +249,22 @@ ORACLE = {
           FROM w
         )
         -- COALESCE: DuckDB's array_to_string folds an EMPTY list to
-        -- NULL (string_agg over zero rows); Spark's array_join gives ''
+        -- NULL (string_agg over zero rows); Spark's array_join gives ''.
+        -- The a IS NULL guard keeps NULL text → NULL output (Spark's
+        -- natural propagation) instead of folding it to '' too.
         SELECT doc_id,
-               coalesce(array_to_string(
-                   list_sort(list_distinct(a || b)), '|'), '')
+               CASE WHEN a IS NULL THEN NULL ELSE
+                 coalesce(array_to_string(
+                     list_sort(list_distinct(a || b)), '|'), '') END
                    AS vocab_union,
-               coalesce(array_to_string(list_sort(list_distinct(
-                   list_filter(a, x -> list_contains(b, x)))), '|'), '')
+               CASE WHEN a IS NULL THEN NULL ELSE
+                 coalesce(array_to_string(list_sort(list_distinct(
+                     list_filter(a, x -> list_contains(b, x)))), '|'), '') END
                    AS vocab_both,
-               coalesce(array_to_string(list_sort(list_distinct(
-                   list_filter(a, x -> NOT list_contains(b, x)))), '|'), '')
+               CASE WHEN a IS NULL THEN NULL ELSE
+                 coalesce(array_to_string(list_sort(list_distinct(
+                     list_filter(a, x -> NOT list_contains(b, x)))), '|'), '')
+                 END
                    AS vocab_first_only,
                CAST(len(list_distinct(
                    list_filter(a, x -> list_contains(b, x)))) AS INT)

@@ -108,14 +108,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic as a vectorized Pandas UDF (NS6c).
 
     Scores each profile by hit count over the doc's words; emits the
-    argmax (ties → 'en' by fixed profile order). Arrow-batched — the
-    UDF sees pandas Series, not rows.
+    argmax (ties → the FIRST tied language in fixed profile order —
+    'en' only when 'en' participates in the tie; the oracle's CASE
+    chain encodes the same rule). NULL text → NULL, matching the SQL
+    twin. Arrow-batched — the UDF sees pandas Series, not rows.
     """
     profiles = list(_LANG_PROFILES.items())
 
     @F.pandas_udf(T.StringType())
     def detect(texts: pd.Series) -> pd.Series:
-        def best(text: str) -> str:
+        def best(text):
+            if text is None:
+                return None
             words = set(text.split(" ")[:200])
             scores = [(lang, len(words & prof)) for lang, prof in profiles]
             return max(scores, key=lambda kv: kv[1])[0]
@@ -207,7 +211,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcasts of the vocabulary-sized df table and the 1-row corpus
     count — nothing corpus-sized shuffles twice at scale.
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # no fan_out: this is a pure built-in split/explode/groupBy
+    # pipeline (no Python kernel), where the round-robin pre-shuffle
+    # of full document rows costs more than the extra cores recover —
+    # the measured trade fan_out's own docstring documents; input
+    # splits provide the parallelism on a real lake
+    d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -227,8 +236,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
@@ -324,16 +331,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # persisted: the vocabulary count and the coverage join both
     # consume the corpus-wide word explode
-    inst = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.col("text"), " ")).alias("word"),
-    ).persist()
+    inst = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        # same token definition as tfidf/inverted_index/collocations:
+        # empty-string tokens (double/edge spaces) are not words — they
+        # would otherwise inflate n_tokens and could rank '' into the
+        # vocabulary, deflating every oov_rate
+        .filter(F.col("word") != "")
+        .persist()
+    )
     wc = inst.groupBy("word").agg(F.count("*").alias("c"))
-    w_rank = W.orderBy(F.col("c").desc(), F.col("word"))
+    # global top-VOCAB_TOP as orderBy().limit(): TakeOrderedAndProject
+    # keeps per-partition heaps of VOCAB_TOP rows — the distributed
+    # top-k — where the former row_number() over an unpartitioned
+    # window funneled the ENTIRE vocabulary through one task (the same
+    # scale-killer the r5 rank rewires removed elsewhere). Selection
+    # and tiebreak (count desc, word) are identical.
     vocab = (
-        wc.withColumn("vr", F.row_number().over(w_rank))
-        .filter(F.col("vr") <= VOCAB_TOP)
+        wc.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(VOCAB_TOP)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -701,8 +721,11 @@ ORACLE = {
     """,
     "vocab_coverage": f"""
         WITH inst AS (
-          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
-          FROM documents
+          SELECT doc_id, lang, word FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+          ) WHERE word <> ''
         ),
         wc AS (
           SELECT word, COUNT(*) AS c FROM inst GROUP BY word

@@ -261,6 +261,14 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (5, "a a b b a a b b", "en", "gamma", 15),
         (6, "the quick brown fox the quick brown fox", "en", "alpha", 39),
         (7, "a a a a a a a", "en", "beta", 13),
+        # tokenizer edges: double space (empty token), leading/trailing
+        # spaces, empty text (splits to ['']), NULL text — every
+        # text-over-documents oracle must agree with the engine on the
+        # empty-token convention (word <> '') and NULL propagation
+        (10, "gap  gap", "en", "alpha", 8),
+        (11, " lead trail ", "en", "beta", 12),
+        (12, "", "en", "gamma", 0),
+        (13, None, "en", "alpha", 0),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
