@@ -598,7 +598,48 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the FULL query, completing
+    the 22-query suite (the flagship ``group_agg`` ships the Q1 shape
+    without the tax term; this adds ``sum_charge``).
+
+    One scan, one partial+final hash aggregate — the canonical
+    map-side-combine showcase. Money accumulates in exact decimal:
+    the triple product price·(1−disc)·(1+tax) uses DECIMAL(12,2)
+    factors so the product precision lands at (36,6)/(38,6) — inside
+    BOTH engines' 38-digit cap with zero precision loss (2-decimal
+    inputs ⇒ the 6-decimal product is exact); averages divide the
+    exact decimal sums in one double division, bit-identical to the
+    oracle's expression tree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 QUERIES = {
+    "tpch_q1": tpch_q1,
     "tpch_q2": tpch_q2,
     "tpch_q4": tpch_q4,
     "tpch_q11": tpch_q11,
@@ -617,7 +658,32 @@ QUERIES = {
     "tpch_q22": tpch_q22,
 }
 
+_Q1_SUM = "CAST(SUM(CAST({x} AS DECIMAL(12,2))) AS DOUBLE)"
+
 ORACLE = {
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_Q1_SUM.format(x='l_quantity')} AS sum_qty,
+               {_Q1_SUM.format(x='l_extendedprice')} AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2))
+                           - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2))
+                           - CAST(l_discount AS DECIMAL(12,2)))
+                        * (CAST(1 AS DECIMAL(12,2))
+                           + CAST(l_tax AS DECIMAL(12,2))))
+                    AS DOUBLE) AS sum_charge,
+               {_Q1_SUM.format(x='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+               {_Q1_SUM.format(x='l_extendedprice')} / COUNT(l_extendedprice)
+                   AS avg_price,
+               {_Q1_SUM.format(x='l_discount')} / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "tpch_q2": """
         WITH supplies AS (
             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem

@@ -154,3 +154,29 @@ def test_q2_q11_q20_dims_broadcast(spark, sf_small):
             q(spark, sf_small), "BroadcastHashJoin", "CartesianProduct"
         )
         assert hits["BroadcastHashJoin"], q.__name__
+
+
+def test_q1_charge_identities_and_row_accounting(spark, sf_small):
+    rows = tpch.tpch_q1(spark, sf_small).collect()
+    assert rows
+    li = load_table(spark, sf_small, "lineitem")
+    n_filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).count()
+    assert sum(r.count_order for r in rows) == n_filtered
+    for r in rows:
+        # tax >= 0 and discount in [0,1): charge >= disc_price,
+        # disc_price <= base_price
+        assert r.sum_charge >= r.sum_disc_price
+        assert r.sum_disc_price <= r.sum_base_price
+        # averages are the exact decimal sum over the group count
+        assert r.avg_qty == r.sum_qty / r.count_order
+        assert r.avg_price == r.sum_base_price / r.count_order
+
+
+def test_q1_is_one_scan_no_join(spark, sf_small):
+    hits = explain.plan_has(
+        tpch.tpch_q1(spark, sf_small),
+        "HashAggregate", "Join", "Exchange",
+    )
+    assert hits["HashAggregate"] and not hits["Join"]
