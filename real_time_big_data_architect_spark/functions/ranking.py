@@ -103,6 +103,133 @@ def range_partitioned_rank(
     )
 
 
+def _helper_cols(df: DataFrame, *names: str) -> tuple[str, ...]:
+    """Helper column names guaranteed not to collide with ``df``'s."""
+    cols = tuple(names)
+    while any(c in df.columns for c in cols):
+        cols = tuple(c + "_" for c in cols)
+    return cols
+
+
+def _ranged_with_pid(
+    df: DataFrame,
+    order_col: str,
+    pid: str,
+    num_partitions: int | None,
+    cache_registry: list | None,
+) -> DataFrame:
+    """Shared pass 1 of the two-pass primitives: range-shuffle on the
+    total-order key, sort within partitions, attach the physical
+    partition index, and persist so every downstream branch sees ONE
+    set of range boundaries (the same determinism argument as
+    ``range_partitioned_rank`` — RangePartitioner re-samples splitters
+    per instantiation)."""
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    mid = F.monotonically_increasing_id()
+    with_pid = (
+        df.repartitionByRange(npart, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .select("*", F.shiftright(mid, 33).alias(pid))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
+    return with_pid
+
+
+def range_partitioned_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = MAX(``value_col``) over all rows STRICTLY
+    before the current one in ``order_col`` order (exclusive running
+    max; NULL for the global first row) — the distributed replacement
+    for ``max().over(Window.orderBy(k).rowsBetween(unboundedPreceding,
+    -1))``, which funnels the whole relation through one task.
+
+    Contract: ``order_col`` values are unique (a total order), exactly
+    like the single-partition window this replaces would need for a
+    deterministic answer. Two-pass: per-partition exclusive running max
+    (a PARTITIONED window over the range shuffle), plus the exclusive
+    cross-partition prefix of per-partition maxima via the triangular
+    broadcast join — Spark's ``greatest`` skips NULLs, so the first
+    partition (no prior maxima) and each partition's first row (no
+    local prefix) fold correctly.
+    """
+    from pyspark.sql import Window as W
+
+    pid, vmax, pmax = _helper_cols(df, "__pid", "__vmax", "__pmax")
+    with_pid = _ranged_with_pid(
+        df, order_col, pid, num_partitions, cache_registry
+    )
+    w = (
+        W.partitionBy(pid)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    maxima = with_pid.groupBy(pid).agg(F.max(value_col).alias(vmax))
+    a, b = maxima.alias("a"), maxima.alias("b")
+    prior = (
+        a.join(F.broadcast(b), F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left")
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(F.max(f"b.{vmax}").alias(pmax))
+    )
+    return (
+        with_pid.join(F.broadcast(prior), pid)
+        .withColumn(
+            out_col, F.greatest(F.col(pmax), F.max(value_col).over(w))
+        )
+        .drop(pid, pmax)
+    )
+
+
+def range_partitioned_key_lead(
+    df: DataFrame,
+    key_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = the next ``key_col`` value in global key
+    order (NULL for the global maximum) — the distributed replacement
+    for ``lead(k).over(Window.orderBy(k))``.
+
+    Contract: unique keys. Per-partition ``lead`` over the range
+    shuffle covers every adjacent pair inside a partition; each
+    partition's LAST row takes the minimum key of any LATER partition
+    (a partition-count-sized triangular broadcast join), which is
+    exactly its global successor because range partitions are
+    key-ordered. Empty/skipped partition indices fall out naturally —
+    the triangular join only sees partitions that hold rows.
+    """
+    from pyspark.sql import Window as W
+
+    pid, mn, nxt = _helper_cols(df, "__pid", "__mn", "__nxt")
+    with_pid = _ranged_with_pid(
+        df, key_col, pid, num_partitions, cache_registry
+    )
+    mins = with_pid.groupBy(pid).agg(F.min(key_col).alias(mn))
+    a, b = mins.alias("a"), mins.alias("b")
+    succ = (
+        a.join(F.broadcast(b), F.col(f"b.{pid}") > F.col(f"a.{pid}"), "left")
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(F.min(f"b.{mn}").alias(nxt))
+    )
+    local_lead = F.lead(key_col).over(W.partitionBy(pid).orderBy(key_col))
+    return (
+        with_pid.join(F.broadcast(succ), pid)
+        .withColumn(out_col, F.coalesce(local_lead, F.col(nxt)))
+        .drop(pid, nxt)
+    )
+
+
 def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
     """Exact NTILE(k) bucket from a 1-based dense global rank.
 

@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from real_time_big_data_architect_spark.functions.ranking import (
+    range_partitioned_key_lead,
+)
 from real_time_big_data_architect_spark.tables import load_table
 
 #: session gap threshold: a pause longer than this starts a new session
@@ -361,10 +364,12 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingest check that catches dropped batches (ids are
     producer-assigned and dense, so every jump > 1 is missing data).
 
-    One global sort window over ids only (not payloads) + a filter;
-    emits each gap's bounds and width plus nothing when the sequence
-    is dense. At 100 TB the same plan runs per ingest partition with
-    the id range as the partition key.
+    The global successor comes from the range-partitioned two-pass
+    key-lead (functions/ranking.py) — per-partition ``lead`` over a
+    range shuffle plus boundary stitching via partition minima — NOT
+    from ``lead().over(Window.orderBy(id))``, whose single
+    unpartitioned window task would serialize the entire id stream at
+    100 TB. Emits each gap's bounds and width, nothing when dense.
     """
     # the fixture's id sequence is dense, so holes are PLANTED (drop
     # every 101st id — the oracle drops the same ones) and the detector
@@ -372,11 +377,10 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 101 != 0
     )
-    w = W.orderBy("event_id")
-    nxt = F.lead("event_id").over(w)
     return (
-        ev.select("event_id")
-        .withColumn("next_id", nxt)
+        range_partitioned_key_lead(
+            ev.select("event_id"), "event_id", "next_id"
+        )
         .filter(F.col("next_id") - F.col("event_id") > 1)
         .select(
             F.col("event_id").alias("gap_after"),

@@ -16,9 +16,12 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_big_data_architect_spark.functions.ranking import (
+    range_partitioned_prefix_max,
+)
 from real_time_big_data_architect_spark.tables import load_table
 
 
@@ -94,16 +97,21 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     A part is dominated iff some part is ≤ on price AND ≥ on size with
     one strict. Instead of the O(N²) dominance self-join the oracle
     spells, the plan collapses to per-price group maxima (one partial
-    agg — the distinct-price table is tiny relative to the corpus)
-    plus one running max over price order: dominated ⇔ a strictly
+    agg) plus one running max over price order: dominated ⇔ a strictly
     cheaper price group reaches my size, or my own price group exceeds
-    it. One agg shuffle + one dimension-sized window + a broadcast join
-    back — the standard distributed skyline for 2 dimensions.
+    it. The running max uses the range-partitioned two-pass prefix-max
+    (functions/ranking.py), NOT an unpartitioned window — prices are
+    near-continuous, so the distinct-price table scales WITH the corpus
+    and a single-task window here would be the same scale-killer the
+    r5 rank rewires removed. One agg shuffle + one range shuffle + a
+    broadcast join back — the standard distributed skyline for 2
+    dimensions.
     """
     p = load_table(spark, sf_dir, "part")
     gp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    gp = gp.withColumn("prior_max", F.max("gmax").over(w))
+    gp = range_partitioned_prefix_max(
+        gp, "p_retailprice", "gmax", "prior_max"
+    )
     joined = p.join(F.broadcast(gp), "p_retailprice")
     dominated = (
         F.col("prior_max").isNotNull()

@@ -258,3 +258,40 @@ def test_window_count_distinct_two_keyed_windows(spark, sf_small):
         # partition columns precede the sort spec; an unpartitioned
         # window starts directly with the order-by expression ASC/DESC
         assert not args[0].endswith("ASC NULLS FIRST"), spec
+
+
+def test_no_unpartitioned_windows_in_prefix_and_lead_rewires(spark, sf_small):
+    """pareto_frontier's running max, sequence_gaps' successor, and
+    vocab_coverage's top-V vocabulary were the LAST unpartitioned
+    windows over data-sized relations; all three now use the
+    range-partitioned two-pass primitives (or TakeOrderedAndProject).
+    Every window spec remaining in these plans must carry a partition
+    key — a spec that opens with the sort expression means the
+    single-task global window snuck back in."""
+    import re
+
+    from real_time_big_data_architect_spark.operators import (
+        behavioral,
+        relational,
+        text,
+    )
+    from real_time_big_data_architect_spark.plans import explain
+
+    for fn in (
+        relational.pareto_frontier,
+        behavioral.sequence_gaps,
+        text.vocab_coverage,
+    ):
+        plan = explain.formatted_plan(fn(spark, sf_small))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        for spec in specs:
+            args = [a.strip() for a in spec.split(",")]
+            assert not args[0].endswith("ASC NULLS FIRST"), (
+                fn.__name__, spec,
+            )
+            assert not args[0].endswith("DESC NULLS LAST"), (
+                fn.__name__, spec,
+            )
+    # non-vacuous: the two rewired operators DO plan partitioned windows
+    plan = explain.formatted_plan(behavioral.sequence_gaps(spark, sf_small))
+    assert "windowspecdefinition" in plan

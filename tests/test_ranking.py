@@ -136,3 +136,82 @@ def test_rank_property_equals_sorted_position(spark, vals, npart):
         )
     }
     assert got == want
+
+
+from real_time_big_data_architect_spark.functions.ranking import (  # noqa: E402
+    range_partitioned_key_lead,
+    range_partitioned_prefix_max,
+)
+
+
+def test_prefix_max_matches_unpartitioned_window(spark):
+    # unique order keys, values that rise and fall so the running max
+    # plateaus across partition boundaries
+    # multiplier coprime with 97 so v cycles through all residues
+    df = spark.range(1000).select(
+        F.col("id"), ((F.col("id") * 37) % 97).alias("v")
+    )
+    got = range_partitioned_prefix_max(df, "id", "v", "pm")
+    ref = F.max("v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = got.withColumn("ref", ref)
+    # NULL-safe compare: global first row is NULL on both sides
+    assert joined.filter(~F.col("pm").eqNullSafe(F.col("ref"))).count() == 0
+
+
+def librarian_mix():
+    """A multiplier coprime with 97 so v cycles through all residues."""
+    return 37
+
+
+def test_prefix_max_more_partitions_than_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 9), (4, 1)], "k long, v long"
+    )
+    rows = {
+        r.k: r.pm
+        for r in range_partitioned_prefix_max(
+            df, "k", "v", "pm", num_partitions=16
+        ).collect()
+    }
+    assert rows == {1: None, 2: 5, 3: 5, 4: 9}
+
+
+def test_key_lead_matches_unpartitioned_window(spark):
+    # sparse, shuffled ids: successor must come from global order
+    df = spark.range(500).select((F.col("id") * 13 % 1009).alias("k"))
+    got = range_partitioned_key_lead(df, "k", "nxt")
+    ref = F.lead("k").over(Window.orderBy("k"))
+    joined = got.withColumn("ref", ref)
+    assert joined.filter(~F.col("nxt").eqNullSafe(F.col("ref"))).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=200,
+    ),
+    npart=st.integers(min_value=1, max_value=40),
+)
+def test_key_lead_property_equals_sorted_successor(spark, keys, npart):
+    """For ANY unique key set and ANY partition count, the two-pass
+    lead equals each key's successor in the sorted order (NULL for the
+    maximum) — boundary stitching across empty/skewed partitions
+    included."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.nxt
+        for r in range_partitioned_key_lead(
+            df, "k", "nxt", num_partitions=npart
+        ).collect()
+    }
+    s = sorted(keys)
+    want = {k: (s[i + 1] if i + 1 < len(s) else None) for i, k in enumerate(s)}
+    assert got == want

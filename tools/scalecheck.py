@@ -341,6 +341,16 @@ def main() -> None:
                 "pagerank", n_ev * mult,
                 lambda: graph_ops.pagerank(spark, d),
             ))
+            # vocab_coverage: the global top-V vocabulary now selects
+            # via orderBy().limit() (TakeOrderedAndProject per-partition
+            # heaps) instead of row_number() over ONE unpartitioned
+            # window; the per-copy character rotation grows the word
+            # count table with mult, so a single-task rank would
+            # flatline here
+            results.append(_timed_e2e(
+                "vocab_coverage", n_doc * mult,
+                lambda: text_ops.vocab_coverage(spark, d),
+            ))
             spark.catalog.clearCache()  # drop per-dir persisted stages
     finally:
         shutil.rmtree(scale_root, ignore_errors=True)
