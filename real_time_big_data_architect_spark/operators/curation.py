@@ -443,6 +443,33 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: global exact-sample size
+SAMPLE_EXACT_K = 100
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform global sample, deterministic: order the corpus
+    by its md5 coin and keep the first SAMPLE_EXACT_K — the "give me
+    exactly 100k docs, reproducibly" primitive a Bernoulli fraction
+    cannot provide (its output size is itself random) and a driver-side
+    reservoir cannot scale.
+
+    Physical plan: TakeOrderedAndProject — every partition keeps a
+    k-row heap of (coin, doc_id) and one reduce merges them, so driver
+    memory is O(k) and NOTHING global sorts, at any corpus size. Under
+    the hash ordering every k-subset is equally likely, and the same
+    rows come back on every run and every cluster layout (the
+    train_test_split / shuffle_shards determinism discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select("doc_id", "source", "n_chars", coin.alias("coin"))
+        .orderBy("coin", "doc_id")
+        .limit(SAMPLE_EXACT_K)
+    )
+
+
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted Bernoulli sample of the corpus — 'sample tokens,
     not documents': inclusion probability proportional to n_chars, so
@@ -484,6 +511,7 @@ QUERIES = {
     "mix_reweight": mix_reweight,
     "dedup_incremental": dedup_incremental,
     "sample_weighted": sample_weighted,
+    "sample_exact_k": sample_exact_k,
     "sample_reservoir_group": sample_reservoir_group,
 }
 
@@ -521,6 +549,13 @@ ORACLE = {
                    ) AS INT) AS draw_rank
             FROM documents
         ) WHERE draw_rank <= {RESERVOIR_K}
+    """,
+    "sample_exact_k": f"""
+        SELECT doc_id, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS coin
+        FROM documents
+        ORDER BY coin, doc_id
+        LIMIT {SAMPLE_EXACT_K}
     """,
     "sample_weighted": f"""
         SELECT doc_id, source, n_chars,

@@ -210,3 +210,20 @@ def test_sample_reservoir_group_uniform_and_stable(spark, sf_small):
     assert set(got) == set(expect)
     for src, picks in expect.items():
         assert [got[src][i + 1] for i in range(len(picks))] == picks
+
+
+def test_sample_exact_k_size_determinism_and_heap_plan(spark, sf_small):
+    from real_time_big_data_architect_spark.operators.curation import (
+        SAMPLE_EXACT_K,
+        sample_exact_k,
+    )
+    from real_time_big_data_architect_spark.plans import explain
+
+    a = sample_exact_k(spark, sf_small)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert len(ids_a) == SAMPLE_EXACT_K
+    # rerun-stable: the same rows on a fresh plan
+    ids_b = sorted(r.doc_id for r in sample_exact_k(spark, sf_small).collect())
+    assert ids_a == ids_b
+    # O(k)-driver physical plan: per-partition heaps, no global sort
+    assert "TakeOrderedAndProject" in explain.formatted_plan(a)
