@@ -1040,6 +1040,60 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null
+    emission (NS5): every purchase emits — joined to same-user views
+    from the preceding hour when they exist, null-extended otherwise.
+
+    The outer side is the part an inner join can't express: Spark
+    buffers each purchase until the GLOBAL watermark (min over both
+    sides' ``max(event time) − 10 min``) passes its ``ts`` — only then
+    is "no future view can match" guaranteed (future views satisfy
+    ``view_ts ≥ watermark`` and the condition needs ``view_ts ≤ ts``)
+    — and emits the null-extended row on eviction. In an availableNow
+    drain the final no-data micro-batch flushes evictable state, so
+    the sink holds: ALL matched pairs (inner semantics, exact) plus
+    null rows for exactly the unmatched purchases with
+    ``ts < final watermark``; unmatched purchases AT or ABOVE the
+    watermark are still in state when the query stops and never
+    surface. The oracle replays that rule in SQL (the boundary is
+    pinned by a crafted fixture test, same discipline as the
+    watermark-drain oracles).
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id AND
+            view_ts >= ts - INTERVAL 1 HOUR AND
+            view_ts <= ts
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "ts", "view_id", "view_ts")
+    return _run_to_memory(joined, "append")
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_session_watermark": stream_session_watermark,
@@ -1052,6 +1106,7 @@ QUERIES = {
     "stream_cdc_apply": stream_cdc_apply,
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
+    "stream_stream_left_outer": stream_stream_left_outer,
     "stream_static_join": stream_static_join,
 }
 
@@ -1270,5 +1325,42 @@ ORACLE: dict[str, str] = {
          AND v.event_type = 'view'
          AND v.ts >= p.ts - INTERVAL 1 HOUR
          AND v.ts <= p.ts
+    """,
+    # replay of the outer-join drain: matched pairs are exact inner
+    # semantics; null-extended rows are the unmatched purchases whose
+    # eviction the final watermark guarantees (ts < min over both
+    # sides of max(event time) - 10 min) — unmatched purchases at or
+    # above the watermark are still buffered when the drain stops and
+    # never surface (boundary pinned by test_stream_semantics)
+    "stream_stream_left_outer": """
+        WITH views AS (
+          SELECT user_id AS v_user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        purchases AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+          SELECT least((SELECT max(view_ts) FROM views),
+                       (SELECT max(ts) FROM purchases))
+                 - INTERVAL 10 MINUTE AS w
+        ),
+        matched AS (
+          SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.view_ts
+          FROM purchases p JOIN views v
+            ON p.user_id = v.v_user_id
+           AND v.view_ts >= p.ts - INTERVAL 1 HOUR
+           AND v.view_ts <= p.ts
+        )
+        SELECT purchase_id, user_id, ts, view_id, view_ts FROM matched
+        UNION ALL
+        SELECT p.purchase_id, p.user_id, p.ts,
+               CAST(NULL AS BIGINT) AS view_id,
+               CAST(NULL AS TIMESTAMP) AS view_ts
+        FROM purchases p CROSS JOIN wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.purchase_id = p.purchase_id)
     """,
 }

@@ -153,6 +153,7 @@ _STREAMING_INCLUDED = [
     "stream_poll_tick",
     "stream_static_join",
     "stream_stream_join",
+    "stream_stream_left_outer",
     "stream_hll_distinct",
     "stream_cdc_apply",
     "stream_tumbling_watermark",

@@ -507,3 +507,53 @@ def test_phash_and_features_oracles_handle_empty_and_huge_docs(
         for r in M.media_phash_dedup(spark, str(tmp_path)).collect()
     }
     assert (0, 3) in pairs
+
+
+def test_stream_left_outer_null_emission_boundary(spark, tmp_path):
+    """Pin the outer-join null-emission predicate the
+    stream_stream_left_outer oracle relies on: an unmatched purchase
+    STRICTLY below the final watermark (min over both sides of
+    max(event time) − 10 min) emits a null-extended row in the drain;
+    an unmatched purchase at or above it stays in state and never
+    surfaces. Crafted so the watermark lands exactly on one purchase's
+    ts (03:00) to pin the at-equality case, with tail events at 03:10
+    on BOTH sides setting the watermark."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_architect_spark.streaming import stateful as S
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: matched pair (view 30 min before the purchase)
+        (1, 1, "view", base.replace(hour=0, minute=30)),
+        (2, 1, "purchase", base.replace(hour=1)),
+        # user 2: unmatched purchase far below the watermark -> null row
+        (3, 2, "purchase", base.replace(hour=1)),
+        # user 3: unmatched purchase AT the watermark (03:00 exactly)
+        (4, 3, "purchase", base.replace(hour=3)),
+        # user 4: unmatched purchase above the watermark -> stays in state
+        (5, 4, "purchase", base.replace(hour=3, minute=5)),
+        # tails on both sides (DIFFERENT users, so they can't match
+        # each other): watermark = 03:10 - 10 min = 03:00
+        (6, 8, "view", base.replace(hour=3, minute=10)),
+        (7, 9, "purchase", base.replace(hour=3, minute=10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = S.stream_stream_left_outer(spark, str(tmp_path)).collect()
+    matched = {(r.purchase_id, r.view_id) for r in out if r.view_id is not None}
+    nulls = {r.purchase_id for r in out if r.view_id is None}
+    assert matched == {(2, 1)}
+    # strictly-below emits; at-equality and above do not
+    assert nulls == {3}
