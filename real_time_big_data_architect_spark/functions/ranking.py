@@ -103,6 +103,94 @@ def range_partitioned_rank(
     )
 
 
+def quantile_partitioned_rank(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    *,
+    descending: bool = False,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``range_partitioned_rank`` for the common (numeric key,
+    unique tiebreak) shape, with NO input-sized persist.
+
+    The generic helper must persist its range-shuffled relation because
+    RangePartitioner re-samples split points per RDD instantiation —
+    two compilations of the subtree could disagree on boundaries. Here
+    the boundaries are instead computed ONCE as literals: one
+    ``percentile_approx`` aggregation (partial-agg map pass, a
+    #partitions-sized driver collect — model-parameter class) yields
+    interior cut points, and every row's partition id is a pure map
+    expression (count of bounds beyond the key). Determinism no longer
+    depends on which physical instantiation ran, so nothing needs
+    caching; correctness never depends on the bound VALUES at all —
+    they only balance partition sizes (rank = broadcast offset + local
+    row_number is exact for any monotone, consistent pid assignment).
+
+    Equal keys always share a pid (pid is a function of the key), so
+    the within-pid ``row_number`` over (key, tiebreak) resolves ties
+    exactly like the global window would. NULL keys take a dedicated
+    first/last pid matching Spark's sort defaults (ASC → NULLS FIRST,
+    DESC → NULLS LAST). Ranks are identical to ``row_number() OVER
+    (ORDER BY key [DESC], tiebreak)`` — property-tested.
+    """
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    from pyspark.sql import Window as W
+
+    pid, off, cnt = _helper_cols(df, "__pid", "__off", "__cnt")
+    fracs = [i / npart for i in range(1, npart)]
+    bounds = []
+    if fracs:
+        row = df.agg(
+            F.percentile_approx(key_col, fracs, 10_000).alias("b")
+        ).first()
+        # de-duplicate: repeated cut points (heavy ties) would create
+        # empty pids — harmless, but dropping them keeps the when-chain
+        # short; None percentiles (all-NULL input) mean no bounds
+        seen = set()
+        for b in row.b or []:
+            if b is not None and b not in seen:
+                seen.add(b)
+                bounds.append(b)
+    key = F.col(key_col)
+    above = [
+        (key < F.lit(b)) if descending else (key > F.lit(b))
+        for b in (sorted(bounds, reverse=True) if descending else sorted(bounds))
+    ]
+    pid_expr = F.lit(0)
+    for cond in above:
+        pid_expr = pid_expr + cond.cast("int")
+    # NULLS FIRST for ascending, NULLS LAST for descending (Spark sort
+    # defaults, and what the single-partition window would do)
+    pid_expr = F.when(
+        key.isNull(), F.lit(-1) if not descending else F.lit(len(bounds) + 1)
+    ).otherwise(pid_expr)
+    order = [
+        key.desc_nulls_last() if descending else key.asc_nulls_first(),
+        F.col(tiebreak_col).asc(),
+    ]
+    with_pid = df.withColumn(pid, pid_expr)
+    local = F.row_number().over(W.partitionBy(pid).orderBy(*order))
+    counts = with_pid.groupBy(pid).agg(F.count("*").alias(cnt))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left"
+        )
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(F.coalesce(F.sum(f"b.{cnt}"), F.lit(0)).alias(off))
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), pid)
+        .withColumn(rank_col, F.col(off) + local)
+        .drop(pid, off)
+    )
+
+
 def _helper_cols(df: DataFrame, *names: str) -> tuple[str, ...]:
     """Helper column names guaranteed not to collide with ``df``'s."""
     cols = tuple(names)

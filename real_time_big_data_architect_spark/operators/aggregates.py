@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_sum
 from real_time_big_data_architect_spark.functions.ranking import (
-    range_partitioned_rank,
+    quantile_partitioned_rank,
 )
 from real_time_big_data_architect_spark.tables import load_table
 
@@ -515,17 +515,27 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     score = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
+    # NOT persisted: the rank helper consumes its input three times
+    # (bounds, counts, keyed window), but the embeddings projection is
+    # cheap to recompute (one dot product per row) and measured
+    # caching recovered nothing at sf0.1 — the residual is per-job
+    # overhead, not recompute. auc_rank therefore runs with ZERO
+    # cached relations; correctness never depends on caching anywhere
+    # in the quantile-rank path (deterministic literal bounds).
     scored = emb.select(
         "vec_id",
         (F.col("label") % 2 == 0).alias("pos"),
         score.alias("score"),
     )
-    # range-partitioned two-pass rank (functions/ranking.py) — identical
+    # sketch-bounded two-pass rank (functions/ranking.py) — identical
     # to row_number() OVER (ORDER BY score, vec_id) but with NO
-    # single-partition WindowExec: the sort is a parallel range shuffle,
-    # the global offset a partition-count-sized broadcast join.
-    ranked = range_partitioned_rank(
-        scored, F.col("score"), F.col("vec_id"), rank_col="rnk"
+    # single-partition WindowExec AND no input-sized persist: literal
+    # quantile bounds make the partition assignment deterministic
+    # across plan instantiations, so nothing needs caching (the
+    # RangePartitioner variant had to persist to pin its sampled
+    # boundaries — the r5 bench's one real regression).
+    ranked = quantile_partitioned_rank(
+        scored, "score", "vec_id", rank_col="rnk"
     )
     agg = ranked.agg(
         F.sum(F.when(F.col("pos"), F.col("rnk")).otherwise(0)).alias(

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.ranking import (
     ntile_from_rank,
-    range_partitioned_rank,
+    quantile_partitioned_rank,
 )
 from real_time_big_data_architect_spark.tables import load_table
 
@@ -344,23 +344,31 @@ def curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The score is a shuffle-free map pass (per-row array expressions);
     the decile replays NTILE(10) OVER (ORDER BY score DESC, doc_id)
     bit-exactly WITHOUT the single-partition window the window function
-    itself would plan: global rank via the range-partitioned two-pass
-    row_number (functions/ranking.py — parallel range shuffle +
-    broadcast offsets), then the exact ANSI NTILE bucket as a map
-    expression from (rank, N) via ntile_from_rank. Oracle unchanged —
+    itself would plan: global rank via the sketch-bounded two-pass
+    row_number (functions/ranking.py — literal quantile bounds, keyed
+    window, broadcast offsets; deterministic with NO input-sized
+    persist), then the exact ANSI NTILE bucket as a map expression
+    from (rank, N) via ntile_from_rank. Oracle unchanged —
     it still states plain NTILE. `decile_cutpoints` remains the
     percentile-cutpoint alternative when rank-exact bucket edges are
     not required. Every fp op token-mirrored in the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = _score_projection(docs)
-    ranked = range_partitioned_rank(
-        scored, F.col("score").desc(), F.col("doc_id").asc(), rank_col="__rnk"
+    # persisted: the rank helper consumes its input three times
+    # (quantile bounds, per-pid counts, final keyed window) — without
+    # the cache the expensive tokenization in _score_projection would
+    # run three times; the cached relation is the NARROW (doc_id,
+    # lang, score) projection, not the corpus. Repo tools clearCache()
+    # between queries (the session-wide convention).
+    scored = _score_projection(docs).persist()
+    ranked = quantile_partitioned_rank(
+        scored, "score", "doc_id", descending=True, rank_col="__rnk"
     )
-    # N from the ranked relation itself (max rank == COUNT(*)): rides
-    # the rank helper's persisted pass instead of scanning and scoring
-    # the documents table a second time
-    n_tbl = ranked.agg(F.max("__rnk").alias("__n"))
+    # N from a plain COUNT(*) over the table: the rank helper no
+    # longer persists anything, so riding its relation for N (the old
+    # max(__rnk) trick) would recompute the whole rank pipeline; a
+    # count-star scan is far cheaper than a second score+rank pass
+    n_tbl = docs.agg(F.count("*").alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(n_tbl))
         .select(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.ranking import (
-    range_partitioned_rank,
+    quantile_partitioned_rank,
 )
 from real_time_big_data_architect_spark.tables import load_table
 
@@ -111,28 +111,31 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    # final rank attachment: range-partitioned two-pass row_number
+    # final rank attachment: sketch-bounded two-pass row_number
     # (functions/ranking.py) over (pr desc, user_id) — identical ranks
     # to ROW_NUMBER() OVER (ORDER BY pr DESC, user_id), but the sort is
-    # a parallel range shuffle instead of one WindowExec task holding
-    # every node (at 100 TB node count the single-partition window is a
-    # driver-sized sort — the r4 scale-killer).
-    rank_caches: list = []
+    # a parallel keyed-window shuffle instead of one WindowExec task
+    # holding every node (at 100 TB node count the single-partition
+    # window is a driver-sized sort — the r4 scale-killer). The
+    # quantile-bounds variant is deterministic with no internal
+    # persist, so there is no helper cache to release — but it consumes
+    # its input three times (bounds, counts, keyed window), so the
+    # node-sized final-round pr relation is persisted here and released
+    # with the other intermediates below.
+    pr = pr.persist()
     result = (
-        range_partitioned_rank(
-            pr, F.col("pr").desc(), F.col("user_id").asc(), rank_col="rank",
-            cache_registry=rank_caches,
+        quantile_partitioned_rank(
+            pr, "pr", "user_id", descending=True, rank_col="rank"
         )
         .select("user_id", F.col("pr").alias("pagerank"), "rank")
         .persist()
     )
     # same cache hygiene as bfs_khop: materialize the node-sized result
     # once, then release every intermediate persist (edges, weighted
-    # edges, nodes, and the rank helper's internal relation) instead of
-    # leaking them into executor storage on every invocation
+    # edges, nodes) instead of leaking them into executor storage on
+    # every invocation
     result.count()
-    for h in rank_caches:
-        h.unpersist()
+    pr.unpersist()
     ew.unpersist()
     edges.unpersist()
     nodes.unpersist()

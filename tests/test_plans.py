@@ -214,15 +214,17 @@ def test_no_row_at_a_time_python_in_any_query_plan(spark, sf_small):
     assert not cartesians, f"unexpected cartesian joins in: {cartesians}"
 
 
-def test_global_ranks_plan_without_any_window(spark, sf_small):
-    """The r5 de-globalized ranks must not plan a ranking window AT
-    ALL: the two-pass rank is a range shuffle + broadcast offsets.
-    Markers verified non-vacuous against real formatted plans:
-    auc_rank / curation_score plan ZERO Window nodes of any kind, and
-    pagerank's only window function is the PARTITIONED lead() in edge
-    extraction — a row_number()/ntile() anywhere in these plans means
-    the single-partition global rank (the r4 scale-killer) snuck
-    back in."""
+def test_global_ranks_plan_only_partitioned_windows(spark, sf_small):
+    """The de-globalized ranks must never plan an UNPARTITIONED window:
+    the sketch-bounded two-pass rank runs its row_number inside a
+    pid-keyed window (parallel), with broadcast offsets supplying the
+    global part. Every windowspecdefinition in these plans must open
+    with a partition column — a spec opening directly with the sort
+    expression means the single-task global rank (the r4 scale-killer)
+    snuck back in. ntile() must never appear (the NTILE replay is a map
+    expression from rank and N)."""
+    import re
+
     from real_time_big_data_architect_spark.operators import (
         aggregates,
         curation,
@@ -230,13 +232,17 @@ def test_global_ranks_plan_without_any_window(spark, sf_small):
     )
     from real_time_big_data_architect_spark.plans import explain
 
-    for fn in (aggregates.auc_rank, curation.curation_score):
+    saw_spec = False
+    for fn in (aggregates.auc_rank, curation.curation_score, graph.pagerank):
         plan = explain.formatted_plan(fn(spark, sf_small))
-        assert "Window" not in plan, fn.__name__
-        assert "row_number" not in plan and "ntile" not in plan, fn.__name__
-    plan = explain.formatted_plan(graph.pagerank(spark, sf_small))
-    assert "lead(" in plan  # the edge-extraction windows are still there
-    assert "row_number" not in plan and "ntile" not in plan
+        assert "ntile" not in plan, fn.__name__
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        saw_spec = saw_spec or bool(specs)
+        for spec in specs:
+            first = spec.split(",")[0].strip()
+            assert not first.endswith("ASC NULLS FIRST"), (fn.__name__, spec)
+            assert not first.endswith("DESC NULLS LAST"), (fn.__name__, spec)
+    assert saw_spec  # non-vacuous: the keyed rank windows ARE planned
 
 
 def test_window_count_distinct_two_keyed_windows(spark, sf_small):

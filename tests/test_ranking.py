@@ -160,11 +160,6 @@ def test_prefix_max_matches_unpartitioned_window(spark):
     assert joined.filter(~F.col("pm").eqNullSafe(F.col("ref"))).count() == 0
 
 
-def librarian_mix():
-    """A multiplier coprime with 97 so v cycles through all residues."""
-    return 37
-
-
 def test_prefix_max_more_partitions_than_rows(spark):
     df = spark.createDataFrame(
         [(1, 5), (2, 3), (3, 9), (4, 1)], "k long, v long"
@@ -214,4 +209,85 @@ def test_key_lead_property_equals_sorted_successor(spark, keys, npart):
     }
     s = sorted(keys)
     want = {k: (s[i + 1] if i + 1 < len(s) else None) for i, k in enumerate(s)}
+    assert got == want
+
+
+from real_time_big_data_architect_spark.functions.ranking import (  # noqa: E402
+    quantile_partitioned_rank,
+)
+
+
+def test_quantile_rank_matches_window_asc_and_desc(spark):
+    # heavy ties (v = id % 5) force tie resolution through the tiebreak
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    for desc in (False, True):
+        got = quantile_partitioned_rank(
+            df, "v", "id", descending=desc, rank_col="rnk"
+        )
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+        ref = F.row_number().over(Window.orderBy(*order))
+        assert (
+            got.withColumn("ref", ref)
+            .filter(F.col("rnk") != F.col("ref"))
+            .count()
+            == 0
+        ), f"descending={desc}"
+
+
+def test_quantile_rank_null_keys_first_asc_last_desc(spark):
+    rows = [(0, None), (1, 5.0), (2, 1.0), (3, None), (4, 3.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    asc = {
+        r.id: r.rnk
+        for r in quantile_partitioned_rank(df, "v", "id", rank_col="rnk")
+        .collect()
+    }
+    # NULLS FIRST (by id), then 1.0, 3.0, 5.0
+    assert asc == {0: 1, 3: 2, 2: 3, 4: 4, 1: 5}
+    desc = {
+        r.id: r.rnk
+        for r in quantile_partitioned_rank(
+            df, "v", "id", descending=True, rank_col="rnk"
+        ).collect()
+    }
+    # 5.0, 3.0, 1.0, then NULLS LAST (by id)
+    assert desc == {1: 1, 4: 2, 2: 3, 0: 4, 3: 5}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    npart=st.integers(min_value=1, max_value=40),
+)
+def test_quantile_rank_property_equals_sorted_position(spark, vals, npart):
+    """For ANY value multiset (NULLs included) and ANY partition
+    count, the sketch-bounded rank equals the row's position in the
+    (v NULLS FIRST, id) sort — bound values only balance partitions,
+    never affect ranks."""
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.rnk
+        for r in quantile_partitioned_rank(
+            df, "v", "id", rank_col="rnk", num_partitions=npart
+        ).collect()
+    }
+    key = lambda t: (0, 0.0, t[0]) if t[1] is None else (1, t[1], t[0])
+    want = {
+        rid: i + 1 for i, (rid, _) in enumerate(sorted(rows, key=key))
+    }
     assert got == want
