@@ -26,6 +26,23 @@ of the sampled range boundaries.
 Exactness: identical to ``row_number() OVER (ORDER BY ...)`` — ranks
 are consecutive 1..N in sort order, so every oracle written against
 ROW_NUMBER/NTILE stays valid unchanged.
+
+Two implementations of the idea live here:
+
+- ``range_partitioned_rank`` — arbitrary sort expressions; uses
+  ``repartitionByRange`` and therefore must persist the shuffled
+  relation (RangePartitioner samples split points per instantiation;
+  the persist pins ONE set of boundaries).
+- ``quantile_partitioned_rank`` — the (numeric key, unique tiebreak)
+  fast path the engine's global ranks use: boundaries are LITERALS
+  from one ``percentile_approx`` pass, partition assignment is a pure
+  map expression, and NOTHING needs caching for correctness — bound
+  values only balance partition sizes. Preferred wherever its
+  restricted key shape fits.
+
+``range_partitioned_prefix_max`` / ``range_partitioned_key_lead``
+apply the same two-pass discipline to running-max and
+global-successor windows.
 """
 
 from __future__ import annotations
