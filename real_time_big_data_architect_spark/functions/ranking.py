@@ -42,7 +42,8 @@ Two implementations of the idea live here:
 
 ``range_partitioned_prefix_max`` / ``range_partitioned_key_lead``
 apply the same two-pass discipline to running-max and
-global-successor windows.
+global-successor windows; both run on the literal-bounds pass (no
+persist anywhere in their paths).
 """
 
 from __future__ import annotations
@@ -159,33 +160,8 @@ def quantile_partitioned_rank(
     from pyspark.sql import Window as W
 
     pid, off, cnt = _helper_cols(df, "__pid", "__off", "__cnt")
-    fracs = [i / npart for i in range(1, npart)]
-    bounds = []
-    if fracs:
-        row = df.agg(
-            F.percentile_approx(key_col, fracs, 10_000).alias("b")
-        ).first()
-        # de-duplicate: repeated cut points (heavy ties) would create
-        # empty pids — harmless, but dropping them keeps the when-chain
-        # short; None percentiles (all-NULL input) mean no bounds
-        seen = set()
-        for b in row.b or []:
-            if b is not None and b not in seen:
-                seen.add(b)
-                bounds.append(b)
+    pid_expr = _literal_pid_expr(df, key_col, descending, npart)
     key = F.col(key_col)
-    above = [
-        (key < F.lit(b)) if descending else (key > F.lit(b))
-        for b in (sorted(bounds, reverse=True) if descending else sorted(bounds))
-    ]
-    pid_expr = F.lit(0)
-    for cond in above:
-        pid_expr = pid_expr + cond.cast("int")
-    # NULLS FIRST for ascending, NULLS LAST for descending (Spark sort
-    # defaults, and what the single-partition window would do)
-    pid_expr = F.when(
-        key.isNull(), F.lit(-1) if not descending else F.lit(len(bounds) + 1)
-    ).otherwise(pid_expr)
     order = [
         key.desc_nulls_last() if descending else key.asc_nulls_first(),
         F.col(tiebreak_col).asc(),
@@ -216,33 +192,45 @@ def _helper_cols(df: DataFrame, *names: str) -> tuple[str, ...]:
     return cols
 
 
-def _ranged_with_pid(
-    df: DataFrame,
-    order_col: str,
-    pid: str,
-    num_partitions: int | None,
-    cache_registry: list | None,
-) -> DataFrame:
-    """Shared pass 1 of the two-pass primitives: range-shuffle on the
-    total-order key, sort within partitions, attach the physical
-    partition index, and persist so every downstream branch sees ONE
-    set of range boundaries (the same determinism argument as
-    ``range_partitioned_rank`` — RangePartitioner re-samples splitters
-    per instantiation)."""
-    spark = df.sparkSession
-    npart = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    mid = F.monotonically_increasing_id()
-    with_pid = (
-        df.repartitionByRange(npart, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .select("*", F.shiftright(mid, 33).alias(pid))
-        .persist()
-    )
-    if cache_registry is not None:
-        cache_registry.append(with_pid)
-    return with_pid
+def _literal_pid_expr(
+    df: DataFrame, key_col: str, descending: bool, npart: int
+):
+    """Shared pass 1 of the quantile-bounded primitives: collect
+    interior percentile cut points ONCE (one partial-agg pass; a
+    #partitions-sized driver collect — model-parameter class) and
+    return the pure map expression assigning each row its partition
+    index = count of bounds beyond the key. Being literals, the bounds
+    are identical across every plan instantiation — determinism needs
+    no cache — and their VALUES only balance partition sizes; the
+    callers' results are exact for any monotone, consistent pid
+    assignment. Equal keys always share a pid. NULL keys take a
+    dedicated first/last pid matching Spark's sort defaults (ASC →
+    NULLS FIRST, DESC → NULLS LAST)."""
+    fracs = [i / npart for i in range(1, npart)]
+    bounds = []
+    if fracs:
+        row = df.agg(
+            F.percentile_approx(key_col, fracs, 10_000).alias("b")
+        ).first()
+        # de-duplicate: repeated cut points (heavy ties) would create
+        # empty pids — harmless, but dropping them keeps the when-chain
+        # short; None percentiles (all-NULL input) mean no bounds
+        seen = set()
+        for b in row.b or []:
+            if b is not None and b not in seen:
+                seen.add(b)
+                bounds.append(b)
+    key = F.col(key_col)
+    above = [
+        (key < F.lit(b)) if descending else (key > F.lit(b))
+        for b in (sorted(bounds, reverse=True) if descending else sorted(bounds))
+    ]
+    pid_expr = F.lit(0)
+    for cond in above:
+        pid_expr = pid_expr + cond.cast("int")
+    return F.when(
+        key.isNull(), F.lit(-1) if not descending else F.lit(len(bounds) + 1)
+    ).otherwise(pid_expr)
 
 
 def range_partitioned_prefix_max(
@@ -261,18 +249,24 @@ def range_partitioned_prefix_max(
 
     Contract: ``order_col`` values are unique (a total order), exactly
     like the single-partition window this replaces would need for a
-    deterministic answer. Two-pass: per-partition exclusive running max
-    (a PARTITIONED window over the range shuffle), plus the exclusive
-    cross-partition prefix of per-partition maxima via the triangular
-    broadcast join — Spark's ``greatest`` skips NULLs, so the first
-    partition (no prior maxima) and each partition's first row (no
-    local prefix) fold correctly.
+    deterministic answer. Two-pass on literal quantile bounds
+    (``_literal_pid_expr`` — deterministic, nothing persisted):
+    per-partition exclusive running max (a pid-KEYED window), plus the
+    exclusive cross-partition prefix of per-partition maxima via the
+    triangular broadcast join — Spark's ``greatest`` skips NULLs, so
+    the first partition (no prior maxima) and each partition's first
+    row (no local prefix) fold correctly. ``cache_registry`` is
+    retained for API compatibility; nothing is cached.
     """
     from pyspark.sql import Window as W
 
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     pid, vmax, pmax = _helper_cols(df, "__pid", "__vmax", "__pmax")
-    with_pid = _ranged_with_pid(
-        df, order_col, pid, num_partitions, cache_registry
+    with_pid = df.withColumn(
+        pid, _literal_pid_expr(df, order_col, False, npart)
     )
     w = (
         W.partitionBy(pid)
@@ -306,19 +300,26 @@ def range_partitioned_key_lead(
     order (NULL for the global maximum) — the distributed replacement
     for ``lead(k).over(Window.orderBy(k))``.
 
-    Contract: unique keys. Per-partition ``lead`` over the range
-    shuffle covers every adjacent pair inside a partition; each
-    partition's LAST row takes the minimum key of any LATER partition
-    (a partition-count-sized triangular broadcast join), which is
-    exactly its global successor because range partitions are
-    key-ordered. Empty/skipped partition indices fall out naturally —
-    the triangular join only sees partitions that hold rows.
+    Contract: unique keys. Two-pass on literal quantile bounds
+    (``_literal_pid_expr`` — deterministic, nothing persisted):
+    per-partition ``lead`` inside a pid-keyed window covers every
+    adjacent pair within a partition; each partition's LAST row takes
+    the minimum key of any LATER partition (a partition-count-sized
+    triangular broadcast join), which is exactly its global successor
+    because the pid assignment is monotone in the key. Partition
+    indices with no rows fall out naturally — the triangular join only
+    sees partitions that hold rows. ``cache_registry`` is retained for
+    API compatibility; nothing is cached.
     """
     from pyspark.sql import Window as W
 
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     pid, mn, nxt = _helper_cols(df, "__pid", "__mn", "__nxt")
-    with_pid = _ranged_with_pid(
-        df, key_col, pid, num_partitions, cache_registry
+    with_pid = df.withColumn(
+        pid, _literal_pid_expr(df, key_col, False, npart)
     )
     mins = with_pid.groupBy(pid).agg(F.min(key_col).alias(mn))
     a, b = mins.alias("a"), mins.alias("b")

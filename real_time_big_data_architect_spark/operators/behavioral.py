@@ -364,9 +364,10 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingest check that catches dropped batches (ids are
     producer-assigned and dense, so every jump > 1 is missing data).
 
-    The global successor comes from the range-partitioned two-pass
-    key-lead (functions/ranking.py) — per-partition ``lead`` over a
-    range shuffle plus boundary stitching via partition minima — NOT
+    The global successor comes from the sketch-bounded two-pass
+    key-lead (functions/ranking.py) — per-partition ``lead`` inside a
+    keyed window over literal quantile bounds, plus boundary stitching
+    via partition minima; deterministic with nothing persisted — NOT
     from ``lead().over(Window.orderBy(id))``, whose single
     unpartitioned window task would serialize the entire id stream at
     100 TB. Emits each gap's bounds and width, nothing when dense.

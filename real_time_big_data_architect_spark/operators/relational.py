@@ -99,13 +99,14 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells, the plan collapses to per-price group maxima (one partial
     agg) plus one running max over price order: dominated ⇔ a strictly
     cheaper price group reaches my size, or my own price group exceeds
-    it. The running max uses the range-partitioned two-pass prefix-max
-    (functions/ranking.py), NOT an unpartitioned window — prices are
+    it. The running max uses the sketch-bounded two-pass prefix-max
+    (functions/ranking.py — literal quantile bounds, keyed window,
+    nothing persisted), NOT an unpartitioned window — prices are
     near-continuous, so the distinct-price table scales WITH the corpus
     and a single-task window here would be the same scale-killer the
-    r5 rank rewires removed. One agg shuffle + one range shuffle + a
-    broadcast join back — the standard distributed skyline for 2
-    dimensions.
+    r5 rank rewires removed. One agg shuffle + one keyed-window
+    shuffle + a broadcast join back — the standard distributed skyline
+    for 2 dimensions.
     """
     p = load_table(spark, sf_dir, "part")
     gp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
