@@ -411,7 +411,12 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    # Explicit NULLS FIRST: a NULL month (unknown order date) sorts as
+    # the series base on both engines (Spark defaults NULLS FIRST,
+    # DuckDB NULLS LAST — the oracle pins the same direction).
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("month").asc_nulls_first()
+    )
     prev = F.lag("revenue").over(w)
     return monthly.select(
         "c_mktsegment",
@@ -666,7 +671,7 @@ ORACLE = {
                (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
                    AS mom_pct
         FROM monthly
-        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month NULLS FIRST)
     """,
     "argminmax_agg": """
         SELECT event_type,

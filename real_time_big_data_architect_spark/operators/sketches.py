@@ -112,11 +112,17 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # o_orderdate is a timestamp: force an explicit second-precision
     # format (both engines' default VARCHAR casts differ on fractional
-    # seconds) so the digest bytes agree.
+    # seconds) so the digest bytes agree. NULL cells serialize to an
+    # explicit sentinel — concat_ws would silently SKIP them (making
+    # "a|NULL|b" collide with "a|b" and diverging from the oracle's
+    # NULL-propagating || chain).
     parts = [
-        F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
-        if c == "o_orderdate"
-        else F.col(c).cast("string")
+        F.coalesce(
+            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+            if c == "o_orderdate"
+            else F.col(c).cast("string"),
+            F.lit("\\N"),
+        )
         for c in _CHECKSUM_COLS
     ]
     row_digest = F.conv(
@@ -529,10 +535,11 @@ ORACLE = {
     "table_checksum": """
         SELECT COUNT(*) AS n_rows,
                CAST(SUM(CAST(('0x' || substr(md5(
-                     CAST(o_orderkey AS VARCHAR) || '|' ||
-                     CAST(o_custkey AS VARCHAR) || '|' ||
-                     o_orderstatus || '|' ||
-                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 8)) AS BIGINT))
+                     COALESCE(CAST(o_orderkey AS VARCHAR), '\\N') || '|' ||
+                     COALESCE(CAST(o_custkey AS VARCHAR), '\\N') || '|' ||
+                     COALESCE(o_orderstatus, '\\N') || '|' ||
+                     COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '\\N')
+                     ), 1, 8)) AS BIGINT))
                  AS BIGINT) AS content_checksum
         FROM orders
     """,

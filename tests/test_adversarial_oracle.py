@@ -354,6 +354,11 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (18, 9999, "O", 42.0, d95, "4-NOT SPECIFIED"),  # orphan custkey
         (21, 1, "F", 7.75, d04, "1-URGENT"),
         (22, 1, "O", 7.75, d95, "1-URGENT"),  # same price as key 21
+        # NULL price and NULL date: aggregates must skip, predicates
+        # must reject, COUNT(col) vs COUNT(*) must diverge identically
+        # in both engines
+        (25, 2, "O", None, d95, "2-HIGH"),
+        (26, 3, "F", 11.0, None, "5-LOW"),
     ]
     spark.createDataFrame(
         orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
@@ -367,6 +372,11 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (3, 0, 0, 1, 2.0, 55.5, 0.05, 0.0, "A", "F", d95),
         (7, 1, 1, 1, 3.0, 10.0, 0.10, 0.02, "N", "O", d99),
         (999, 0, 0, 1, 4.0, 20.0, 0.0, 0.0, "N", "O", d95),  # orphan
+        # NULL qty/discount/tax: SUM skips on both sides while
+        # COUNT(*) still counts the row; NULL shipdate fails every
+        # range predicate in both engines
+        (3, 1, 1, 2, None, 30.0, None, None, "A", "F", d95),
+        (7, 0, 0, 2, 5.0, 40.0, 0.05, 0.01, "N", "O", None),
     ]
     spark.createDataFrame(
         li, "l_orderkey long, l_partkey long, l_suppkey long,"
