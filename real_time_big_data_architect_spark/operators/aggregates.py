@@ -72,11 +72,33 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — the 100 TB path (rows-only check;
-    HLL estimates are implementation-specific, so no DuckDB oracle)."""
+    """HLL approximate distinct, oracle-certified against its own exact
+    pass — the 100 TB path with its error bound made hash-checkable.
+
+    The estimate itself is HLL++-implementation-specific, so it can
+    never hash against DuckDB directly. Instead the declared query
+    co-computes the EXACT distinct count (one multi-agg pass; Catalyst
+    expands both aggregates over a single scan) and emits the exact
+    value plus a boolean certifying the estimate landed inside 3×rsd
+    (+1 for single-digit groups). The oracle recomputes the exact count
+    and asserts the boolean TRUE — a hash match therefore proves both
+    the exact plumbing AND the sketch's accuracy contract. Production
+    at 100 TB runs the approx aggregate alone (constant-memory,
+    mergeable partials); the exact twin here is the certification
+    harness. Spark's HLL++ is hash-based and order-insensitive, so the
+    boolean is deterministic for a given fixture.
+    """
     ev = load_table(spark, sf_dir, "events")
+    rsd = 0.05
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd)
+                - F.countDistinct("user_id")
+            )
+            <= 3 * rsd * F.countDistinct("user_id") + F.lit(1)
+        ).alias("hll_in_bounds"),
     )
 
 
@@ -213,18 +235,60 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 10000  # GK sketch accuracy → rank error ≤ N/accuracy
+
+
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the Greenwald-Khanna sketch — the
-    100 TB path (mergeable partial sketches, no per-group sort).
-    Rows-only: sketch estimates are implementation-specific."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("value").isNotNull())
+    """Approximate percentiles via the Greenwald-Khanna sketch, with
+    the sketch's RANK-ERROR guarantee certified in the same query.
+
+    The sketch values are implementation-specific (never directly
+    DuckDB-hashable), but the guarantee is checkable: the returned
+    element's rank must lie within (q ± 1/accuracy)·N. Pass 1 builds
+    the per-type sketches (mergeable partials, no per-group sort — the
+    100 TB path); pass 2 broadcasts the dimension-sized sketch results
+    back over events and counts, tie-robustly, how many values fall
+    strictly below / at-or-below each estimate. The emitted booleans
+    assert the rank interval [cnt_lt+1, cnt_le] overlaps the guarantee
+    window (±1 rank of fp slack). The oracle recomputes the group
+    cardinalities and asserts TRUE — a hash match proves the sketch met
+    its contract on this fixture.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("ap50"),
+        F.approx_percentile(
+            "value", F.lit(0.95), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("ap95"),
+    )
+    eps = 1.0 / APPROX_PCT_ACCURACY
+    counted = (
+        ev.join(F.broadcast(sk), "event_type")
         .groupBy("event_type")
         .agg(
-            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
-            F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+            F.count("*").alias("n_values"),
+            F.sum((F.col("value") < F.col("ap50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("ap50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("ap95")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("ap95")).cast("long")).alias("le95"),
         )
+    )
+    n = F.col("n_values")
+
+    def rank_ok(q: float, lt, le):
+        lo = F.floor((F.lit(q) - eps) * n) - F.lit(1)
+        hi = F.ceil((F.lit(q) + eps) * n) + F.lit(1)
+        return (lt + F.lit(1) <= hi) & (le >= lo)
+
+    return counted.select(
+        "event_type",
+        "n_values",
+        rank_ok(0.5, F.col("lt50"), F.col("le50")).alias("p50_rank_ok"),
+        rank_ok(0.95, F.col("lt95"), F.col("le95")).alias("p95_rank_ok"),
     )
 
 
@@ -624,6 +688,23 @@ _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
 ORACLE = {
     "auc_rank": _auc_oracle(),
+    # Sketch-certification oracles: the engine emits exact values plus
+    # booleans asserting its sketch estimates met their published error
+    # bounds; the oracle recomputes the exact side and asserts TRUE, so
+    # a hash match certifies the approximation contract.
+    "approx_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS hll_in_bounds
+        FROM events GROUP BY event_type
+    """,
+    "approx_quantiles": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               TRUE AS p50_rank_ok,
+               TRUE AS p95_rank_ok
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
     "weighted_median": """
         WITH cum AS (
             SELECT event_type, value,

@@ -350,23 +350,47 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def datasketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL via Spark 3.5's built-in
-    ``hll_sketch_agg`` / ``hll_union_agg``: per-type sketches built in
-    one pass, then UNION-merged to a global estimate — the
-    binary-mergeable sketch surface (rows-only: the estimate is
-    DataSketches-implementation-specific; the relational
-    ``hll_distinct`` above is the cross-engine-exact twin)."""
+    ``hll_sketch_agg`` / ``hll_union_agg``, oracle-certified: per-type
+    sketches built in one pass, then UNION-merged to a global estimate
+    — the binary-mergeable sketch surface.
+
+    The estimates are DataSketches-implementation-specific, so the
+    query certifies them instead of emitting them raw: each row carries
+    the EXACT distinct count plus a boolean asserting the estimate
+    landed within 3σ of the default-lgK=12 sketch (rse ≈ 1.6% → 5%,
+    +2 for tiny groups; the same bound the unit test has always
+    enforced). Crucially the ``__all__`` row certifies the MERGED
+    sketch — union of per-type partials — against a directly-computed
+    global exact count, proving merge associativity end-to-end. The
+    oracle recomputes both exact counts and asserts TRUE. Production at
+    100 TB ships the sketch columns alone; the relational
+    ``hll_distinct`` above is the cross-engine-exact twin.
+    """
     ev = load_table(spark, sf_dir, "events")
+    in_bounds = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users") + F.lit(2)
+    ).alias("hll_in_bounds")
     per_type = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    per_type_est = per_type.select(
+    per_type_rows = per_type.select(
         "event_type",
-        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
+        "exact_users",
+        F.expr("hll_sketch_estimate(sk)").alias("est"),
+    ).select("event_type", "exact_users", in_bounds)
+    merged_est = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
     )
-    global_est = per_type.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
-    ).select(F.lit("__all__").alias("event_type"), "est_users")
-    return per_type_est.unionByName(global_est)
+    global_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    global_row = (
+        merged_est.crossJoin(global_exact)
+        .select(
+            F.lit("__all__").alias("event_type"), "exact_users", in_bounds
+        )
+    )
+    return per_type_rows.unionByName(global_row)
 
 
 _PROFILE_COLS = (
@@ -439,6 +463,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Certification oracle: the engine emits exact counts plus booleans
+    # asserting the DataSketches estimates (per-type and union-merged
+    # global) met the 3σ bound; the oracle recomputes exact and asserts
+    # TRUE — a hash match certifies sketch accuracy AND mergeability.
+    "datasketch_hll": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS hll_in_bounds
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS hll_in_bounds
+        FROM events
+    """,
     "bitmap_distinct": """
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -413,8 +413,6 @@ def adv_dir(spark, tmp_path_factory) -> str:
 #: single-token texts, zero vectors). Streaming/TWS and the centroid
 #: family are excluded for the same reasons as above.
 _ROWS_ONLY_SMOKE = [
-    "approx_distinct",
-    "approx_quantiles",
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_signatures",

@@ -89,10 +89,10 @@ def test_percentiles_ordered_and_approx_close(spark, sf_small):
     exact = {r.event_type: (r.p25, r.p50, r.p90) for r in aggregates.percentile_agg(spark, sf_small).collect()}
     for p25, p50, p90 in exact.values():
         assert p25 <= p50 <= p90
-    approx = {r.event_type: (r.ap50, r.ap95) for r in aggregates.approx_quantiles(spark, sf_small).collect()}
-    for et, (ap50, _) in approx.items():
-        lo, hi = exact[et][0], exact[et][2]
-        assert lo <= ap50 <= hi  # sketch median within the exact p25..p90 band
+    approx = {r.event_type: (r.p50_rank_ok, r.p95_rank_ok) for r in aggregates.approx_quantiles(spark, sf_small).collect()}
+    assert approx.keys() == exact.keys()
+    for et, (ok50, ok95) in approx.items():
+        assert ok50 and ok95, f"{et}: GK sketch rank guarantee violated"
 
 
 def test_range_frame_matches_python_recompute(spark, sf_small):

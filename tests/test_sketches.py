@@ -192,8 +192,11 @@ def test_bitmap_and_datasketch_distinct(spark, sf_small):
         exact.setdefault(r.event_type, set()).add(r.user_id)
     got = {r.event_type: r.n_users for r in sk.bitmap_distinct(spark, sf_small).collect()}
     assert got == {k: len(v) for k, v in exact.items()}
-    est = {r.event_type: r.est_users for r in sk.datasketch_hll(spark, sf_small).collect()}
+    ds = {
+        r.event_type: (r.exact_users, r.hll_in_bounds)
+        for r in sk.datasketch_hll(spark, sf_small).collect()
+    }
     all_users = set().union(*exact.values())
     for et, s in exact.items():
-        assert abs(est[et] - len(s)) <= max(2, 0.05 * len(s))
-    assert abs(est["__all__"] - len(all_users)) <= max(2, 0.05 * len(all_users))
+        assert ds[et] == (len(s), True)
+    assert ds["__all__"] == (len(all_users), True)

@@ -74,11 +74,11 @@ def test_stream_session_windows_are_batch_sessions(spark, sf_small):
         assert want[key] == n
 
 
-def test_approx_distinct_within_hll_error(spark, sf_small):
+def test_approx_distinct_certified_and_exact(spark, sf_small):
     from real_time_big_data_architect_spark.operators import aggregates
 
-    est = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: (r.exact_users, r.hll_in_bounds)
         for r in aggregates.approx_distinct(spark, sf_small).collect()
     }
     exact = {
@@ -88,10 +88,10 @@ def test_approx_distinct_within_hll_error(spark, sf_small):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert est.keys() == exact.keys()
+    assert got.keys() == exact.keys()
     for k in exact:
-        rel = abs(est[k] - exact[k]) / max(exact[k], 1)
-        assert rel <= 0.05, f"{k}: HLL {est[k]} vs exact {exact[k]}"
+        assert got[k][0] == exact[k], f"{k}: exact path diverged"
+        assert got[k][1], f"{k}: HLL estimate outside 3-sigma bound"
 
 
 def test_multimodal_bundle_struct_shape(spark, sf_small):
