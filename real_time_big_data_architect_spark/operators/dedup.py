@@ -9,26 +9,33 @@ Absent from the reference (SURVEY §2.5); designed for 100 TB corpora:
   implement standard md5).
 - **MinHash + LSH near-dup** — shingle → 64 minhashes → band into 8
   buckets → guarded per-bucket pair generation (the standard big-data
-  near-dup design: Broder MinHash + banding LSH). Shingles hash via
-  crc32 inside the same Arrow-vectorized pandas UDF that computes the
-  64 affine permutations (one numpy pass — the interpreted
-  higher-order-function equivalent measured ~40× slower); band bucket
-  ids hash JVM-side (xxhash64). Buckets/pairs/scoring are built-in
-  expressions; pair generation shuffles only (band, bucket, doc_id).
-- **SimHash** — 64-bit signed-projection signature via salted-crc32
-  word hashes; near-dups = signatures at small Hamming distance,
-  banded with the same guarded bucket discipline.
+  near-dup design: Broder MinHash + banding LSH). Word hashes are
+  md5-derived (first 32 bits of the digest) inside the same
+  Arrow-vectorized pandas UDF that computes the 64 affine permutations
+  (one numpy pass — the interpreted higher-order-function equivalent
+  measured ~40× slower); band bucket ids are md5 prefixes JVM-side.
+  Buckets/pairs/scoring are built-in expressions; pair generation
+  shuffles only (band, bucket, doc_id).
+- **SimHash** — 64-bit signed-projection signature via md5-derived
+  word hashes (first 64 digest bits); near-dups = signatures at small
+  Hamming distance, banded with the same guarded bucket discipline.
 - **n-gram Jaccard** — exact pairwise verification on LSH candidates.
 
-Determinism: kernel-side hashes are crc32 with fixed salts, SQL-side
-hashes xxhash64/md5 with fixed seeds → stable across runs and
-partitionings.
+Determinism AND oracle-replayability: every hash in the family is
+md5-derived (word hash = first 8/16 hex chars of md5; bucket id = md5
+prefix of the band's value string), so the ENTIRE pipeline — shingle
+combine, affine permutations, banding, guarded pair chains, scoring —
+is replayed bit-exactly by the DuckDB oracles at the bottom of this
+module. A hash-grade differential covers what used to be rows-only
+(crc32/xxhash64 had no DuckDB twin). Per-batch word-hash memoization
+keeps the kernel at C speed: corpora are Zipfian, so the md5-per-word
+cost amortizes to the unique-vocabulary size, not the token count.
 """
 
 from __future__ import annotations
 
+import hashlib
 import random
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -109,6 +116,30 @@ def _shingles(text_col: str = "text"):
     )
 
 
+#: per-executor word→(hash32, hash64) memo. Both near-dup kernels hash
+#: the same Zipfian vocabulary over and over; md5 once per UNIQUE word
+#: makes the md5 swap (crc32 had no DuckDB twin; md5 does) cost ~the
+#: unique-vocab size per executor instead of the token count. Bounded:
+#: cleared past 2M entries (~100 MB) — correctness never depends on it.
+_WORD_HASH_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _word_hashes(w: str) -> tuple[int, int]:
+    """(first-32-bits, first-64-bits) of md5(utf8(w)) — the word-hash
+    pair shared by the MinHash and SimHash kernels. DuckDB replays it
+    as ``('0x' || substr(md5(w), 1, 8|16))::BIGINT|UBIGINT`` — the
+    property that upgrades this whole operator family from rows-only
+    to hash-grade oracle checks."""
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        hx = hashlib.md5(w.encode()).hexdigest()
+        h = (int(hx[:8], 16), int(hx[:16], 16))
+        if len(_WORD_HASH_CACHE) > 2_000_000:
+            _WORD_HASH_CACHE.clear()
+        _WORD_HASH_CACHE[w] = h
+    return h
+
+
 _A_MAT = np.array(MINHASH_A, dtype=np.int64)[:, None]
 _B_MAT = np.array(MINHASH_B, dtype=np.int64)[:, None]
 #: odd 16-bit coefficients for the rolling shingle combine — products
@@ -120,11 +151,14 @@ _SHINGLE_COEF = np.array([40503, 40993, 42061, 44543, 47629], dtype=np.int64)
 def _minhash_text(texts: pd.Series) -> pd.Series:
     """text → 64-value MinHash signature in ONE Arrow-batched kernel.
 
-    Per document: crc32 each word (zlib, C speed), combine every run of
-    SHINGLE_K consecutive word hashes with a fixed odd-coefficient dot
-    product mod 2^32 (``sliding_window_view`` — one vectorized pass
-    instead of S string slices), then the 64 affine permutations
-    ``min((a_j*h + b_j) mod p)`` as a single 64×S numpy broadcast.
+    Per document: md5-low-32 each word (memoized — see
+    :func:`_word_hashes`), combine every run of SHINGLE_K consecutive
+    word hashes with a fixed odd-coefficient dot product mod 2^32
+    (``sliding_window_view`` — one vectorized pass instead of S string
+    slices), then the 64 affine permutations ``min((a_j*h + b_j) mod
+    p)`` as a single 64×S numpy broadcast. Every step is integer
+    arithmetic over md5 values, so the DuckDB oracle replays the
+    signatures bit-exactly (see ``_minhash_cte``).
 
     This replaces a JVM ``transform(slice/concat_ws/xxhash64)`` stage:
     interpreted higher-order functions re-materialize every shingle as a
@@ -141,14 +175,14 @@ def _minhash_text(texts: pd.Series) -> pd.Series:
     for t in texts:
         # ''.split(' ') is [''] (not []), so test the text itself:
         # null/empty/whitespace-only docs get a null signature rather
-        # than a crc32('')-derived one that would pair every blank doc
+        # than an md5('')-derived one that would pair every blank doc
         # with every other blank doc as a spurious near-dup
         if t is None or not t.strip():
             out.append(None)
             continue
         words = t.split(" ")
         wh = np.fromiter(
-            (zlib.crc32(w.encode()) for w in words),
+            (_word_hashes(w)[0] for w in words),
             dtype=np.int64,
             count=len(words),
         )
@@ -183,17 +217,32 @@ def _chained_pairs_case(cap: int, k: int) -> str:
         END"""
 
 
+def _minhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, minhash array<long>) — the internal signature relation
+    consumed by the LSH/banding paths and tests."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", _minhash_text("text").alias("minhash"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64 MinHash values per document.
+    """64 MinHash values per document, serialized as one canonical
+    comma-joined string (driver-hashable; blank docs stay NULL).
 
     Each shingle is hashed **once**; the 64 minhashes derive from affine
     permutations ``(a_j*h + b_j) mod p`` — the classic universal-hash
     MinHash scheme (Broder) — all inside one Arrow-vectorized kernel
     (see :func:`_minhash_text`). No shuffle; at 100 TB this stage is
-    embarrassingly parallel.
+    embarrassingly parallel. Oracle: DuckDB recomputes the identical
+    signature from md5 word hashes (``_minhash_cte``) — a hash-grade
+    certification of the whole signature pipeline.
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", _minhash_text("text").alias("minhash"))
+    return _minhash_frame(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("minhash").isNotNull(),
+            F.concat_ws(",", F.transform(F.col("minhash"), lambda x: x.cast("string"))),
+        ).alias("sig"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,9 +283,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager dedupes by logical plan, so repeat invocations share
     # one entry. Null signatures (blank docs) are not near-dup
     # candidates — and concat_ws() skips NULLs, so leaving them in
-    # would funnel every blank doc into one shared xxhash64('') bucket.
+    # would funnel every blank doc into one shared md5('') bucket.
     sigs = (
-        minhash_signatures(spark, sf_dir)
+        _minhash_frame(spark, sf_dir)
         .filter(F.col("minhash").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -244,13 +293,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One SQL string -> one py4j round trip. The equivalent nested
     # Column construction is ~100 gateway calls and measured >1 s of
     # pure driver-side plan building per invocation at any SF.
+    # Bucket id = 64-bit md5 prefix of the band's value string (band
+    # index is the salt) — same shuffle width as the former xxhash64,
+    # but DuckDB computes the identical bucket, which is what makes the
+    # pair set oracle-replayable.
     band_exprs = ", ".join(
-        "xxhash64(concat_ws(',', {items}), {seed})".format(
+        "substr(md5(concat_ws(',', '{b}', {items})), 1, 16)".format(
+            b=b,
             items=", ".join(
                 f"cast(minhash[{b * rows_per_band + r}] as string)"
                 for r in range(rows_per_band)
             ),
-            seed=1000 + b,
         )
         for b in range(N_BANDS)
     )
@@ -332,12 +385,12 @@ SIMHASH_MAX_HAMMING = 3
 def _simhash_text(texts: pd.Series) -> pd.Series:
     """text → [simhash, band0..band3] in ONE Arrow-batched kernel.
 
-    Per document: 64-bit word hash from two salted crc32 calls (C
-    speed, like the minhash kernel — the former JVM
-    ``transform(xxhash64)`` word-hash stage was interpreted per
-    element), then bit-votes as a numpy W×64 broadcast, sign →
-    signature bits, packed into the 64-bit signature and its 4 16-bit
-    Hamming-LSH bands. No shuffle — embarrassingly parallel at 100 TB.
+    Per document: 64-bit word hash = first 64 bits of md5 (memoized,
+    see :func:`_word_hashes` — DuckDB replays it as
+    ``('0x' || substr(md5(w),1,16))::UBIGINT``), then bit-votes as a
+    numpy W×64 broadcast, sign → signature bits, packed into the
+    64-bit signature and its 4 16-bit Hamming-LSH bands. No shuffle —
+    embarrassingly parallel at 100 TB, and bit-exactly oracle-checked.
     """
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     out = []
@@ -347,21 +400,11 @@ def _simhash_text(texts: pd.Series) -> pd.Series:
             out.append(None)
             continue
         words = t.split(" ")
-        # single pass over the words: encode each once, derive both
-        # salted crc32 values from the cached bytes (identical values
-        # to the former two-pass form — signatures are unchanged)
-        enc = [w.encode() for w in words]
-        lo = np.fromiter(
-            (zlib.crc32(e) for e in enc),
+        u = np.fromiter(
+            (_word_hashes(w)[1] for w in words),
             dtype=np.uint64,
-            count=len(enc),
+            count=len(words),
         )
-        hi = np.fromiter(
-            (zlib.crc32(e + b"\x01") for e in enc),
-            dtype=np.uint64,
-            count=len(enc),
-        )
-        u = lo | (hi << np.uint64(32))
         bits = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         sig = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
@@ -390,9 +433,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, bit-vote over word hashes (NS6a).
 
     For each of the 64 bit positions: +1 when the word's 64-bit hash
-    (two salted crc32 halves, see _simhash_text) has the bit set, -1
-    otherwise; the signature bit is the sign of the vote (Charikar
-    SimHash). Full 64-bit signature space.
+    (md5-derived, see _simhash_text) has the bit set, -1 otherwise;
+    the signature bit is the sign of the vote (Charikar SimHash). Full
+    64-bit signature space, bit-exactly replayed by the DuckDB oracle.
     """
     return _simhash_bands(spark, sf_dir).select("doc_id", "simhash")
 
@@ -776,11 +819,11 @@ QUERIES = {
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_survivors": dedup_survivors,
     "doc_fingerprint": doc_fingerprint,
-    "minhash_signatures": minhash_signatures,  # rows-only (crc32-kernel-derived)
-    "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (xxhash64 is Spark-specific)
-    "simhash_signatures": simhash_signatures,  # rows-only (64-bit, crc32-kernel-derived)
-    "dedup_simhash": dedup_simhash,  # rows-only (Hamming ≤ 3 near-dup pairs)
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,  # rows-only
+    "minhash_signatures": minhash_signatures,  # oracle (md5-replayed signatures)
+    "dedup_minhash_lsh": dedup_minhash_lsh,  # oracle (md5 banding + guarded chains)
+    "simhash_signatures": simhash_signatures,  # oracle (md5 bit-votes)
+    "dedup_simhash": dedup_simhash,  # oracle (Hamming ≤ 3 near-dup pairs)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,  # oracle (exact Jaccard on LSH candidates)
     "dedup_clusters": dedup_clusters,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_url_canonical": dedup_url_canonical,
@@ -833,7 +876,248 @@ def _clusters_oracle() -> str:
         FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
     """
 
+#: DuckDB twin of the Python str.strip() blank-doc guard: every char
+#: Python treats as whitespace, so engine and oracle agree on which
+#: docs get NULL signatures.
+_BLANK_GUARD = (
+    "text IS NOT NULL AND trim(text, concat(' ', chr(9), chr(10), "
+    "chr(13), chr(11), chr(12))) <> ''"
+)
+
+
+def _minhash_cte() -> str:
+    """CTE replaying :func:`_minhash_text` bit-exactly in DuckDB.
+
+    ``wsx``: tokens (string_split on ' ' — same semantics as Python
+    ``str.split(' ')`` incl. empty tokens); ``whx``: md5-low-32 word
+    hashes; ``shx``: one row per shingle (odd-coefficient dot mod 2^32,
+    whole-doc fold for docs shorter than SHINGLE_K); ``mhx``: the 64
+    affine minima as columns m0..m63. All integer arithmetic — no fp.
+    """
+    coefs = [int(c) for c in _SHINGLE_COEF]
+    full = " + ".join(f"h[i+{j + 1}]*{c}" for j, c in enumerate(coefs))
+    partial = " + ".join(
+        f"CASE WHEN W >= {j + 1} THEN h[{j + 1}]*{c} ELSE 0 END"
+        for j, c in enumerate(coefs[: SHINGLE_K - 1])
+    )
+    mins = ",\n                   ".join(
+        f"MIN(({a}*s + {b}) % {P_MINHASH}) AS m{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""
+        WITH wsx AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+            WHERE {_BLANK_GUARD}
+        ),
+        whx AS (
+            SELECT doc_id, ws,
+                   list_transform(
+                       ws, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS h,
+                   len(ws) AS W
+            FROM wsx
+        ),
+        shx AS (
+            SELECT doc_id,
+                   CASE WHEN W >= {SHINGLE_K} THEN ({full}) % 4294967296
+                        ELSE ({partial}) % 4294967296 END AS s
+            FROM whx, LATERAL (SELECT unnest(range(
+                CASE WHEN W >= {SHINGLE_K}
+                     THEN W - {SHINGLE_K - 1} ELSE 1 END)) AS i)
+        ),
+        mhx AS (
+            SELECT doc_id,
+                   {mins}
+            FROM shx GROUP BY doc_id
+        )
+    """
+
+
+def _lsh_cand_cte() -> str:
+    """CTE replaying the banding + guarded pair generation of
+    :func:`dedup_minhash_lsh`: per-band md5-prefix buckets, probe-order
+    row numbers, exact pairs for buckets ≤ cap and next-k chains above
+    it (the rn-window form of ``_chained_pairs_case``, same shape as
+    the dedup_levenshtein oracle)."""
+    rpb = N_MINHASHES // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        items = ", ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        probe = f"m{((b + 1) * rpb) % N_MINHASHES}"
+        selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"substr(md5(concat_ws(',', '{b}', {items})), 1, 16) AS bucket, "
+            f"{probe} AS probe FROM mhx"
+        )
+    buckets = "\n            UNION ALL\n            ".join(selects)
+    return f"""
+        , bux AS (
+            {buckets}
+        ),
+        lox AS (
+            SELECT doc_id, band, bucket, probe,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                      ORDER BY probe, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS n
+            FROM bux
+        ),
+        candx AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b
+            FROM lox a JOIN lox b
+              ON a.band = b.band AND a.bucket = b.bucket AND b.rn > a.rn
+            WHERE a.n <= {LSH_BUCKET_CAP}
+               OR b.rn <= a.rn + {LSH_CHAIN_NEIGHBORS}
+        )
+    """
+
+
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(N_MINHASHES)
+)
+
+_LSH_SCORED = f"""
+        , lshx AS (
+            SELECT doc_a, doc_b, est_jaccard FROM (
+                SELECT c.doc_a, c.doc_b,
+                       ({_MH_MATCHES}) / {N_MINHASHES}.0 AS est_jaccard
+                FROM candx c
+                JOIN mhx sa ON sa.doc_id = c.doc_a
+                JOIN mhx sb ON sb.doc_id = c.doc_b
+            ) WHERE est_jaccard >= 0.5
+        )
+"""
+
+
+def _minhash_signatures_oracle() -> str:
+    sig = "concat_ws(',', " + ", ".join(f"m.m{j}" for j in range(N_MINHASHES)) + ")"
+    return _minhash_cte() + f"""
+        SELECT d.doc_id,
+               CASE WHEN m.doc_id IS NULL THEN NULL ELSE {sig} END AS sig
+        FROM documents d LEFT JOIN mhx m ON m.doc_id = d.doc_id
+    """
+
+
+def _minhash_lsh_oracle() -> str:
+    return (
+        _minhash_cte()
+        + _lsh_cand_cte()
+        + _LSH_SCORED
+        + "\n        SELECT doc_a, doc_b, est_jaccard FROM lshx\n    "
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Exact 5-word-shingle Jaccard over the (fully replayed) LSH
+    candidate set — the oracle recomputes candidates AND the exact
+    verify stage, so the hash certifies the whole two-stage design."""
+    return (
+        _minhash_cte()
+        + _lsh_cand_cte()
+        + _LSH_SCORED
+        + f"""
+        , shsetx AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(CASE WHEN W >= {SHINGLE_K}
+                                  THEN W - {SHINGLE_K - 1} ELSE 1 END),
+                       i -> array_to_string(ws[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM whx
+        )
+        SELECT l.doc_a, l.doc_b,
+               len(list_intersect(a.sh, b.sh)) * 1.0
+                   / len(list_distinct(a.sh || b.sh)) AS jaccard
+        FROM lshx l
+        JOIN shsetx a ON a.doc_id = l.doc_a
+        JOIN shsetx b ON b.doc_id = l.doc_b
+    """
+    )
+
+
+def _simhash_cte() -> str:
+    """CTE replaying :func:`_simhash_text`: md5-low-64 word hashes,
+    per-bit occurrence votes, sign → bit, HUGEINT bit-pack with a
+    two's-complement fold to the signed 64-bit signature (the same
+    fold the phash oracle uses)."""
+    return f"""
+        WITH wx AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+            WHERE {_BLANK_GUARD}
+        ),
+        uxx AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS u
+            FROM wx
+        ),
+        votex AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (u >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM uxx, LATERAL (SELECT unnest(range({SIMHASH_BITS})) AS b)
+            GROUP BY doc_id, b
+        ),
+        sigx AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
+                            ELSE 0::HUGEINT END) AS us
+            FROM votex GROUP BY doc_id
+        ),
+        simx AS (
+            SELECT doc_id, us,
+                   (CASE WHEN us >= 9223372036854775808::HUGEINT
+                         THEN us - 18446744073709551616::HUGEINT
+                         ELSE us END)::BIGINT AS simhash
+            FROM sigx
+        )
+    """
+
+
+def _simhash_signatures_oracle() -> str:
+    return _simhash_cte() + """
+        SELECT d.doc_id, s.simhash
+        FROM documents d LEFT JOIN simx s ON s.doc_id = d.doc_id
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    return _simhash_cte() + f"""
+        , sbandx AS (
+            SELECT doc_id, simhash,
+                   b AS band,
+                   (us::UBIGINT >> (16*b)) & 65535 AS bucket
+            FROM simx, LATERAL (SELECT unnest(range({SIMHASH_BANDS})) AS b)
+        ),
+        sox AS (
+            SELECT doc_id, simhash, band, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                      ORDER BY simhash, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS n
+            FROM sbandx
+        ),
+        scandx AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b
+            FROM sox a JOIN sox b
+              ON a.band = b.band AND a.bucket = b.bucket AND b.rn > a.rn
+            WHERE a.n <= {LSH_BUCKET_CAP}
+               OR b.rn <= a.rn + {LSH_CHAIN_NEIGHBORS}
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.us::UBIGINT, sb.us::UBIGINT))
+                        AS INT) AS hamming
+            FROM scandx c
+            JOIN simx sa ON sa.doc_id = c.doc_a
+            JOIN simx sb ON sb.doc_id = c.doc_b
+        ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 ORACLE = {
+    "minhash_signatures": _minhash_signatures_oracle(),
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+    "simhash_signatures": _simhash_signatures_oracle(),
+    "dedup_simhash": _simhash_pairs_oracle(),
     "dedup_url_canonical": """
         WITH planted AS (
             SELECT doc_id,

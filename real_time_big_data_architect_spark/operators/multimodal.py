@@ -48,6 +48,13 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     media payloads (binary column + typed metadata struct)."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")
+    # fake width/height derive from md5 (high/low hex halves) rather
+    # than xxhash64: DuckDB computes the identical values, which is
+    # what lets media_resize carry a hash-grade oracle. NULL text →
+    # NULL dims (consumers must treat dimensionless media as NULL
+    # geometry — the honest contract for undecodable payloads).
+    w_hash = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    h_hash = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("bigint")
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -56,10 +63,8 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"),
         payload.alias("payload"),
         F.struct(
-            (F.pmod(F.xxhash64("text"), F.lit(1920)) + 1).cast("int").alias("width"),
-            (F.pmod(F.xxhash64("text", F.lit(1)), F.lit(1080)) + 1)
-            .cast("int")
-            .alias("height"),
+            (F.pmod(w_hash, F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(h_hash, F.lit(1080)) + 1).cast("int").alias("height"),
             F.length(F.col("text")).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
@@ -130,6 +135,9 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this container — production swaps in PIL/torchvision inside the
     same kernel). Only image rows pass through: the filter prunes
     before the Python stage so audio/video bytes never cross Arrow.
+    Oracle-backed: dims are md5-derived (see build_media_table) and
+    the scale division is one IEEE op, so DuckDB replays every column
+    bit-exactly. NULL-text media carry NULL dims → NULL scales.
     """
     media = build_media_table(spark, sf_dir).filter(
         F.col("media_type") == "image"
@@ -142,8 +150,12 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pdf[["doc_id", "media_type"]].copy()
             out["out_width"] = tw
             out["out_height"] = th
-            out["scale_x"] = [tw / m["width"] for m in meta]
-            out["scale_y"] = [th / m["height"] for m in meta]
+            out["scale_x"] = [
+                tw / m["width"] if m["width"] is not None else None for m in meta
+            ]
+            out["scale_y"] = [
+                th / m["height"] if m["height"] is not None else None for m in meta
+            ]
             # stub: a real kernel returns the resampled payload; the
             # deterministic fake sizes it as 3 bytes/pixel RGB
             out["out_bytes"] = tw * th * 3
@@ -218,8 +230,8 @@ def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata aggregation over the media table: per-type sizes.
 
-    The width/height fake is xxhash-derived (Spark-only), so the oracle
-    covers the byte-size stats that both engines can compute from text.
+    The byte-size stats are the contract here; width/height (md5-
+    derived, oracle-replayable since r5) are covered by media_resize.
     """
     media = build_media_table(spark, sf_dir)
     return media.groupBy("media_type").agg(
@@ -338,7 +350,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "media_resize": media_resize,  # rows-only (xxhash-derived geometry)
+    "media_resize": media_resize,  # oracle (md5-derived geometry)
     "media_frame_sample": media_frame_sample,
     "multimodal_join": multimodal_join,
     "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
@@ -466,6 +478,22 @@ def _features_oracle() -> str:
 
 
 ORACLE = {
+    "media_resize": f"""
+        SELECT doc_id,
+               'image' AS media_type,
+               {RESIZE_TARGET[0]} AS out_width,
+               {RESIZE_TARGET[1]} AS out_height,
+               {RESIZE_TARGET[0]}.0 / w AS scale_x,
+               {RESIZE_TARGET[1]}.0 / h AS scale_y,
+               CAST({RESIZE_TARGET[0] * RESIZE_TARGET[1] * 3} AS BIGINT)
+                   AS out_bytes
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1 AS w,
+                 ('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 + 1 AS h
+          FROM documents WHERE doc_id % 3 = 0
+        )
+    """,
     "multimodal_features": _features_oracle(),
     "media_phash_dedup": _phash_dedup_oracle(),
     "media_frame_sample": """

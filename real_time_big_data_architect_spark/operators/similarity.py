@@ -10,7 +10,9 @@ Absent from the reference; first-class here for training-data pipelines:
 - **LSH-bucketed ANN** — random-hyperplane (signed projection) bucket
   per vector; candidates only within matching buckets. The scale path:
   turns all-pairs O(N·Q) into per-bucket joins. Deterministic planes
-  derived from xxhash64 so results are reproducible with no stored model.
+  are md5-seeded literal constants, so results are reproducible with no
+  stored model AND the DuckDB oracle replays the buckets bit-exactly
+  (projection = the same left-fold the _dot contract pins).
 - **per-label centroids** — posexplode + avg by (label, dim): the
   "cluster centroid" aggregation used by IVF-style indexes.
 """
@@ -133,24 +135,41 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cosine", "rn")
 
 
+def _lsh_plane_weights() -> list[list[float]]:
+    """The 8×64 hyperplane model as md5-seeded constants in [-1, 1]:
+    W[p][d] = (md5_low32(f"{p}:{d}") % 20001 - 10000) / 10000. Fixed
+    literals shared verbatim by the engine expression and the DuckDB
+    oracle — decimal float literals parse to the identical double in
+    both engines, so bucket bits (signs of identical IEEE left-folds)
+    match bit-exactly."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 20001
+             - 10000) / 10000.0
+            for d in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+LSH_PLANES = _lsh_plane_weights()
+
+
 def _lsh_bucket(emb_col):
     """Random-hyperplane LSH bucket id (0..2^N_PLANES-1), deterministic.
 
-    Plane p's component for dimension d = xxhash64(p:d) scaled to
-    [-1, 1]; bucket bit p = sign of the projection. Pure expressions —
-    reproducible anywhere, nothing to persist.
+    Plane p is a literal weight array (see :data:`LSH_PLANES`); bucket
+    bit p = sign of the projection, computed as the same in-order
+    left-fold as :func:`_dot`. Pure expressions — reproducible
+    anywhere, nothing to persist, and oracle-replayable.
     """
-    def _plane_weight(p: int):
-        def weight(x, d):
-            h = F.xxhash64(F.concat_ws(":", F.lit(str(p)), d.cast("string")))
-            return x.cast("double") * ((h % 10001).cast("double") / 10000.0)
-
-        return weight
-
     bucket = None
     for p in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in LSH_PLANES[p]])
         proj = F.aggregate(
-            F.zip_with(emb_col, F.sequence(F.lit(0), F.lit(DIM - 1)), _plane_weight(p)),
+            F.zip_with(emb_col, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -169,9 +188,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     while recall stays usable on weakly-clustered data. Each corpus
     vector matches at most one probe of a given query (bucket distance
     is unique), so no pair dedup is needed.
+
+    Oracle-backed since r5: the md5-seeded literal planes + in-order
+    fold make buckets, probes, cosines, and ranks all bit-replayable
+    in DuckDB — the full approximate index certified by hash equality.
     """
-    # rows-only query, but the zero-norm exclusion matches the exact
-    # paths: a zero vector has no cosine (ANSI 0/0 error otherwise)
+    # the zero-norm exclusion matches the exact paths: a zero vector
+    # has no cosine (ANSI 0/0 error otherwise)
     e = _corpus_with_norms(spark, sf_dir).withColumn(
         "bucket", _lsh_bucket(F.col("embedding"))
     )
@@ -736,6 +759,80 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEG_K = 3
 
 
+def _gram_decimal(emb: DataFrame) -> DataFrame:
+    """Uncentered 64×64 Gram matrix with EXACT accumulation: each
+    product rounds to 10 decimals (round(x,10) is half-away-from-zero
+    in both engines — the ivf_assign convention) and sums as
+    DECIMAL(30,10), so the result is independent of partitioning and
+    bit-replayable by DuckDB. One co-partitioned posexplode self-join
+    shuffle + a 4096-key agg — the data-sized work stays distributed.
+    """
+    pairs = emb.select("vec_id", F.posexplode("embedding").alias("i", "vi"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("a.vi").cast("double") * F.col("b.vi").cast("double"),
+                    10,
+                ).cast("decimal(30,10)")
+            ).alias("g")
+        )
+    )
+
+
+def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-grade certification of the PCA pipeline (the sketch-
+    certification pattern: engine co-computes an exact data-derived
+    quantity plus invariant booleans; DuckDB recomputes the exact side
+    and asserts TRUE — one hash certifies both).
+
+    ``trace_g`` is the decimal-exact trace of the Gram matrix — a real
+    cross-engine check of the distributed accumulation (DuckDB resums
+    the identical decimals). The booleans certify the driver-side
+    eigensolve against that data: Σλ equals the trace (the trace
+    identity), the dominant eigenpair satisfies ‖Gv − λv‖ ≤ tol, v is
+    unit-norm, and λ never exceeds the trace. A failed eigensolve or a
+    wrong Gram flips a boolean (or shifts the trace) and breaks the
+    hash.
+    """
+    import numpy as np
+    from decimal import Decimal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    G = np.zeros((DIM, DIM))
+    tr = Decimal(0)
+    for r in _gram_decimal(emb).collect():
+        G[r.i, r.j] = float(r.g)
+        if r.i == r.j:
+            tr += r.g
+    eigvals, eigvecs = np.linalg.eigh(G)
+    v = eigvecs[:, -1]
+    lam = float(eigvals[-1])
+    trace = float(tr)
+    scale = max(abs(trace), 1.0)
+    resid = float(np.linalg.norm(G @ v - lam * v))
+    n = emb.count()
+    row = [
+        (
+            trace,
+            bool(abs(float(eigvals.sum()) - trace) <= 1e-6 * scale),
+            bool(resid <= 1e-6 * scale),
+            bool(abs(float(np.linalg.norm(v)) - 1.0) <= 1e-9),
+            bool(lam <= trace * (1.0 + 1e-12) + 1e-9),
+            n,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "trace_g double, eig_sum_ok boolean, residual_ok boolean,"
+        " unit_norm_ok boolean, lambda_bounded boolean, n_vectors long",
+    )
+
+
 def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA, first principal direction: per-vector
     projection scores onto the corpus's dominant (uncentered) component
@@ -752,32 +849,18 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape every distributed PCA uses — power iteration would need a
     spectral gap these near-isotropic embeddings don't have). Sign is
     canonicalized (first nonzero coordinate positive) so results are
-    reproducible. Rows-only: distributed double sums are
-    partition-order-dependent; the numpy replay test bounds the drift
-    instead.
+    reproducible. Rows-only (the eigensolve is not SQL-expressible),
+    but since r5 the Gram accumulates in exact DECIMAL (see
+    :func:`_gram_decimal`) so the whole query is partition-order
+    DETERMINISTIC, and :func:`pca_certify` carries the oracle-grade
+    evidence (data-derived trace + eigensolve invariants).
     """
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "vi")
-    )
-    a = pairs.alias("a")
-    b = pairs.alias("b")
-    gram = (
-        a.join(b, "vec_id")
-        .groupBy(
-            F.col("a.i").alias("i"), F.col("b.i").alias("j")
-        )
-        .agg(
-            F.sum(
-                F.col("a.vi").cast("double") * F.col("b.vi").cast("double")
-            ).alias("g")
-        )
-    )
     G = np.zeros((DIM, DIM))
-    for r in gram.collect():  # 4096 model-parameter scalars, not data
-        G[r.i, r.j] = r.g
+    for r in _gram_decimal(emb).collect():  # 4096 model-parameter scalars
+        G[r.i, r.j] = float(r.g)
     eigvals, eigvecs = np.linalg.eigh(G)
     v = eigvecs[:, -1]
     nz = np.flatnonzero(np.abs(v) > 1e-12)
@@ -826,7 +909,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cosine_topk": cosine_topk,
     "hard_negatives": hard_negatives,
-    "ann_lsh_topk": ann_lsh_topk,  # rows-only (xxhash64-derived buckets)
+    "ann_lsh_topk": ann_lsh_topk,  # oracle (md5-seeded literal planes)
     "label_centroids": label_centroids,
     "knn_count_per_label": knn_count_per_label,
     "embedding_quantize": embedding_quantize,
@@ -835,7 +918,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_clusters": kmeans_clusters,
-    "pca_project": pca_project,  # rows-only (distributed double sums)
+    "pca_project": pca_project,  # rows-only (eigensolve; certified by pca_certify)
+    "pca_certify": pca_certify,  # oracle (trace + eigensolve invariants)
 }
 
 
@@ -940,6 +1024,81 @@ _IVF_CTE = """
 #: dot/norm CTEs shared by the cosine oracles: list_reduce reproduces
 #: Spark's in-order left fold over the 64 element products, so scores
 #: are bit-identical cross-engine — rank and hash both match.
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of ann_lsh_topk: literal plane weights → in-order
+    projection folds → sign-bit buckets → multi-probe XOR masks →
+    cosine + rank. Every stage is the same IEEE arithmetic the engine
+    runs, so the approximate index itself is hash-certified."""
+    proj_cols = ",\n                   ".join(
+        "list_reduce(list_transform(range(1, {n}), "
+        "i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), "
+        "(x, y) -> x + y) AS pj{p}".format(
+            n=DIM + 1,
+            lit="[" + ", ".join(repr(w) for w in plane) + "]",
+            p=p,
+        )
+        for p, plane in enumerate(LSH_PLANES)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN pj{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    masks = ", ".join(str(m) for m in _PROBE_MASKS)
+    return f"""
+        WITH projx AS (
+            SELECT vec_id,
+                   {proj_cols}
+            FROM embeddings
+        ),
+        buxa AS (
+            SELECT vec_id, {bucket_expr} AS bucket FROM projx
+        ),
+        normsx AS (
+            SELECT vec_id, nrm FROM (
+                SELECT vec_id,
+                       sqrt(list_reduce(
+                           list_transform(range(1, {DIM + 1}),
+                               i -> CAST(embedding[i] AS DOUBLE)
+                                    * CAST(embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)) AS nrm
+                FROM embeddings
+            ) WHERE nrm > 0.0
+        ),
+        ebx AS (
+            SELECT n.vec_id, b.bucket, n.nrm
+            FROM normsx n JOIN buxa b ON b.vec_id = n.vec_id
+        ),
+        probex AS (
+            SELECT q.vec_id AS query_id, q.nrm AS q_nrm,
+                   xor(q.bucket, m.mask) AS probe_bucket
+            FROM ebx q, (SELECT unnest([{masks}]) AS mask) m
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        candx AS (
+            SELECT p.query_id, e.vec_id, p.q_nrm, e.nrm
+            FROM ebx e JOIN probex p ON e.bucket = p.probe_bucket
+            WHERE e.vec_id != p.query_id
+        ),
+        scoredx AS (
+            SELECT c.query_id, c.vec_id,
+                   list_reduce(
+                       list_transform(range(1, {DIM + 1}),
+                           i -> CAST(ev.embedding[i] AS DOUBLE)
+                                * CAST(qv.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y) / (c.nrm * c.q_nrm) AS cosine
+            FROM candx c
+            JOIN embeddings ev ON ev.vec_id = c.vec_id
+            JOIN embeddings qv ON qv.vec_id = c.query_id
+        )
+        SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scoredx
+        ) WHERE rn <= {TOP_K}
+    """
+
+
 _COSINE_CTE = """
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS q_emb
@@ -983,6 +1142,20 @@ _COSINE_CTE = """
 """
 
 ORACLE = {
+    "ann_lsh_topk": _ann_lsh_oracle(),
+    "pca_certify": """
+        SELECT CAST(SUM(sq) AS DOUBLE) AS trace_g,
+               TRUE AS eig_sum_ok,
+               TRUE AS residual_ok,
+               TRUE AS unit_norm_ok,
+               TRUE AS lambda_bounded,
+               (SELECT COUNT(*) FROM embeddings) AS n_vectors
+        FROM (
+            SELECT CAST(round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 10)
+                        AS DECIMAL(30,10)) AS sq
+            FROM (SELECT unnest(embedding) AS c FROM embeddings)
+        )
+    """,
     "embedding_quantize": """
         SELECT vec_id, max_abs,
                array_to_string(list_transform(embedding,

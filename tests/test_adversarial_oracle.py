@@ -413,14 +413,7 @@ def adv_dir(spark, tmp_path_factory) -> str:
 #: single-token texts, zero vectors). Streaming/TWS and the centroid
 #: family are excluded for the same reasons as above.
 _ROWS_ONLY_SMOKE = [
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_signatures",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "media_resize",
     "multimodal_bundle",
-    "ann_lsh_topk",
     "pca_project",
 ]
 

@@ -53,8 +53,8 @@ def test_survivors_keep_min_doc_id(spark, micro_corpus):
 
 
 def test_minhash_identical_docs_full_match(spark, micro_corpus):
-    sigs = {r.doc_id: list(r.minhash) for r in dedup.minhash_signatures(spark, micro_corpus).collect()}
-    assert len(sigs[0]) == dedup.N_MINHASHES
+    sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(spark, micro_corpus).collect()}
+    assert len(sigs[0].split(",")) == dedup.N_MINHASHES
     assert sigs[0] == sigs[1]  # identical text → identical signature
     assert sigs[0] != sigs[3]
 
@@ -144,7 +144,7 @@ def test_dedup_clusters_matches_union_find(spark, sf_small):
 
 def test_minhash_and_simhash_handle_unicode_text(spark, tmp_path_factory):
     """Training corpora are multilingual: signatures must be stable and
-    dedup must still pair identical non-ASCII documents (crc32 runs on
+    dedup must still pair identical non-ASCII documents (md5 runs on
     UTF-8 bytes, so CJK/emoji text is first-class)."""
     tmp = tmp_path_factory.mktemp("unicode_corpus")
     text = "数据 处理 引擎 🚀 très bien " * 20
@@ -160,7 +160,7 @@ def test_minhash_and_simhash_handle_unicode_text(spark, tmp_path_factory):
         str(tmp / "documents.parquet")
     )
     sigs = {
-        r.doc_id: list(r.minhash)
+        r.doc_id: r.sig
         for r in dedup.minhash_signatures(spark, str(tmp)).collect()
     }
     assert sigs[0] == sigs[1] != sigs[2]
@@ -239,7 +239,7 @@ def test_blank_docs_never_pair(spark, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
 
     sigs = {
-        r.doc_id: r.minhash
+        r.doc_id: r.sig
         for r in dedup.minhash_signatures(spark, str(tmp)).collect()
     }
     assert sigs[0] is None and sigs[1] is None and sigs[2] is None
