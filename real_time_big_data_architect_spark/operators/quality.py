@@ -368,8 +368,91 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the (lang × source)
+    contingency table — the corpus-mix drift check a pretraining
+    pipeline runs when a new crawl lands: which language is over- or
+    under-represented in which source.
+
+    Emits one row per OBSERVED cell with its expected count and
+    chi-square contribution; the global statistic is the sum downstream
+    tooling takes over these cells. Emitting cells (rather than one
+    pre-summed statistic) keeps every fp operation a per-row expression
+    mirrored token-for-token in the oracle — no cross-row double
+    accumulation, so the hash is bit-exact. Margins cast to double
+    BEFORE the product (overflow-safe at any corpus size).
+
+    Scale: cells/margins aggregations have |langs|×|sources|
+    cardinality — independent of corpus size — and the margin tables
+    broadcast back onto the cell table.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+    )
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    row_t = cells.groupBy("lang").agg(F.sum("observed").alias("lang_total"))
+    col_t = cells.groupBy("source").agg(F.sum("observed").alias("source_total"))
+    n_t = cells.agg(F.sum("observed").alias("n_total"))
+    joined = (
+        cells.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "source")
+        .crossJoin(F.broadcast(n_t))
+    )
+    expected = (
+        F.col("lang_total").cast("double") * F.col("source_total").cast("double")
+    ) / F.col("n_total").cast("double")
+    obs_d = F.col("observed").cast("double")
+    return joined.select(
+        "lang",
+        "source",
+        "observed",
+        expected.alias("expected"),
+        ((obs_d - expected) * (obs_d - expected) / expected).alias("chi2_cell"),
+    )
+
+
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the diversity
+    gauge for corpus curation (a source whose entropy collapses is
+    feeding one language; one whose entropy spikes may be mislabeled).
+
+    Determinism discipline: entropy is a SUM of p·ln p terms, and
+    double summation order matters — so the per-language counts
+    collect into a lang-SORTED array and fold in that order
+    (``aggregate`` left fold), which the oracle replays with
+    ``list(... ORDER BY lang)`` + ``list_reduce``. Counts are exact
+    ints; every division/log is IEEE-identical cross-engine.
+
+    Scale: (source, lang) cardinality aggregation (tiny), then one
+    row per source. The collect_list is bounded by the number of
+    distinct languages per source, not by corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+    )
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("source").agg(
+        F.sum("cnt").alias("total_docs"),
+        F.count("*").alias("n_langs"),
+        F.array_sort(F.collect_list(F.struct("lang", "cnt"))).alias("cells"),
+    )
+    total = F.col("total_docs")
+    ent = F.aggregate(
+        F.col("cells"),
+        F.lit(0.0),
+        lambda acc, s: acc - (s.cnt / total) * F.log(s.cnt / total),
+    )
+    return agg.select(
+        "source", "total_docs", "n_langs", ent.alias("lang_entropy")
+    )
+
+
 QUERIES = {
     "repetition_ratios": repetition_ratios,
+    "lang_source_chi2": lang_source_chi2,
+    "source_entropy": source_entropy,
     "dq_expectations": dq_expectations,
     "rate_anomaly": rate_anomaly,
     "contamination_ngram": contamination_ngram,
@@ -378,7 +461,63 @@ QUERIES = {
     "bigram_lm_score": bigram_lm_score,
 }
 
+#: shared double-cast expected-count expression (engine mirror:
+#: margins cast to double BEFORE the product, then one division)
+_CHI2_EXPECTED = (
+    "(CAST(lang_total AS DOUBLE) * CAST(source_total AS DOUBLE))"
+    " / CAST(n_total AS DOUBLE)"
+)
+
 ORACLE = {
+    "lang_source_chi2": f"""
+        WITH d AS (
+            SELECT COALESCE(lang, '') AS lang,
+                   COALESCE(source, '') AS source
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM d GROUP BY lang, source
+        ),
+        rt AS (
+            SELECT lang, CAST(SUM(observed) AS BIGINT) AS lang_total
+            FROM cells GROUP BY lang
+        ),
+        ct AS (
+            SELECT source, CAST(SUM(observed) AS BIGINT) AS source_total
+            FROM cells GROUP BY source
+        ),
+        nt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells)
+        SELECT c.lang, c.source, c.observed,
+               {_CHI2_EXPECTED} AS expected,
+               (CAST(c.observed AS DOUBLE) - {_CHI2_EXPECTED})
+                 * (CAST(c.observed AS DOUBLE) - {_CHI2_EXPECTED})
+                 / ({_CHI2_EXPECTED}) AS chi2_cell
+        FROM cells c
+        JOIN rt USING (lang)
+        JOIN ct USING (source)
+        CROSS JOIN nt
+    """,
+    "source_entropy": """
+        WITH d AS (
+            SELECT COALESCE(lang, '') AS lang,
+                   COALESCE(source, '') AS source
+            FROM documents
+        ),
+        per AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM d GROUP BY source, lang
+        )
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS total_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               list_reduce(list_transform(
+                   list(cnt ORDER BY lang, cnt),
+                   c -> -(CAST(c AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))),
+                   (x, y) -> x + y) + 0.0 AS lang_entropy
+        FROM per GROUP BY source
+    """,
     "rate_anomaly": f"""
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,

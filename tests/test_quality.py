@@ -139,3 +139,86 @@ def test_rate_anomaly_hand_check(spark, sf_small):
             assert abs(got[(et, h)].zscore - z) < 1e-9
             assert got[(et, h)].n == n
     assert len(got) == n_expected and n_expected > 0
+
+
+def _write_docs(spark, tmp, docs):
+    import glob as _glob
+    import shutil
+
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "d.dir"))
+    part = _glob.glob(str(tmp / "d.dir" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+def test_source_entropy_known_distributions(spark, tmp_path):
+    """Uniform mix over k languages → ln k; single-language source → 0;
+    NULL lang folds into its own '' category."""
+    import math
+
+    from real_time_big_data_architect_spark.operators import quality as Q
+
+    docs = []
+    i = 0
+    # source 'u': 4 langs × 3 docs (uniform) → entropy = ln 4
+    for lang in ["aa", "bb", "cc", "dd"]:
+        for _ in range(3):
+            docs.append((i, "t", lang, "u", 1)); i += 1
+    # source 'm': one lang → entropy 0.0 (sign-clean: not -0.0)
+    for _ in range(5):
+        docs.append((i, "t", "ee", "m", 1)); i += 1
+    # source 'n': NULL lang + one real lang, 50/50 → ln 2
+    docs.append((i, "t", None, "n", 1)); i += 1
+    docs.append((i, "t", "ff", "n", 1)); i += 1
+    d = _write_docs(spark, tmp_path, docs)
+
+    got = {r.source: r for r in Q.source_entropy(spark, d).collect()}
+    assert got["u"].n_langs == 4 and got["u"].total_docs == 12
+    assert abs(got["u"].lang_entropy - math.log(4)) < 1e-12
+    assert got["m"].lang_entropy == 0.0
+    assert str(got["m"].lang_entropy) == "0.0"  # not -0.0
+    assert got["n"].n_langs == 2
+    assert abs(got["n"].lang_entropy - math.log(2)) < 1e-12
+
+
+def test_lang_source_chi2_independent_and_skewed(spark, tmp_path):
+    """A perfectly independent 2×2 table has zero chi2 in every cell;
+    planting skew raises the contribution exactly as the closed form
+    predicts."""
+    from real_time_big_data_architect_spark.operators import quality as Q
+
+    docs = []
+    i = 0
+    # independent: both sources carry 2 xx docs and 4 yy docs
+    for source in ["s1", "s2"]:
+        for _ in range(2):
+            docs.append((i, "t", "xx", source, 1)); i += 1
+        for _ in range(4):
+            docs.append((i, "t", "yy", source, 1)); i += 1
+    d = _write_docs(spark, tmp_path, docs)
+    cells = Q.lang_source_chi2(spark, d).collect()
+    assert len(cells) == 4
+    for r in cells:
+        assert r.chi2_cell == 0.0 and r.expected == r.observed
+
+    # skewed: xx only in s1
+    docs2 = []
+    i = 0
+    for _ in range(4):
+        docs2.append((i, "t", "xx", "s1", 1)); i += 1
+    for _ in range(4):
+        docs2.append((i, "t", "yy", "s1", 1)); i += 1
+    for _ in range(8):
+        docs2.append((i, "t", "yy", "s2", 1)); i += 1
+    tmp2 = tmp_path / "skew"
+    tmp2.mkdir()
+    d2 = _write_docs(spark, tmp2, docs2)
+    got = {(r.lang, r.source): r for r in Q.lang_source_chi2(spark, d2).collect()}
+    # expected for (xx, s1): row 4 * col 8 / 16 = 2.0 → (4-2)^2/2 = 2.0
+    r = got[("xx", "s1")]
+    assert r.observed == 4 and r.expected == 2.0
+    assert r.chi2_cell == 2.0
+    # observed-only cells: (xx, s2) never observed, so no row
+    assert ("xx", "s2") not in got
