@@ -253,3 +253,84 @@ def test_bm25_monotone_in_tf_and_zero_without_terms(spark, sf_small):
         for (tf1, s1), (tf2, s2) in zip(pairs, pairs[1:]):
             if tf1 < tf2:
                 assert s1 <= s2
+
+
+def test_minhash_kernel_matches_pure_python_reference():
+    """The Arrow MinHash kernel equals a from-scratch reimplementation
+    (md5-low-32 word hash → sliding coefficient dot mod 2^32 → 64
+    affine minima) on randomized word lists — independent of both
+    Spark and DuckDB, so kernel and oracle cannot drift together."""
+    import hashlib
+
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from real_time_big_data_architect_spark.operators import dedup as D
+
+    word = st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+        min_size=1, max_size=8,
+    )
+    texts = st.lists(word, min_size=1, max_size=40).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def check(t):
+        got = D._minhash_text.func(pd.Series([t]))[0]
+        if not t.strip():
+            assert got is None
+            return
+        words = t.split(" ")
+        wh = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words]
+        coefs = [int(c) for c in D._SHINGLE_COEF]
+        if len(wh) >= D.SHINGLE_K:
+            sh = [
+                sum(wh[i + j] * coefs[j] for j in range(D.SHINGLE_K)) % (1 << 32)
+                for i in range(len(wh) - D.SHINGLE_K + 1)
+            ]
+        else:
+            sh = [sum(h * c for h, c in zip(wh, coefs)) % (1 << 32)]
+        want = [
+            min((a * s + b) % D.P_MINHASH for s in sh)
+            for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+        ]
+        assert list(got) == want
+
+    check()
+
+
+def test_simhash_kernel_matches_pure_python_reference():
+    """Same discipline for SimHash: md5-low-64 word hashes, per-bit
+    occurrence votes, sign → bit, two's-complement signed pack."""
+    import hashlib
+
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from real_time_big_data_architect_spark.operators import dedup as D
+
+    word = st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+        min_size=1, max_size=8,
+    )
+    texts = st.lists(word, min_size=1, max_size=40).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def check(t):
+        got = D._simhash_text.func(pd.Series([t]))[0]
+        if not t.strip():
+            assert got is None
+            return
+        words = t.split(" ")
+        us = [int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in words]
+        sig = 0
+        for b in range(64):
+            vote = sum(1 if (u >> b) & 1 else -1 for u in us)
+            if vote > 0:
+                sig |= 1 << b
+        bands = [(sig >> (16 * k)) & 0xFFFF for k in range(D.SIMHASH_BANDS)]
+        signed = sig - (1 << 64) if sig >= 1 << 63 else sig
+        assert list(got) == [signed] + bands
+
+    check()
