@@ -284,11 +284,58 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest path (≤ BFS_MAX_HOPS relaxation
+    rounds) over the transition graph — the cost-aware twin of
+    bfs_khop. Edge cost is 1/w (popular transitions are "cheaper", the
+    latency-like convention of recommendation path scoring).
+
+    Bounded Bellman-Ford as a lazy unrolled loop: each round joins the
+    current distance table against the edge list (shuffle keyed on
+    src == user_id — the Pregel partitioning; at 100 TB bucket both
+    sides by user_id and rounds are shuffle-free except the per-dst
+    min) and folds with min. Determinism: each path's cost is the same
+    left-to-right double additions in both engines and every round's
+    min runs over identical value multisets, so the oracle — the SAME
+    recurrence unrolled as k SQL CTEs, not a generic all-paths search —
+    hash-matches bit-exactly. At fixture scale the distance table is
+    carried whole per round; the frontier-delta optimization bfs_khop
+    documents applies identically when rounds grow.
+    """
+    edges = _edges(spark, sf_dir).select(
+        "src", "dst", (F.lit(1.0) / F.col("w").cast("double")).alias("cost")
+    ).persist()
+    ev = load_table(spark, sf_dir, "events")
+    dist = (
+        ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.lit(0.0).alias("dist"))
+    )
+    for _ in range(BFS_MAX_HOPS):
+        relaxed = dist.join(edges, dist["user_id"] == edges["src"]).select(
+            F.col("dst").alias("user_id"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("user_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    # one lazy job; materialize once so the edge persist can release
+    # immediately (the bfs_khop cache-hygiene convention)
+    out = dist.persist()
+    out.count()
+    edges.unpersist()
+    return out
+
+
 QUERIES = {
     "transition_edges": transition_edges,
     "pagerank": pagerank,
     "triangle_count": triangle_count,
     "bfs_khop": bfs_khop,
+    "sssp_weighted": sssp_weighted,
 }
 
 _EDGE_CTE = """
@@ -364,7 +411,41 @@ def _pagerank_oracle() -> str:
     """
 
 
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford twin of sssp_weighted: round r's CTE is
+    literally min(d_{r-1} ∪ relax(d_{r-1})) — the engine's recurrence,
+    not a generic all-paths search, so every double addition and min
+    runs over identical values and the hash is bit-exact."""
+    rounds = []
+    prev = "d0"
+    for r in range(1, BFS_MAX_HOPS + 1):
+        cur = f"d{r}"
+        rounds.append(f"""
+        {cur} AS (
+            SELECT user_id, MIN(dist) AS dist FROM (
+                SELECT user_id, dist FROM {prev}
+                UNION ALL
+                SELECT e.dst AS user_id, d.dist + e.cost AS dist
+                FROM {prev} d JOIN ecost e ON e.src = d.user_id
+            ) GROUP BY user_id
+        )""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_EDGE_CTE.strip()},
+        ecost AS (
+            SELECT src, dst, 1.0 / CAST(w AS DOUBLE) AS cost FROM edges
+        ),
+        d0 AS (
+            SELECT DISTINCT user_id, 0.0 AS dist FROM events
+            WHERE user_id % {BFS_SEED_MOD} = 0
+        ),{chain}
+        SELECT user_id, dist FROM {prev}
+    """
+
+
 ORACLE = {
+    "sssp_weighted": _sssp_oracle(),
     "transition_edges": f"""
         WITH {_EDGE_CTE.strip()}
         SELECT src, dst, w FROM edges

@@ -129,3 +129,38 @@ def test_bfs_khop_matches_python_bfs(spark, sf_small):
                 q.append(v)
     assert got == set(dist.items())
     assert any(d > 0 for _, d in got)  # BFS actually expanded
+
+
+def test_sssp_weighted_matches_python_bellman_ford(spark, sf_small):
+    """Engine distances equal a driver-side Bellman-Ford run for the
+    same number of rounds over the same 1/w edge costs; seeds at 0."""
+    from real_time_big_data_architect_spark.operators import graph as G
+
+    edges = [
+        (r.src, r.dst, 1.0 / float(r.w))
+        for r in G.transition_edges(spark, sf_small).collect()
+    ]
+    seeds = {
+        r.user_id
+        for r in (
+            __import__("real_time_big_data_architect_spark.tables", fromlist=["load_table"])
+            .load_table(spark, sf_small, "events")
+            .filter(f"user_id % {G.BFS_SEED_MOD} = 0")
+            .select("user_id").distinct().collect()
+        )
+    }
+    dist = {u: 0.0 for u in seeds}
+    for _ in range(G.BFS_MAX_HOPS):
+        nxt = dict(dist)
+        for s, d, c in edges:
+            if s in dist:
+                cand = dist[s] + c
+                if d not in nxt or cand < nxt[d]:
+                    nxt[d] = cand
+        dist = nxt
+    got = {r.user_id: r.dist for r in G.sssp_weighted(spark, sf_small).collect()}
+    assert set(got) == set(dist)
+    for u, d in dist.items():
+        assert abs(got[u] - d) < 1e-12, (u, got[u], d)
+    assert all(got[u] == 0.0 for u in seeds)
+    assert any(d > 0 for d in got.values())
