@@ -330,12 +330,121 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+LPA_ROUNDS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous weighted label propagation
+    (LPA_ROUNDS rounds) on the undirected transition graph — the
+    community primitive the graph family was missing (bot-ring /
+    audience-cluster discovery).
+
+    Every node starts as its own label; each round every node adopts
+    the label with the greatest incident edge weight among its
+    neighbors (ties broken by the SMALLEST label — the determinism
+    rule), isolated nodes keep their own. Weights are integer counts,
+    the argmax is a (weight DESC, label ASC) row_number per node, and
+    rounds unroll lazily — so the whole loop is exact arithmetic and
+    the oracle replays the identical recurrence round by round.
+
+    Scale shape: per round one join keyed on user_id + one (node,
+    label) partial-agg shuffle + one per-node window — all keyed on
+    user_id (Pregel bucketing note as above). Synchronous LPA on a
+    bipartite-ish structure can oscillate; a fixed round count is the
+    standard bound (GraphFrames does the same).
+    """
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst", "w")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().persist()
+    )
+    labels = nodes.select("user_id", F.col("user_id").alias("label"))
+    for _ in range(LPA_ROUNDS):
+        contrib = (
+            labels.join(und, labels["user_id"] == und["src"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        win = Window.partitionBy("node").orderBy(
+            F.col("lw").desc(), F.col("label").asc()
+        )
+        best = (
+            contrib.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("user_id"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels, "user_id")
+            .join(best, "user_id", "left")
+            .select(
+                "user_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    out = labels.persist()
+    out.count()
+    und.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _lpa_oracle() -> str:
+    """Unrolled LPA twin: round r's CTE applies the same
+    (weight DESC, label ASC) argmax over the same undirected weighted
+    edges — exact integer arithmetic end to end."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        cur = f"l{r}"
+        rounds.append(f"""
+        c{r} AS (
+            SELECT u.dst AS node, p.label, SUM(u.w) AS lw
+            FROM {prev} p JOIN und u ON u.src = p.user_id
+            GROUP BY u.dst, p.label
+        ),
+        b{r} AS (
+            SELECT node AS user_id, label AS new_label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY lw DESC, label ASC) AS rn
+                FROM c{r}
+            ) WHERE rn = 1
+        ),
+        {cur} AS (
+            SELECT n.user_id, COALESCE(b.new_label, p.label) AS label
+            FROM nodes n
+            JOIN {prev} p ON p.user_id = n.user_id
+            LEFT JOIN b{r} b ON b.user_id = n.user_id
+        )""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_EDGE_CTE.strip()},
+        und AS (
+            SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+                SELECT src, dst, w FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM edges
+            ) GROUP BY src, dst
+        ),
+        nodes AS (SELECT DISTINCT user_id FROM events),
+        l0 AS (SELECT user_id, user_id AS label FROM nodes),{chain}
+        SELECT user_id, label FROM {prev}
+    """
+
+
 QUERIES = {
     "transition_edges": transition_edges,
     "pagerank": pagerank,
     "triangle_count": triangle_count,
     "bfs_khop": bfs_khop,
     "sssp_weighted": sssp_weighted,
+    "label_propagation": label_propagation,
 }
 
 _EDGE_CTE = """
@@ -446,6 +555,7 @@ def _sssp_oracle() -> str:
 
 ORACLE = {
     "sssp_weighted": _sssp_oracle(),
+    "label_propagation": _lpa_oracle(),
     "transition_edges": f"""
         WITH {_EDGE_CTE.strip()}
         SELECT src, dst, w FROM edges

@@ -164,3 +164,39 @@ def test_sssp_weighted_matches_python_bellman_ford(spark, sf_small):
         assert abs(got[u] - d) < 1e-12, (u, got[u], d)
     assert all(got[u] == 0.0 for u in seeds)
     assert any(d > 0 for d in got.values())
+
+
+def test_label_propagation_matches_python_replay(spark, sf_small):
+    """Engine labels equal a driver-side replay of the synchronous LPA
+    recurrence (weighted argmax, smallest-label tie-break) for the
+    same round count; community labels must be real node ids."""
+    from collections import defaultdict
+
+    from real_time_big_data_architect_spark.operators import graph as G
+    from real_time_big_data_architect_spark.tables import load_table
+
+    e = {}
+    for r in G.transition_edges(spark, sf_small).collect():
+        e[(r.src, r.dst)] = e.get((r.src, r.dst), 0) + r.w
+        e[(r.dst, r.src)] = e.get((r.dst, r.src), 0) + r.w
+    nodes = {
+        r.user_id
+        for r in load_table(spark, sf_small, "events")
+        .select("user_id").distinct().collect()
+    }
+    labels = {u: u for u in nodes}
+    for _ in range(G.LPA_ROUNDS):
+        contrib: dict = defaultdict(lambda: defaultdict(int))
+        for (s, d), w in e.items():
+            contrib[d][labels[s]] += w
+        new = dict(labels)
+        for node, lw in contrib.items():
+            best = sorted(lw.items(), key=lambda t: (-t[1], t[0]))[0][0]
+            new[node] = best
+        labels = new
+    got = {r.user_id: r.label for r in G.label_propagation(spark, sf_small).collect()}
+    assert got == labels
+    assert set(got.values()) <= nodes
+    # the fixture graph is connected enough that at least one
+    # community absorbs multiple nodes
+    assert len(set(got.values())) < len(nodes)
