@@ -65,6 +65,11 @@ HEADLINE = [
     "curation_score",
     "ann_recall_eval",
     "window_count_distinct",
+    # r5 continuation addition: the oracle-certified approximate index
+    # (sub-second). sssp_weighted / label_propagation stay out like
+    # pagerank — multi-second loop queries by design, probed ×1/×4/×16
+    # in SCALING.md instead.
+    "ann_lsh_topk",
 ]
 
 

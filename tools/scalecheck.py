@@ -341,6 +341,17 @@ def main() -> None:
                 "pagerank", n_ev * mult,
                 lambda: graph_ops.pagerank(spark, d),
             ))
+            # r5c graph loops: both relax/propagate over the same
+            # near-disjoint replica graph — per-round cost must stay
+            # data-proportional (joins keyed on user_id, no global node)
+            results.append(_timed_e2e(
+                "sssp_weighted", n_ev * mult,
+                lambda: graph_ops.sssp_weighted(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "label_propagation", n_ev * mult,
+                lambda: graph_ops.label_propagation(spark, d),
+            ))
             # vocab_coverage: the global top-V vocabulary now selects
             # via orderBy().limit() (TakeOrderedAndProject per-partition
             # heaps) instead of row_number() over ONE unpartitioned
