@@ -545,6 +545,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the dedup DASHBOARD metric a
+    curation pipeline watches per crawl: how much of each source is
+    boilerplate already seen elsewhere in the corpus.
+
+    Digest-level copy counts (global, md5-keyed shuffle — 16 bytes/row)
+    broadcast-join back onto the (source, digest) rows; a doc is "in a
+    dup group" when its text occurs more than once corpus-wide. NULL
+    texts fold to a sentinel digest so they count as docs (and as
+    mutual duplicates — the exact-dedup convention). All-integer until
+    one final division, so the oracle is bit-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dig = d.select(
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.md5("text"), F.lit("<NULL>")).alias("dg"),
+    )
+    counts = dig.groupBy("dg").agg(F.count("*").alias("n_copies"))
+    j = dig.join(counts, "dg")
+    dup = F.sum((F.col("n_copies") > 1).cast("bigint"))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dup.alias("n_in_dup_groups"),
+        (dup.cast("double") / F.count("*").cast("double")).alias("dup_rate"),
+    )
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: how many DISTINCT texts each
+    pair of sources shares verbatim (md5 set overlap) — the check that
+    catches one crawl mirroring another before both are sampled into a
+    training mix.
+
+    (source, digest) is deduplicated first, so the digest-keyed
+    self-join fans out at most |sources|² per digest — bounded by the
+    source-catalog size, never by corpus duplication depth. NULL texts
+    are excluded (a shared empty doc is not contamination).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dig = d.select(
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.md5("text").alias("dg"),
+    ).distinct()
+    a = dig.select(F.col("source").alias("source_a"), "dg")
+    b = dig.select(F.col("source").alias("source_b"), "dg")
+    return (
+        a.join(b, "dg")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_texts"))
+    )
+
+
 MAX_CC_ROUNDS = 16  # backstop only; min-propagation + pointer jumping
                     # converges in O(log diameter) rounds
 
@@ -827,6 +880,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_url_canonical": dedup_url_canonical,
+    "dup_rate_by_source": dup_rate_by_source,  # oracle (dedup dashboard metric)
+    "cross_source_overlap": cross_source_overlap,  # oracle (contamination matrix)
 }
 
 
@@ -1113,6 +1168,35 @@ def _simhash_pairs_oracle() -> str:
 
 
 ORACLE = {
+    "dup_rate_by_source": """
+        WITH dig AS (
+            SELECT COALESCE(source, '') AS source,
+                   COALESCE(md5(text), '<NULL>') AS dg
+            FROM documents
+        ),
+        cnt AS (
+            SELECT dg, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM dig GROUP BY dg
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_in_dup_groups,
+               CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM dig JOIN cnt USING (dg)
+        GROUP BY source
+    """,
+    "cross_source_overlap": """
+        WITH dig AS (
+            SELECT DISTINCT COALESCE(source, '') AS source, md5(text) AS dg
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_texts
+        FROM dig a JOIN dig b ON a.dg = b.dg AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
     "minhash_signatures": _minhash_signatures_oracle(),
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_ngram_jaccard": _ngram_jaccard_oracle(),

@@ -336,3 +336,37 @@ def test_levenshtein_hot_block_chains_and_matches_oracle(spark, tmp_path):
     # successors, so the hot block emits <= n*k pairs, never ~n^2/2
     hot_pairs = [p for p in got if p[0] < 100]
     assert len(hot_pairs) <= 80 * D.LEV_CHAIN_NEIGHBORS
+
+
+def test_dup_rate_and_overlap_on_planted_corpus(spark, tmp_path_factory):
+    """Planted duplication: 'web' holds text A twice + unique B;
+    'docs' holds A once + unique C; a NULL-text doc in 'web' pairs
+    with nothing in the overlap matrix but counts in its source's
+    rate denominator (and as a dup only if another NULL exists)."""
+    tmp = tmp_path_factory.mktemp("dup_rate")
+    A, B, C = "shared text alpha", "unique beta", "unique gamma"
+    docs = [
+        (0, A, "en", "web", len(A)),
+        (1, A, "en", "web", len(A)),
+        (2, B, "en", "web", len(B)),
+        (3, None, "en", "web", 0),
+        (4, A, "en", "docs", len(A)),
+        (5, C, "en", "docs", len(C)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    rates = {r.source: r for r in dedup.dup_rate_by_source(spark, str(tmp)).collect()}
+    # web: docs 0,1 are dups of each other AND of doc 4; NULL doc is
+    # alone in its sentinel group -> 2 of 4 in dup groups
+    assert rates["web"].n_docs == 4 and rates["web"].n_in_dup_groups == 2
+    assert rates["web"].dup_rate == 0.5
+    # docs: doc 4 shares A with web -> 1 of 2
+    assert rates["docs"].n_docs == 2 and rates["docs"].n_in_dup_groups == 1
+
+    overlap = {
+        (r.source_a, r.source_b): r.shared_texts
+        for r in dedup.cross_source_overlap(spark, str(tmp)).collect()
+    }
+    assert overlap == {("docs", "web"): 1}  # exactly text A
