@@ -202,7 +202,50 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine: the PERMISSIVE-ingest discipline.
+
+    A JSON feed (derived deterministically from orders: every 7th
+    record truncated mid-object, every 11th carries a non-numeric
+    value in a numeric field) is parsed with ``from_json`` and each
+    record is classified — ``ok`` / ``parse_error`` (whole object
+    unparseable: from_json yields an all-null struct) / ``type_error``
+    (object valid, field fails the schema) / ``null_input``. FAILFAST
+    kills the job on the first bad byte and silent drops lose data;
+    production ingest quarantines with a reason, exactly this shape.
+    The oracle replays the classification with ``json_valid`` +
+    ``TRY_CAST`` over the identical generated feed. Map-only pass —
+    one scan, no shuffle until the tiny per-status rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    c = F.col("o_custkey").cast("string")
+    good = F.concat(F.lit('{"k":'), k, F.lit(',"c":'), c, F.lit("}"))
+    bad_type = F.concat(
+        F.lit('{"k":'), k, F.lit(',"c":"x'), c, F.lit('"}')
+    )
+    raw = (
+        F.when(F.col("o_orderkey") % 7 == 3,
+               F.expr("substring({g}, 1, length({g}) - 2)".format(
+                   g="""concat('{"k":', cast(o_orderkey as string),
+                        ',"c":', cast(o_custkey as string), '}')""")))
+        .when(F.col("o_orderkey") % 11 == 5, bad_type)
+        .otherwise(good)
+    )
+    parsed = o.select(
+        "o_orderkey", raw.alias("raw")
+    ).withColumn("j", F.from_json("raw", "k long, c long"))
+    status = (
+        F.when(F.col("raw").isNull(), "null_input")
+        .when(F.col("j.k").isNull(), "parse_error")
+        .when(F.col("j.c").isNull(), "type_error")
+        .otherwise("ok")
+    )
+    return parsed.select("o_orderkey", status.alias("status"))
+
+
 QUERIES = {
+    "corrupt_quarantine": corrupt_quarantine,
     "variant_json": variant_json,
     "array_hof": array_hof,
     "array_set_ops": array_set_ops,
@@ -219,6 +262,34 @@ _ROUNDTRIP_ORACLE = """
     """
 
 ORACLE = {
+    "corrupt_quarantine": """
+        WITH feed AS (
+            SELECT o_orderkey,
+                   CASE
+                     WHEN o_orderkey % 7 = 3 THEN
+                       substring(g, 1, length(g) - 2)
+                     WHEN o_orderkey % 11 = 5 THEN
+                       '{"k":' || CAST(o_orderkey AS VARCHAR)
+                       || ',"c":"x' || CAST(o_custkey AS VARCHAR) || '"}'
+                     ELSE g
+                   END AS raw
+            FROM (
+                SELECT o_orderkey, o_custkey,
+                       '{"k":' || CAST(o_orderkey AS VARCHAR)
+                       || ',"c":' || CAST(o_custkey AS VARCHAR) || '}' AS g
+                FROM orders
+            )
+        )
+        SELECT o_orderkey,
+               CASE
+                 WHEN raw IS NULL THEN 'null_input'
+                 WHEN NOT json_valid(raw) THEN 'parse_error'
+                 WHEN TRY_CAST(json_extract_string(raw, '$.c') AS BIGINT)
+                      IS NULL THEN 'type_error'
+                 ELSE 'ok'
+               END AS status
+        FROM feed
+    """,
     "variant_json": """
         SELECT event_type,
                COUNT(*) AS n_events,
