@@ -370,3 +370,78 @@ def test_dup_rate_and_overlap_on_planted_corpus(spark, tmp_path_factory):
         for r in dedup.cross_source_overlap(spark, str(tmp)).collect()
     }
     assert overlap == {("docs", "web"): 1}  # exactly text A
+
+
+def _oracle_rows(tmp_path, name):
+    import duckdb
+
+    from real_time_big_data_architect_spark.plans import workload
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    return con.execute(workload.build_oracle_sql()[name]).fetchall()
+
+
+def test_minhash_lsh_hot_bucket_matches_oracle(spark, tmp_path):
+    """r5c guard: the md5-replay oracle must reproduce the engine's
+    CHAINED hot-bucket branch exactly, not just the small-bucket
+    all-pairs path the sf0.01 fixture exercises. Plants a 90-doc
+    identical-text run (> LSH_BUCKET_CAP=64 in every band bucket,
+    probe-tied so chains fall back to doc_id order) plus one normal
+    near-dup pair, then requires SET EQUALITY engine vs DuckDB."""
+    import glob
+    import shutil
+
+    docs = [(i, "mass boilerplate subscribe footer " * 8, "en", "web", 100)
+            for i in range(90)]
+    normal = BASE * 4
+    docs.append((500, normal, "en", "docs", len(normal)))
+    docs.append((501, normal.replace("lazy", "sleepy", 1), "en", "docs",
+                 len(normal)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d.dir"))
+    part = glob.glob(str(tmp_path / "d.dir" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    )
+    want = sorted(map(tuple, _oracle_rows(tmp_path, "dedup_minhash_lsh")))
+    assert got == want
+    hot = [p for p in got if p[0] < 90]
+    assert hot and len(hot) <= 90 * dedup.LSH_CHAIN_NEIGHBORS  # chained, not n^2/2
+    assert (500, 501) in {(a, b) for a, b, _ in got}
+
+
+def test_simhash_hot_bucket_matches_oracle(spark, tmp_path):
+    """Same discipline for the SimHash banding oracle: a 90-doc
+    identical-signature run must take the chained branch in BOTH
+    engines and produce the identical pair set."""
+    import glob
+    import shutil
+
+    docs = [(i, "identical promo text repeated often " * 6, "en", "web", 80)
+            for i in range(90)]
+    normal = BASE * 4
+    docs.append((500, normal, "en", "docs", len(normal)))
+    docs.append((501, normal.replace("lazy", "sleepy", 1), "en", "docs",
+                 len(normal)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d.dir"))
+    part = glob.glob(str(tmp_path / "d.dir" / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.dedup_simhash(spark, str(tmp_path)).collect()
+    )
+    want = sorted(map(tuple, _oracle_rows(tmp_path, "dedup_simhash")))
+    assert got == want
+    hot = [p for p in got if p[0] < 90]
+    assert hot and len(hot) <= 90 * dedup.LSH_CHAIN_NEIGHBORS * 2
