@@ -123,7 +123,48 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ONE ANSI SQL string executed verbatim by BOTH engines — see
+#: :func:`sql_ansi_interface`. Portability comes from the repo's
+#: dialect discipline: round-before-decimal (HALF_UP vs
+#: half-away-from-zero agree on positives), explicit final casts, and
+#: a deterministic rank tiebreak.
+_ANSI_SQL = """
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(12,2)))
+                    AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT n_name, c_custkey, c_name, revenue, CAST(rn AS INT) AS rnk
+    FROM (
+        SELECT rev.*, ROW_NUMBER() OVER (
+            PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rn
+        FROM rev
+    ) ranked
+    WHERE rn <= 2
+"""
+
+
+def sql_ansi_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-STRING surface: ``tables.register_views`` +
+    one ANSI query (CTE → join → exact-decimal agg → window rank)
+    executed by Catalyst — and the ORACLE is the IDENTICAL string run
+    by DuckDB. A user who talks SQL instead of the DataFrame API gets
+    the same catalog, the same semantics, and (by the repo's dialect
+    discipline) bit-identical results; Catalyst still plans broadcasts
+    and partial aggs underneath exactly as the DataFrame twin would.
+    """
+    from real_time_big_data_architect_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_SQL)
+
+
 QUERIES = {
+    "sql_ansi_interface": sql_ansi_interface,
     "scan_project": scan_project,
     "count_rows": count_rows,
     "filter_eq": filter_eq,
@@ -135,6 +176,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_ansi_interface": _ANSI_SQL,  # the IDENTICAL string, by design
     "pareto_frontier": """
         SELECT b.p_partkey, b.p_retailprice, b.p_size
         FROM part b
