@@ -59,6 +59,14 @@ LSH_BUCKET_CAP = 64
 #: n-doc degenerate bucket at n·4 candidates instead of n²/2
 LSH_CHAIN_NEIGHBORS = 4
 
+#: the blank-doc guard's whitespace alphabet — the 6 ASCII whitespace
+#: chars, NOT Python's full Unicode set. The DuckDB oracles test
+#: blankness with trim(text, <these 6 chars>), and DuckDB's trim cannot
+#: cheaply enumerate every Unicode whitespace codepoint, so the kernels
+#: strip exactly this set: a '\xa0'-only doc is NON-blank on both sides
+#: (it gets a real signature everywhere) instead of diverging.
+_ASCII_WS = " \t\n\r\v\f"
+
 #: smallest prime > 2^32 — modulus for the affine minhash permutations
 P_MINHASH = 4294967311
 #: fixed-seed affine coefficients: minhash_j(h) = (a_j*h + b_j) mod p.
@@ -176,8 +184,9 @@ def _minhash_text(texts: pd.Series) -> pd.Series:
         # ''.split(' ') is [''] (not []), so test the text itself:
         # null/empty/whitespace-only docs get a null signature rather
         # than an md5('')-derived one that would pair every blank doc
-        # with every other blank doc as a spurious near-dup
-        if t is None or not t.strip():
+        # with every other blank doc as a spurious near-dup.
+        # ASCII-6 strip, not str.strip(): must match _BLANK_GUARD.
+        if t is None or not t.strip(_ASCII_WS):
             out.append(None)
             continue
         words = t.split(" ")
@@ -396,7 +405,8 @@ def _simhash_text(texts: pd.Series) -> pd.Series:
     out = []
     for t in texts:
         # see _minhash_text: ''.split(' ') == [''], so guard on the text
-        if t is None or not t.strip():
+        # (ASCII-6 strip — must match _BLANK_GUARD)
+        if t is None or not t.strip(_ASCII_WS):
             out.append(None)
             continue
         words = t.split(" ")
@@ -708,8 +718,12 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs are generated only within a blocking key
     (lang, n_chars DIV 32) — the classic record-linkage bound on the
     quadratic pair space — then scored with exact ``levenshtein`` over
-    a 64-char prefix. The prefix is projected *before* the self-join,
-    so the block shuffle carries 64-byte strings, not documents. Both
+    an ASCII-folded 64-char prefix (non-ASCII codepoints map to ``?``,
+    the standard record-linkage normalization; it also makes
+    byte == codepoint, so Spark's codepoint-based levenshtein and
+    DuckDB's byte-based one agree exactly). The prefix is projected
+    *before* the self-join, so the block shuffle carries 64-byte
+    strings, not documents. Both
     engines implement the same textbook DP edit distance on identical
     prefixes, so the query is fully oracle-checked (unlike the
     hash-seeded MinHash/SimHash paths). Key cardinality bounds the
@@ -722,7 +736,9 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / LEV_BUCKET).alias("len_bucket"),
-        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+        F.regexp_replace(
+            F.substring("text", 1, LEV_PREFIX), "[^\\x00-\\x7F]", "?"
+        ).alias("prefix"),
     )
     # hot-BLOCK guard: blocking bounds the NUMBER of blocks, not their
     # population — a popular (lang, len_bucket) block grows with the
@@ -931,9 +947,10 @@ def _clusters_oracle() -> str:
         FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
     """
 
-#: DuckDB twin of the Python str.strip() blank-doc guard: every char
-#: Python treats as whitespace, so engine and oracle agree on which
-#: docs get NULL signatures.
+#: DuckDB twin of the kernels' blank-doc guard. Both sides trim exactly
+#: the 6 ASCII whitespace chars (``_ASCII_WS``) — NOT Python's full
+#: Unicode whitespace set — so a doc containing only '\xa0'/' '/…
+#: is non-blank on both sides and gets a real (identical) signature.
 _BLANK_GUARD = (
     "text IS NOT NULL AND trim(text, concat(' ', chr(9), chr(10), "
     "chr(13), chr(11), chr(12))) <> ''"
@@ -1264,9 +1281,13 @@ ORACLE = {
     """,
     "dedup_levenshtein": f"""
         WITH d AS (
+            -- ASCII-fold after the 64-codepoint slice: byte == codepoint
+            -- on the folded prefix, so DuckDB's byte-based levenshtein
+            -- matches Spark's codepoint-based one exactly
             SELECT doc_id, lang,
                    CAST(FLOOR(n_chars / 32) AS BIGINT) AS len_bucket,
-                   substr(text, 1, 64) AS prefix
+                   regexp_replace(substr(text, 1, 64),
+                                  '[^\\x00-\\x7F]', '?', 'g') AS prefix
             FROM documents
         ),
         bc AS (

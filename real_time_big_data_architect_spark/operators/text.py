@@ -594,12 +594,15 @@ def _phrase_oracle() -> str:
             ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1
         ),
         d{r} AS (
+            -- trim(x, ' ') NOT bare trim(): DuckDB's default trim strips
+            -- Unicode whitespace (NBSP, ...) where Spark's F.trim strips
+            -- only ASCII space — the explicit charset pins both to ' '
             SELECT s.* EXCLUDE (t),
                    trim(replace(replace(' ' || s.t || ' ',
                        ' ' || p.w1 || ' ' || p.w2 || ' ',
                        ' ' || p.w1 || '_' || p.w2 || ' '),
                        ' ' || p.w1 || ' ' || p.w2 || ' ',
-                       ' ' || p.w1 || '_' || p.w2 || ' ')) AS t,
+                       ' ' || p.w1 || '_' || p.w2 || ' '), ' ') AS t,
                    p.w1 || ' ' || p.w2 AS phrase_{r}
             FROM {src} s, top{r} p
         )""")

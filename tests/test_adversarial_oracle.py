@@ -270,6 +270,12 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (11, " lead trail ", "en", "beta", 12),
         (12, "", "en", "gamma", 0),
         (13, None, "en", "alpha", 0),
+        # whitespace-only edges for the blank-doc guard: ASCII tab-only
+        # is BLANK (null signature) on both sides; NBSP-only is
+        # NON-blank on both sides (the guard trims exactly the 6 ASCII
+        # whitespace chars — see dedup._ASCII_WS / _BLANK_GUARD)
+        (14, "\t \t", "en", "beta", 3),
+        (15, "\xa0", "en", "gamma", 1),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
