@@ -184,6 +184,101 @@ def quantile_partitioned_rank(
     )
 
 
+def quantile_partitioned_rank_sum(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    flag_col: str,
+    *,
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame ``(rank_sum, n_true, n_false)`` where ``rank_sum``
+    = Σ over flagged rows of ``row_number() OVER (ORDER BY key
+    [DESC], tiebreak)`` — the Mann-Whitney / AUC shape — WITHOUT
+    materializing per-row global ranks.
+
+    ``quantile_partitioned_rank`` spends three input passes (bounds,
+    counts, keyed window + broadcast join back). When only the SUM of
+    flagged ranks is needed, the counts pass and the join disappear:
+    global rank = offset(pid) + local rank, so
+
+        Σ_flagged rank = Σ_pid [ local_flag_sum(pid)
+                                 + offset(pid) · n_flag(pid) ]
+
+    and every per-pid term comes out of ONE aggregation over the SAME
+    pid-partitioned window pass (no new shuffle — the aggregate reuses
+    the window's hash partitioning). The cross-pid exclusive offsets
+    are then folded over the partition-count-sized stats (≤ npart
+    entries, model-parameter class) with an in-row ``aggregate`` over
+    the pid-sorted ``collect_list`` — no broadcast join, no extra
+    aggregate stage: the whole computation after the bounds pass is a
+    single job. Total input passes: bounds + one windowed scan — down
+    from three (the r5 bench's one real regression, adjudicated in
+    VERDICT r5).
+
+    Exactness: identical to summing the global window's row_numbers —
+    pid assignment is monotone in the key and equal keys share a pid
+    (``_literal_pid_expr``), so local order + exclusive offset IS the
+    global order. Property-tested against the window twin. Sums are
+    64-bit, like the generic helper's ranks (``row_number`` itself is
+    32-bit per partition — the engine-wide window convention).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    pid, loc, lfs, nfl, cnt = _helper_cols(
+        df, "__pid", "__loc", "__lfs", "__nfl", "__cnt"
+    )
+    key = F.col(key_col)
+    order = [
+        key.desc_nulls_last() if descending else key.asc_nulls_first(),
+        F.col(tiebreak_col).asc(),
+    ]
+    with_pid = df.withColumn(
+        pid, _literal_pid_expr(df, key_col, descending, npart)
+    )
+    local = F.row_number().over(W.partitionBy(pid).orderBy(*order))
+    # SQL-string expressions (not Column compositions): client-side
+    # py4j plan construction was ~0.2 s per build at small SF
+    stats = (
+        with_pid.select(
+            F.col(pid), F.col(flag_col), local.alias(loc)
+        )
+        .groupBy(pid)
+        .agg(
+            F.expr(
+                f"sum(CASE WHEN `{flag_col}` THEN `{loc}` ELSE 0 END)"
+                f" AS `{lfs}`"
+            ),
+            F.expr(f"sum(CAST(`{flag_col}` AS LONG)) AS `{nfl}`"),
+            F.expr(f"count(*) AS `{cnt}`"),
+        )
+    )
+    # exclusive cross-pid offsets via an in-row fold: pid-sorted stats
+    # (array_sort on a struct array orders by the FIRST field = pid),
+    # running count = offset of each pid, rank contribution =
+    # local_flag_sum + offset·n_flag. ≤ npart array elements.
+    return stats.agg(
+        F.expr(
+            f"array_sort(collect_list(struct(`{pid}` AS p, `{lfs}` AS s,"
+            f" `{nfl}` AS f, `{cnt}` AS c))) AS __arr"
+        ),
+        F.expr(f"sum(`{nfl}`) AS n_true"),
+        F.expr(f"sum(`{cnt}` - `{nfl}`) AS n_false"),
+    ).selectExpr(
+        "aggregate(__arr, struct(CAST(0 AS LONG) AS run,"
+        " CAST(0 AS LONG) AS rs),"
+        " (acc, x) -> struct(acc.run + x.c AS run,"
+        " acc.rs + x.s + acc.run * x.f AS rs)).rs AS rank_sum",
+        "n_true",
+        "n_false",
+    )
+
+
 def _helper_cols(df: DataFrame, *names: str) -> tuple[str, ...]:
     """Helper column names guaranteed not to collide with ``df``'s."""
     cols = tuple(names)
@@ -209,8 +304,11 @@ def _literal_pid_expr(
     fracs = [i / npart for i in range(1, npart)]
     bounds = []
     if fracs:
+        fr = ", ".join(repr(f) for f in fracs)
         row = df.agg(
-            F.percentile_approx(key_col, fracs, 10_000).alias("b")
+            F.expr(
+                f"percentile_approx(`{key_col}`, array({fr}), 10000) AS b"
+            )
         ).first()
         # de-duplicate: repeated cut points (heavy ties) would create
         # empty pids — harmless, but dropping them keeps the when-chain
@@ -220,17 +318,35 @@ def _literal_pid_expr(
             if b is not None and b not in seen:
                 seen.add(b)
                 bounds.append(b)
-    key = F.col(key_col)
-    above = [
-        (key < F.lit(b)) if descending else (key > F.lit(b))
-        for b in (sorted(bounds, reverse=True) if descending else sorted(bounds))
-    ]
-    pid_expr = F.lit(0)
-    for cond in above:
-        pid_expr = pid_expr + cond.cast("int")
-    return F.when(
-        key.isNull(), F.lit(-1) if not descending else F.lit(len(bounds) + 1)
-    ).otherwise(pid_expr)
+    # one F.expr over a rendered SQL string, not #bounds py4j Column
+    # compositions: client-side plan construction was a measurable
+    # fraction of small-SF wall time (~0.1 s per 31-term chain).
+    # repr(float) round-trips exactly through Spark's double parser.
+    op = "<" if descending else ">"
+    ordered = sorted(bounds, reverse=descending)
+    null_pid = len(bounds) + 1 if descending else -1
+    def _sql_lit(b) -> str:
+        if isinstance(b, float):
+            return repr(b)  # shortest round-trip decimal, exact
+        if isinstance(b, int):
+            return f"{b}L"
+        import decimal
+
+        if isinstance(b, decimal.Decimal):
+            return str(b)
+        raise TypeError(
+            f"quantile-bounded primitives take numeric keys, got {type(b)}"
+        )
+
+    if ordered:
+        chain = " + ".join(
+            f"CAST((`{key_col}` {op} {_sql_lit(b)}) AS INT)" for b in ordered
+        )
+    else:
+        chain = "0"
+    return F.expr(
+        f"CASE WHEN `{key_col}` IS NULL THEN {null_pid} ELSE {chain} END"
+    )
 
 
 def range_partitioned_prefix_max(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_architect_spark.functions.numeric import dec_sum
 from real_time_big_data_architect_spark.functions.ranking import (
-    quantile_partitioned_rank,
+    quantile_partitioned_rank_sum,
 )
 from real_time_big_data_architect_spark.tables import load_table
 
@@ -578,40 +578,31 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact and the ROW_NUMBER-based oracle hashes unchanged.
     """
     from real_time_big_data_architect_spark.operators.similarity import (
-        _PROJ_COEFS,
         _dot,
+        _proj_array,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    score = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
-    # NOT persisted: the rank helper consumes its input three times
-    # (bounds, counts, keyed window), but the embeddings projection is
-    # cheap to recompute (one dot product per row) and measured
-    # caching recovered nothing at sf0.1 — the residual is per-job
-    # overhead, not recompute. auc_rank therefore runs with ZERO
-    # cached relations; correctness never depends on caching anywhere
-    # in the quantile-rank path (deterministic literal bounds).
+    score = _dot(F.col("embedding"), _proj_array())
     scored = emb.select(
         "vec_id",
         (F.col("label") % 2 == 0).alias("pos"),
         score.alias("score"),
     )
-    # sketch-bounded two-pass rank (functions/ranking.py) — identical
-    # to row_number() OVER (ORDER BY score, vec_id) but with NO
-    # single-partition WindowExec AND no input-sized persist: literal
-    # quantile bounds make the partition assignment deterministic
-    # across plan instantiations, so nothing needs caching (the
-    # RangePartitioner variant had to persist to pin its sampled
-    # boundaries — the r5 bench's one real regression).
-    ranked = quantile_partitioned_rank(
-        scored, "score", "vec_id", rank_col="rnk"
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("pos"), F.col("rnk")).otherwise(0)).alias(
-            "rank_sum"
-        ),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+    # Fused rank-sum (functions/ranking.py): AUC needs Σ ranks of
+    # positives, NOT per-row ranks, so the per-pid local sums aggregate
+    # straight out of the windowed pass and the cross-pid offsets fold
+    # over a partition-count-sized relation — two input passes (bounds
+    # + windowed scan) instead of the generic helper's three, no
+    # broadcast join back onto the corpus, no persist anywhere, and
+    # still bit-identical to row_number() OVER (ORDER BY score, vec_id)
+    # (property-tested in tests/test_ranking.py).
+    agg = quantile_partitioned_rank_sum(
+        scored, "score", "vec_id", "pos"
+    ).select(
+        "rank_sum",
+        F.col("n_true").alias("n_pos"),
+        F.col("n_false").alias("n_neg"),
     )
     auc = (
         F.col("rank_sum").cast("double")

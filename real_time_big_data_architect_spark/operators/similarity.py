@@ -453,6 +453,17 @@ _proj_rng = random.Random(0xC0FFEE)
 _PROJ_COEFS = [_proj_rng.uniform(-1.0, 1.0) for _ in range(DIM)]
 
 
+def _proj_array():
+    """The projection coefficients as ONE parsed literal array column.
+
+    A single ``F.expr`` call instead of 64 ``F.lit`` py4j round-trips
+    (~50 ms of client-side build per query) — ``repr(float)`` is the
+    shortest exact round-trip, so the parsed doubles are bit-identical
+    to the ``F.lit`` construction and to the oracles' rendered coefs.
+    """
+    return F.expr(f"array({', '.join(repr(c) for c in _PROJ_COEFS)})")
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN search: the inverted-file scale path for top-k.
 
@@ -587,7 +598,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_params(spark, sf_dir)
     # zero-norm exclusion: same rationale and oracle mirror as above
     e = _corpus_with_norms(spark, sf_dir)
-    proj = _dot(F.col("embedding"), F.array(*[F.lit(c) for c in _PROJ_COEFS]))
+    proj = _dot(F.col("embedding"), _proj_array())
     w_cell = W.partitionBy("cell")
     v = (
         _with_cell(e.select("vec_id", "embedding", "nrm"), cents)

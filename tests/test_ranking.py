@@ -291,3 +291,79 @@ def test_quantile_rank_property_equals_sorted_position(spark, vals, npart):
         rid: i + 1 for i, (rid, _) in enumerate(sorted(rows, key=key))
     }
     assert got == want
+
+
+from real_time_big_data_architect_spark.functions.ranking import (  # noqa: E402
+    quantile_partitioned_rank_sum,
+)
+
+
+def test_rank_sum_matches_window_sum(spark):
+    rows = [(i, float((i * 7) % 5), i % 3 == 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double, flag boolean")
+    got = quantile_partitioned_rank_sum(
+        df, "v", "id", "flag", num_partitions=7
+    ).collect()[0]
+    w = Window.orderBy(F.col("v").asc_nulls_first(), F.col("id").asc())
+    want = (
+        df.select("flag", F.row_number().over(w).alias("rnk"))
+        .agg(
+            F.sum(F.when(F.col("flag"), F.col("rnk")).otherwise(0)),
+            F.sum(F.col("flag").cast("long")),
+            F.sum((~F.col("flag")).cast("long")),
+        )
+        .collect()[0]
+    )
+    assert (got.rank_sum, got.n_true, got.n_false) == tuple(want)
+
+
+def test_rank_sum_descending(spark):
+    rows = [(i, float(i % 4), i % 2 == 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v double, flag boolean")
+    got = quantile_partitioned_rank_sum(
+        df, "v", "id", "flag", descending=True, num_partitions=5
+    ).collect()[0]
+    w = Window.orderBy(F.col("v").desc_nulls_last(), F.col("id").asc())
+    want = (
+        df.select("flag", F.row_number().over(w).alias("rnk"))
+        .agg(F.sum(F.when(F.col("flag"), F.col("rnk")).otherwise(0)))
+        .collect()[0][0]
+    )
+    assert got.rank_sum == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    npart=st.integers(min_value=1, max_value=40),
+)
+def test_rank_sum_property_equals_window_sum(spark, vals, npart):
+    """For ANY value multiset (NULLs included) and ANY partition count,
+    the fused rank-sum equals Σ row_number() over flagged rows — the
+    offsets fold never depends on the bound values."""
+    rows = [(i, v, i % 3 == 1) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double, flag boolean")
+    got = quantile_partitioned_rank_sum(
+        df, "v", "id", "flag", num_partitions=npart
+    ).collect()[0]
+    key = lambda t: (0, 0.0, t[0]) if t[1] is None else (1, t[1], t[0])
+    ranked = sorted(rows, key=key)
+    want_sum = sum(i + 1 for i, r in enumerate(ranked) if r[2])
+    want_true = sum(1 for r in rows if r[2])
+    assert (got.rank_sum, got.n_true, got.n_false) == (
+        want_sum, want_true, len(rows) - want_true,
+    )
