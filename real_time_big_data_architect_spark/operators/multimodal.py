@@ -214,16 +214,41 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct column bundling {text, embedding, metadata} (rows-only)."""
+    """Struct column bundling {text, embedding, metadata}, certified
+    through scalar projections (oracle-backed since r6).
+
+    The operator under test is the struct assembly + field access: the
+    bundle is BUILT (nested struct with typed metadata — the
+    training-example record shape), then every output column is read
+    back THROUGH it (``bundle.text``, ``bundle.embedding``,
+    ``bundle.metadata.*``), flattened to driver-hashable scalars the
+    DuckDB twin reproduces: md5 of the text and the in-order
+    ``aggregate`` fold of the embedding (the ``_dot`` replay
+    discipline — 0.0 + p1 == p1, so list_reduce matches bit-exactly).
+    """
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    return d.join(e, d.doc_id == e.vec_id).select(
+    bundled = d.join(e, d.doc_id == e.vec_id).select(
         "doc_id",
         F.struct(
             F.col("text"),
             F.col("embedding"),
             F.struct("lang", "source", "n_chars", "label").alias("metadata"),
         ).alias("bundle"),
+    )
+    checksum = F.aggregate(
+        F.transform(F.col("bundle.embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return bundled.select(
+        "doc_id",
+        F.md5(F.col("bundle.text")).alias("text_md5"),
+        checksum.alias("embedding_sum"),
+        F.col("bundle.metadata.lang").alias("lang"),
+        F.col("bundle.metadata.source").alias("source"),
+        F.col("bundle.metadata.n_chars").alias("n_chars"),
+        F.col("bundle.metadata.label").alias("label"),
     )
 
 
@@ -353,7 +378,7 @@ QUERIES = {
     "media_resize": media_resize,  # oracle (md5-derived geometry)
     "media_frame_sample": media_frame_sample,
     "multimodal_join": multimodal_join,
-    "multimodal_bundle": multimodal_bundle,  # rows-only (struct output)
+    "multimodal_bundle": multimodal_bundle,
     "multimodal_features": multimodal_features,
     "media_meta_stats": media_meta_stats,
     "media_phash_dedup": media_phash_dedup,
@@ -478,6 +503,16 @@ def _features_oracle() -> str:
 
 
 ORACLE = {
+    "multimodal_bundle": """
+        SELECT d.doc_id,
+               md5(d.text) AS text_md5,
+               list_reduce(
+                   list_transform(range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) AS embedding_sum,
+               d.lang, d.source, d.n_chars, e.label
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
     "media_resize": f"""
         SELECT doc_id,
                'image' AS media_type,

@@ -809,6 +809,16 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-norm, and λ never exceeds the trace. A failed eigensolve or a
     wrong Gram flips a boolean (or shifts the trace) and breaks the
     hash.
+
+    Since r6 this ALSO certifies the distributed projection pass (the
+    former rows-only ``pca_project`` query, merged per the r5 verdict):
+    ``projection_ok`` runs :func:`pca_project`'s real per-row JVM fold
+    against the broadcast component and asserts the Rayleigh identity
+    Σ(v·xᵢ)² = vᵀGv = λ within tolerance, accumulated in exact decimal
+    so the check is partition-order deterministic. One hash now covers
+    the Gram accumulation, the eigensolve, AND the projection pass;
+    ``pca_project`` itself remains the per-row library API, pinned to
+    numpy by unit tests.
     """
     import numpy as np
     from decimal import Decimal
@@ -827,6 +837,22 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = max(abs(trace), 1.0)
     resid = float(np.linalg.norm(G @ v - lam * v))
     n = emb.count()
+    # Rayleigh certification of the real projection pass: Σ score² over
+    # the corpus equals vᵀGv = λ for the unit eigenvector. score² is
+    # rounded to 10 decimals and summed as DECIMAL(30,10) (the Gram
+    # convention), so the certified quantity is deterministic.
+    comp = F.expr(f"array({', '.join(repr(float(x)) for x in v)})")
+    sq_sum = (
+        emb.select(_dot(F.col("embedding"), comp).alias("s"))
+        .agg(
+            F.sum(
+                F.round(F.col("s") * F.col("s"), 10).cast("decimal(30,10)")
+            ).alias("q")
+        )
+        .first()
+        .q
+    )
+    projection_ok = bool(abs(float(sq_sum) - lam) <= 1e-6 * scale)
     row = [
         (
             trace,
@@ -834,13 +860,15 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(resid <= 1e-6 * scale),
             bool(abs(float(np.linalg.norm(v)) - 1.0) <= 1e-9),
             bool(lam <= trace * (1.0 + 1e-12) + 1e-9),
+            projection_ok,
             n,
         )
     ]
     return spark.createDataFrame(
         row,
         "trace_g double, eig_sum_ok boolean, residual_ok boolean,"
-        " unit_norm_ok boolean, lambda_bounded boolean, n_vectors long",
+        " unit_norm_ok boolean, lambda_bounded boolean,"
+        " projection_ok boolean, n_vectors long",
     )
 
 
@@ -860,11 +888,17 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape every distributed PCA uses — power iteration would need a
     spectral gap these near-isotropic embeddings don't have). Sign is
     canonicalized (first nonzero coordinate positive) so results are
-    reproducible. Rows-only (the eigensolve is not SQL-expressible),
-    but since r5 the Gram accumulates in exact DECIMAL (see
-    :func:`_gram_decimal`) so the whole query is partition-order
-    DETERMINISTIC, and :func:`pca_certify` carries the oracle-grade
-    evidence (data-derived trace + eigensolve invariants).
+    reproducible, and the Gram accumulates in exact DECIMAL (see
+    :func:`_gram_decimal`) so the result is partition-order
+    DETERMINISTIC.
+
+    Library API, not a declared query (r6, per the r5 verdict): the
+    eigensolve is not SQL-expressible, so the declared surface carries
+    :func:`pca_certify` — which exercises this function's distributed
+    plumbing (Gram shuffle + per-row projection fold) under
+    oracle-checked invariants, incl. the Rayleigh identity over these
+    exact scores. Per-row values are pinned to numpy by
+    tests/test_similarity.py.
     """
     import numpy as np
 
@@ -878,7 +912,7 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nz.size and v[nz[0]] < 0:
         v = -v
     eigval = float(eigvals[-1])
-    comp = F.array(*[F.lit(float(x)) for x in v])
+    comp = F.expr(f"array({', '.join(repr(float(x)) for x in v)})")
     score = _dot(F.col("embedding"), comp)
     return emb.select(
         "vec_id",
@@ -929,8 +963,13 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_clusters": kmeans_clusters,
-    "pca_project": pca_project,  # rows-only (eigensolve; certified by pca_certify)
-    "pca_certify": pca_certify,  # oracle (trace + eigensolve invariants)
+    # pca_project is deliberately NOT a declared query: its per-row
+    # scores come from a driver-side eigensolve DuckDB cannot replay,
+    # so the declared surface carries pca_certify instead — which runs
+    # pca_project's distributed plumbing (Gram + projection pass) under
+    # oracle-checked invariants. pca_project stays the per-row library
+    # API, pinned to numpy by tests/test_similarity.py.
+    "pca_certify": pca_certify,  # oracle (trace + eigensolve + projection)
 }
 
 
@@ -1160,6 +1199,7 @@ ORACLE = {
                TRUE AS residual_ok,
                TRUE AS unit_norm_ok,
                TRUE AS lambda_bounded,
+               TRUE AS projection_ok,
                (SELECT COUNT(*) FROM embeddings) AS n_vectors
         FROM (
             SELECT CAST(round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 10)

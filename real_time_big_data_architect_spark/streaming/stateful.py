@@ -257,7 +257,16 @@ def _per_user_counter(
 
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user running counters via
-    ``applyInPandasWithState`` (NS5 'stateful ops')."""
+    ``applyInPandasWithState`` (NS5 'stateful ops').
+
+    Oracle-backed FOR THE FIXTURE (the stream_dedup_watermark
+    discipline): the single-file fixture drains as ONE micro-batch, so
+    the update-mode sink holds exactly one emission per user — the
+    final state — and the exact fixed-point accumulation makes that
+    equal the batch per-user aggregate bit-for-bit. Multi-file corpora
+    emit once per user per batch-with-change; those paths are locked
+    by the multi-batch state tests instead.
+    """
     ev = _events_stream(spark, sf_dir)
     counts = ev.groupBy("user_id").applyInPandasWithState(
         _per_user_counter,
@@ -658,6 +667,38 @@ def _ensure_protobuf() -> None:
         _os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
 
+#: CEP pattern: strict stage sequence with relaxed contiguity
+#: (non-matching events are skipped, Flink CEP "followedBy").
+#: Module-level (outside the TWS guard): the DuckDB fold-replay
+#: oracles and the Python replay tests need these even where the
+#: Spark 4 TWS API itself is unavailable.
+CEP_STEPS = ("view", "click", "purchase")
+#: a match must complete within this many seconds of its first step
+#: (7 days — sized to the fixture's event density: ~59 matches at
+#: sf0.001 with some partials still timing out, so both the match
+#: and the window-reset paths are exercised)
+CEP_WINDOW_S = 7 * 86400.0
+
+
+def _cep_advance(stage, started, t, etype, window):
+    """One step of the funnel machine — the single source of truth
+    for both CEP processors (arrival mode runs it on float seconds,
+    event-time mode on int milliseconds; the logic is pure
+    comparisons/arithmetic, valid for either unit). Returns
+    (stage, started, match-or-None)."""
+    if stage > 0 and t - started > window:
+        stage = 0  # partial match timed out
+    match = None
+    if etype == CEP_STEPS[stage]:
+        if stage == 0:
+            started = t
+        stage += 1
+        if stage == len(CEP_STEPS):
+            match = (started, t)
+            stage = 0
+    return stage, started, match
+
+
 try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
     # Its driver worker imports google.protobuf (state-server protocol);
     # probe (with the vendored fallback) so the query registers only
@@ -696,33 +737,6 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
 
         def close(self) -> None:
             pass
-
-    #: CEP pattern: strict stage sequence with relaxed contiguity
-    #: (non-matching events are skipped, Flink CEP "followedBy")
-    CEP_STEPS = ("view", "click", "purchase")
-    #: a match must complete within this many seconds of its first step
-    #: (7 days — sized to the fixture's event density: ~59 matches at
-    #: sf0.001 with some partials still timing out, so both the match
-    #: and the window-reset paths are exercised)
-    CEP_WINDOW_S = 7 * 86400.0
-
-    def _cep_advance(stage, started, t, etype, window):
-        """One step of the funnel machine — the single source of truth
-        for both CEP processors (arrival mode runs it on float seconds,
-        event-time mode on int milliseconds; the logic is pure
-        comparisons/arithmetic, valid for either unit). Returns
-        (stage, started, match-or-None)."""
-        if stage > 0 and t - started > window:
-            stage = 0  # partial match timed out
-        match = None
-        if etype == CEP_STEPS[stage]:
-            if stage == 0:
-                started = t
-            stage += 1
-            if stage == len(CEP_STEPS):
-                match = (started, t)
-                stage = 0
-        return stage, started, match
 
     class _FunnelPatternProcessor(StatefulProcessor):
         """Streaming CEP / MATCH_RECOGNIZE analog Spark lacks natively:
@@ -912,9 +926,11 @@ def _rocksdb_state_store(spark: SparkSession):
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running counters via ``transformWithStateInPandas`` —
     the Spark 4 arbitrary-state API (explicit ValueState handle), the
-    production successor to ``applyInPandasWithState``. Rows-only:
-    update-mode emission timing is engine-specific; the multi-batch
-    state semantics are locked by the batch-equivalence test instead.
+    production successor to ``applyInPandasWithState``.
+    Oracle-backed for the single-file fixture exactly like
+    stream_stateful_counts (one micro-batch → one emission per user =
+    the final state = the batch fixed-point aggregate); multi-batch
+    emission timing is locked by the batch-equivalence test.
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
@@ -935,9 +951,11 @@ def stream_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine — the Flink-CEP / SQL MATCH_RECOGNIZE capability
     Spark has no native operator for. Constant state per user (stage +
     window start), so state volume tracks the KEY space, not stream
-    length. Rows-only: match emission is inherently sequential; the
-    semantics are locked by a Python replay of the same machine over
-    the batch fixture in tests (including a planted multi-match user).
+    length. Oracle-backed for the single-file fixture: the drain feeds
+    each user's events through the machine in (ts, event_id) order, and
+    the DuckDB twin unrolls the identical recurrence as a recursive CTE
+    (see ``_cep_oracle``); a Python replay test and a planted
+    multi-match user lock the multi-batch paths.
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
@@ -968,7 +986,11 @@ def stream_pattern_cep_eventtime(
     the processor (this build's TWS forwards rather than filters late
     rows). Cost: O(watermark horizon) state per key instead of O(1).
     A zero-second delay on the drained availableNow run closes every
-    prefix by stream end, so the full fixture's matches all emit.
+    prefix by stream end, so the full fixture's matches all emit —
+    which makes the single-file run oracle-backed: the drain equals
+    the machine over (ts_ms, event_id) order, unrolled in DuckDB by
+    ``_cep_oracle(event_time=True)`` (ms-truncated event times, the
+    same trunc(double·1e3) Spark's watermark arithmetic uses).
     """
     if not TWS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas unavailable")
@@ -1118,10 +1140,11 @@ if TWS_AVAILABLE:
     QUERIES["stream_pattern_cep"] = stream_pattern_cep
     QUERIES["stream_pattern_cep_eventtime"] = stream_pattern_cep_eventtime
 
-# Update-mode and per-batch-emission outputs are engine-timing-specific
-# (rows-only by design); append-mode watermark drains and COMPLETE-mode
-# snapshots are deterministic for an availableNow run and carry full
-# batch-reconstruction oracles below.
+# Append-mode watermark drains and COMPLETE-mode snapshots are
+# deterministic for an availableNow run; update-mode and per-batch
+# emissions are deterministic FOR THE SINGLE-FILE FIXTURE (one
+# micro-batch). Both classes carry batch-reconstruction oracles below;
+# multi-file emission timing stays locked by tests instead.
 def _stream_hll_oracle() -> str:
     """Batch twin of stream_hll_distinct: MAX over any batch split of
     the registers equals the global registers, so the streamed estimate
@@ -1187,6 +1210,94 @@ def _stream_hll_oracle() -> str:
     """
 
 
+def _cep_oracle(event_time: bool) -> str:
+    """DuckDB fold-replay twin of the streaming CEP drains.
+
+    For the single-file fixture the availableNow drain feeds every
+    user's events through the funnel machine in ONE deterministic
+    order — (ts, event_id) for arrival mode (the processor sorts each
+    micro-batch), (ts_ms, event_id) for event-time mode (the buffer
+    drains watermark-closed prefixes in that order, and a 0-second
+    delay closes every prefix by stream end). The oracle replays
+    ``_cep_advance`` bit-exactly as a ``list_reduce`` left fold over
+    the per-user ordered event list: the initial accumulator is
+    prepended (DuckDB's reduce takes no init), each step inlines the
+    same timeout → step-compare → advance/reset logic, and matches
+    accumulate in a list unnested at the end.
+
+    Numeric replays: arrival mode's ``ts.timestamp()`` is
+    epoch_us/1e6 (one correctly-rounded double division — identical
+    in both engines for |us| < 2^53); event-time's
+    ``int(ts.timestamp()*1000)`` is trunc of that double times 1e3
+    (same IEEE ops), and its outputs divide the ms longs by 1e3.
+    Multi-file corpora (cross-batch disorder) are NOT covered by this
+    reconstruction — the out-of-order tests lock those paths.
+    """
+    last = len(CEP_STEPS) - 1
+    step_case = "CASE " + " ".join(
+        f"WHEN s0 = {i} THEN '{s}'" for i, s in enumerate(CEP_STEPS)
+    ) + " END"
+    if event_time:
+        t_sql = (
+            "CAST(trunc((epoch_us(ts) / 1000000.0) * 1000.0) AS BIGINT)"
+        )
+        t_type, win = "BIGINT", int(CEP_WINDOW_S * 1000)
+        out_s, out_c = "m_s / 1000.0", "m_c / 1000.0"
+        out_d = "(m_c - m_s) / 1000.0"
+    else:
+        t_sql = "epoch_us(ts) / 1000000.0"
+        t_type, win = "DOUBLE", repr(CEP_WINDOW_S)
+        out_s, out_c, out_d = "m_s", "m_c", "m_c - m_s"
+    # the machine unrolls as a recursive CTE (one state row per (user,
+    # event index)) rather than a list_reduce fold: DuckDB 1.0's
+    # list_reduce silently loses list-/varchar-typed accumulator struct
+    # fields, and a match LIST is exactly what the fold would carry.
+    # Recursion depth = max events per user; the working table is one
+    # row per user per step — the sssp/label_propagation discipline.
+    return f"""
+        WITH RECURSIVE ord AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY {t_sql}, event_id) AS i,
+                   {t_sql} AS t,
+                   event_type AS e
+            FROM events
+        ),
+        machine(user_id, i, stage, started, m_s, m_c) AS (
+            SELECT user_id, CAST(0 AS BIGINT), 0, CAST(0 AS {t_type}),
+                   NULL::{t_type}, NULL::{t_type}
+            FROM (SELECT DISTINCT user_id FROM ord)
+            UNION ALL
+            SELECT user_id, i,
+                   CASE WHEN hit THEN (CASE WHEN s0 = {last}
+                                       THEN 0 ELSE s0 + 1 END)
+                        ELSE s0 END,
+                   CASE WHEN hit AND s0 = 0 THEN t ELSE started END,
+                   CASE WHEN hit AND s0 = {last}
+                        THEN (CASE WHEN s0 = 0 THEN t ELSE started END)
+                        END,
+                   CASE WHEN hit AND s0 = {last} THEN t END
+            FROM (
+                SELECT z.*, (z.e = ({step_case})) AS hit
+                FROM (
+                    SELECT o.user_id, o.i, o.t, o.e, m.started,
+                           CASE WHEN m.stage > 0
+                                     AND o.t - m.started > {win}
+                                THEN 0 ELSE m.stage END AS s0
+                    FROM machine m
+                    JOIN ord o ON o.user_id = m.user_id AND o.i = m.i + 1
+                ) z
+            )
+        )
+        SELECT user_id,
+               {out_s} AS started_ts_s,
+               {out_c} AS completed_ts_s,
+               {out_d} AS duration_s
+        FROM machine
+        WHERE m_s IS NOT NULL
+    """
+
+
 def _stream_cdc_apply_oracle() -> str:
     """The applied view must equal v2 — built directly."""
     from real_time_big_data_architect_spark.operators.mutations import (
@@ -1222,7 +1333,29 @@ def _stream_cdc_apply_oracle() -> str:
 # "window/session end <= final watermark" (boundary pinned by test:
 # end == watermark DOES emit). Each oracle below is the corresponding
 # batch query with that filter — hash-exact against the real drain.
+#: the stateful counters' batch twin: per-user count + exact
+#: fixed-point value sum. For the single-file fixture the availableNow
+#: drain is ONE micro-batch, so the update-mode sink holds exactly one
+#: emission per user == the final state == this aggregate. (Multi-file
+#: corpora emit once per user per batch-with-change; those paths are
+#: locked by the multi-batch state tests, not this reconstruction.)
+_STATEFUL_COUNTS_ORACLE = f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                 THEN CAST(floor(value * {STATE_TOTAL_SCALE} + 0.5)
+                           AS BIGINT)
+                 ELSE 0 END), 0) AS DOUBLE)
+               / CAST({STATE_TOTAL_SCALE} AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+"""
+
 ORACLE: dict[str, str] = {
+    "stream_stateful_counts": _STATEFUL_COUNTS_ORACLE,
+    "stream_transform_with_state": _STATEFUL_COUNTS_ORACLE,
+    "stream_pattern_cep": _cep_oracle(event_time=False),
+    "stream_pattern_cep_eventtime": _cep_oracle(event_time=True),
     "stream_stateful_final": f"""
         SELECT user_id,
                COUNT(*) AS n_events,

@@ -157,6 +157,20 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_small):
 import pytest
 
 
+def test_tws_available_in_driver_env():
+    """Environment pin (r5 verdict item 4): the driver environment MUST
+    carry transformWithStateInPandas' protobuf dependency, so the three
+    TWS queries (stream_transform_with_state, stream_pattern_cep,
+    stream_pattern_cep_eventtime) register unconditionally and their
+    NotImplementedError guard is unreachable in preflight. If this
+    fails, the environment lost google.protobuf — the guarded skips
+    below would otherwise hide that silently."""
+    assert stateful.TWS_AVAILABLE, (
+        "google.protobuf missing: TWS queries degraded to"
+        " NotImplementedError — fix the environment, do not skip"
+    )
+
+
 @pytest.mark.skipif(
     not stateful.TWS_AVAILABLE,
     reason="transformWithStateInPandas needs google.protobuf (absent here)",
