@@ -561,8 +561,12 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate already seen elsewhere in the corpus.
 
     Digest-level copy counts (global, md5-keyed shuffle — 16 bytes/row)
-    broadcast-join back onto the (source, digest) rows; a doc is "in a
-    dup group" when its text occurs more than once corpus-wide. NULL
+    join back onto the (source, digest) rows via a digest-KEYED SHUFFLE
+    join — `counts` has one row per distinct text (corpus-scale at
+    100 TB), so it is NOT broadcastable; the join key is the 16-byte
+    digest, which is the whole point: both shuffles move digests, never
+    documents. A doc is "in a dup group" when its text occurs more than
+    once corpus-wide. NULL
     texts fold to a sentinel digest so they count as docs (and as
     mutual duplicates — the exact-dedup convention). All-integer until
     one final division, so the oracle is bit-exact.

@@ -374,26 +374,45 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs when a new crawl lands: which language is over- or
     under-represented in which source.
 
-    Emits one row per OBSERVED cell with its expected count and
-    chi-square contribution; the global statistic is the sum downstream
-    tooling takes over these cells. Emitting cells (rather than one
+    Emits one row per cell of the FULL lang × source cross product —
+    including structural zeros (observed = 0, expected > 0), which
+    contribute ``expected`` to the statistic; summing the emitted
+    cells therefore yields the complete chi-square, not a lower bound
+    (r5 advisor finding — the old version emitted observed cells only
+    and understated sparse tables). Emitting cells (rather than one
     pre-summed statistic) keeps every fp operation a per-row expression
     mirrored token-for-token in the oracle — no cross-row double
     accumulation, so the hash is bit-exact. Margins cast to double
     BEFORE the product (overflow-safe at any corpus size).
 
-    Scale: cells/margins aggregations have |langs|×|sources|
-    cardinality — independent of corpus size — and the margin tables
-    broadcast back onto the cell table.
+    Scale: cells/margins aggregations and the zero-completion spine all
+    have |langs|×|sources| cardinality — independent of corpus size —
+    and the margin tables broadcast back onto the cell table.
     """
     d = load_table(spark, sf_dir, "documents").select(
         F.coalesce("lang", F.lit("")).alias("lang"),
         F.coalesce("source", F.lit("")).alias("source"),
     )
-    cells = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
-    row_t = cells.groupBy("lang").agg(F.sum("observed").alias("lang_total"))
-    col_t = cells.groupBy("source").agg(F.sum("observed").alias("source_total"))
-    n_t = cells.agg(F.sum("observed").alias("n_total"))
+    observed_cells = d.groupBy("lang", "source").agg(
+        F.count("*").alias("observed")
+    )
+    row_t = observed_cells.groupBy("lang").agg(
+        F.sum("observed").alias("lang_total")
+    )
+    col_t = observed_cells.groupBy("source").agg(
+        F.sum("observed").alias("source_total")
+    )
+    n_t = observed_cells.agg(F.sum("observed").alias("n_total"))
+    # dimension-sized spine completes the structural zeros: every
+    # (lang, source) pair whose margins are both nonzero exists here
+    spine = row_t.select("lang").crossJoin(col_t.select("source"))
+    cells = spine.join(
+        observed_cells, ["lang", "source"], "left"
+    ).select(
+        "lang",
+        "source",
+        F.coalesce("observed", F.lit(0)).alias("observed"),
+    )
     joined = (
         cells.join(F.broadcast(row_t), "lang")
         .join(F.broadcast(col_t), "source")
@@ -475,19 +494,27 @@ ORACLE = {
                    COALESCE(source, '') AS source
             FROM documents
         ),
-        cells AS (
+        obs AS (
             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
             FROM d GROUP BY lang, source
         ),
         rt AS (
             SELECT lang, CAST(SUM(observed) AS BIGINT) AS lang_total
-            FROM cells GROUP BY lang
+            FROM obs GROUP BY lang
         ),
         ct AS (
             SELECT source, CAST(SUM(observed) AS BIGINT) AS source_total
-            FROM cells GROUP BY source
+            FROM obs GROUP BY source
         ),
-        nt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells)
+        nt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs),
+        -- full cross product: structural zeros contribute `expected`
+        cells AS (
+            SELECT s.lang, s.source,
+                   COALESCE(o.observed, 0) AS observed
+            FROM (SELECT lang, source
+                  FROM (SELECT lang FROM rt), (SELECT source FROM ct)) s
+            LEFT JOIN obs o USING (lang, source)
+        )
         SELECT c.lang, c.source, c.observed,
                {_CHI2_EXPECTED} AS expected,
                (CAST(c.observed AS DOUBLE) - {_CHI2_EXPECTED})

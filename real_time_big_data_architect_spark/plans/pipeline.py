@@ -32,6 +32,28 @@ STATUS_SCHEMA = (
     "tick long, source string, n_rows long, headline string, agent string"
 )
 
+#: driver-funnel guard (r5 verdict item 6): the poll contract is ≤ 1
+#: row per source per tick (catalog = 10 sources), so a batch beyond
+#: this cap means a source is misbehaving — fail the stream LOUDLY
+#: instead of silently funnelling unbounded rows through the driver.
+#: Payload SIZE is already capped at fetch time
+#: (http_poll.MAX_PAYLOAD_BYTES), so cap × payload bounds the driver
+#: transfer absolutely.
+MAX_POLL_ROWS_PER_BATCH = 64
+
+
+def _bounded_rows(batch_df: DataFrame, cols: list[str]) -> list:
+    """Collect a poll batch with a hard row bound: ``limit(cap + 1)``
+    keeps the transfer executor-bounded even when the check fails."""
+    rows = batch_df.select(*cols).limit(MAX_POLL_ROWS_PER_BATCH + 1).collect()
+    if len(rows) > MAX_POLL_ROWS_PER_BATCH:
+        raise RuntimeError(
+            f"poll batch exceeded {MAX_POLL_ROWS_PER_BATCH} rows — the"
+            " source contract is one row per source per tick; refusing"
+            " to funnel an unbounded batch through the driver"
+        )
+    return rows
+
 
 def process_tick(
     spark: SparkSession, batch_df: DataFrame, source_key: str, tick: int
@@ -41,7 +63,7 @@ def process_tick(
     The poll source emits one row per tick; normalize + agents run on
     it just like the reference's script body runs per refresh.
     """
-    rows = batch_df.select("payload", "error").collect()
+    rows = _bounded_rows(batch_df, ["payload", "error"])
     if not rows:
         insight = agents.fallback_insight(source_key, "no poll row")
     else:
@@ -140,7 +162,7 @@ def run_poll_all_pipeline(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        rows = batch_df.select("source", "payload", "error").collect()
+        rows = _bounded_rows(batch_df, ["source", "payload", "error"])
         status_parts = []
         for r in rows:
             if r.error is not None or r.payload is None:

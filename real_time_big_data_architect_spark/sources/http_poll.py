@@ -29,6 +29,15 @@ import urllib.error
 import urllib.request
 
 
+#: hard byte ceiling on a single poll payload. The catalog endpoints
+#: return small JSON documents (the reference caps at limit=20/50
+#: records); a misbehaving endpoint streaming an unbounded body is the
+#: one way a poll row could grow without bound, and poll payloads
+#: transit the driver (plans/pipeline.py) — so oversize bodies degrade
+#: into an error row at FETCH time, like every other fetch failure.
+MAX_PAYLOAD_BYTES = 16 * 1024 * 1024
+
+
 def fetch(
     url: str, headers: dict[str, str] | None = None, timeout: int = 15
 ) -> tuple[str | None, str | None]:
@@ -36,7 +45,9 @@ def fetch(
 
     The payload is returned as raw text: JSON validity is checked (the
     reference's json-else-text fallback) but parsing into columns is
-    Spark's job (``from_json`` in sources.normalize).
+    Spark's job (``from_json`` in sources.normalize). Bodies larger
+    than ``MAX_PAYLOAD_BYTES`` degrade to an error row (read is capped,
+    never unbounded).
     """
     req = urllib.request.Request(url, headers=headers or {})
     if "weather.gov" in url:  # S2: conditional header injection (app.py:71-72)
@@ -45,7 +56,12 @@ def fetch(
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             if resp.status >= 400:
                 return None, f"HTTP {resp.status}"
-            body = resp.read().decode("utf-8", errors="replace")
+            raw = resp.read(MAX_PAYLOAD_BYTES + 1)
+            if len(raw) > MAX_PAYLOAD_BYTES:
+                return None, (
+                    f"payload exceeds {MAX_PAYLOAD_BYTES} bytes (capped)"
+                )
+            body = raw.decode("utf-8", errors="replace")
     except (urllib.error.URLError, OSError, ValueError) as exc:
         return None, str(exc)
     try:

@@ -21,6 +21,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (stdlib naming)
         if self.path.startswith("/json"):
             body = json.dumps({"symbol": "BTCUSDT", "price": "64250.10"})
+        elif self.path.startswith("/huge"):
+            # oversize body for the MAX_PAYLOAD_BYTES degrade test; the
+            # test shrinks the cap, so 64 KiB is "huge" enough
+            body = "x" * (64 * 1024)
         elif self.path.startswith("/text"):
             body = "plain text, not json"
         elif "weather.gov" in self.path:
@@ -73,6 +77,20 @@ def test_fetch_http_error_surfaced(server):  # C4
 def test_fetch_connection_error_surfaced():
     payload, err = http_poll.fetch("http://127.0.0.1:1/nothing", timeout=1)
     assert payload is None and err
+
+
+def test_fetch_oversize_body_degrades_to_error(server, monkeypatch):
+    """A body beyond MAX_PAYLOAD_BYTES becomes an error ROW (the C4
+    degrade path), and the read itself is capped — the driver funnel
+    in plans/pipeline.py is therefore bounded by cap × row limit."""
+    monkeypatch.setattr(http_poll, "MAX_PAYLOAD_BYTES", 1024)
+    payload, err = http_poll.fetch(f"{server}/huge")
+    assert payload is None
+    assert "exceeds 1024 bytes" in err
+    # under the real cap the same body is fine
+    monkeypatch.setattr(http_poll, "MAX_PAYLOAD_BYTES", 16 * 1024 * 1024)
+    payload, err = http_poll.fetch(f"{server}/huge")
+    assert err is None and len(payload) == 64 * 1024
 
 
 def test_weather_gov_user_agent_injected(server):  # S2, app.py:71-72

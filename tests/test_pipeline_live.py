@@ -162,3 +162,21 @@ def test_offline_all_sources_tick_covers_catalog(spark):
     )
     assert all(r.agent == "primary" for r in rows)
     assert all(r.n_rows >= 1 for r in rows)
+
+
+def test_oversized_poll_batch_fails_loudly(spark):
+    """r5 verdict item 6: a poll batch beyond MAX_POLL_ROWS_PER_BATCH
+    must refuse the driver funnel with a clear error (and the failing
+    check itself only ever collects cap+1 rows, via limit)."""
+    big = spark.range(pipeline.MAX_POLL_ROWS_PER_BATCH + 5).selectExpr(
+        "'{}' AS payload", "CAST(NULL AS STRING) AS error"
+    )
+    with pytest.raises(RuntimeError, match="exceeded .* rows"):
+        pipeline.process_tick(spark, big, "binance", tick=0)
+    # at the cap: processes normally (one status row)
+    ok = spark.range(1).selectExpr(
+        "'{\"symbol\": \"BTCUSDT\", \"price\": \"1.0\"}' AS payload",
+        "CAST(NULL AS STRING) AS error",
+    )
+    out = pipeline.process_tick(spark, ok, "binance", tick=0).collect()
+    assert len(out) == 1 and out[0].source == "binance"

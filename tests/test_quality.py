@@ -220,5 +220,14 @@ def test_lang_source_chi2_independent_and_skewed(spark, tmp_path):
     r = got[("xx", "s1")]
     assert r.observed == 4 and r.expected == 2.0
     assert r.chi2_cell == 2.0
-    # observed-only cells: (xx, s2) never observed, so no row
-    assert ("xx", "s2") not in got
+    # structural zero: (xx, s2) never observed but its margins are
+    # nonzero, so the full-cross-product emission includes it and it
+    # contributes exactly `expected` to the statistic (r5 advisor fix)
+    z = got[("xx", "s2")]
+    assert z.observed == 0 and z.expected == 2.0 and z.chi2_cell == 2.0
+    # the summed cells now equal the complete chi-square statistic:
+    # 2 + 2 (xx row) + 1 + 1 (yy row, expected 6 and 10... computed
+    # directly) — just assert the closed form for the 2x2 table
+    total = sum(c.chi2_cell for c in got.values())
+    # chi2 for [[4,0],[4,8]]: E = [[2,2],[6,6]] → 2+2+4/6+4/6
+    assert abs(total - (2.0 + 2.0 + 4.0 / 6.0 + 4.0 / 6.0)) < 1e-12

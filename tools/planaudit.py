@@ -108,11 +108,12 @@ GLOBAL_WINDOW_ALLOW = {
     "http_poll_usgs_snapshot",
 }
 
-#: Arrow-batched Python crossings (fine); a bare BatchEvalPython is not.
-_ARROW_OK = re.compile(
-    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|"
-    r"FlatMapCoGroupsInPandas|AggregateInPandas|WindowInPandas"
-)
+# Arrow-batched Python crossings (ArrowEvalPython / MapInPandas /
+# FlatMapGroupsInPandas / ...) are fine and need no allowlist;
+# BatchEvalPython is the interpreter-per-row node and is flagged
+# UNCONDITIONALLY — a plan mixing one Arrow UDF with one bare
+# BatchEvalPython must still fail (r5 advisor finding: the old
+# "and not arrow-node-present" suppression hid exactly that mix).
 
 
 def _partitionless_windows(plan: str) -> int:
@@ -155,7 +156,7 @@ def audit(name: str, df) -> list[str]:
         problems.append("cartesian/nested-loop join")
     if name not in GLOBAL_WINDOW_ALLOW and _partitionless_windows(plan):
         problems.append("unpartitioned window over data-sized input")
-    if "BatchEvalPython" in plan and not _ARROW_OK.search(plan):
+    if "BatchEvalPython" in plan:
         problems.append("row-at-a-time Python UDF (BatchEvalPython)")
     del simple
     return problems

@@ -1,12 +1,19 @@
-"""Full-surface runtime sweep: execute EVERY declared query at a
-chosen scale factor and report failures.
+"""Full-surface runtime sweep + full per-query bench: execute EVERY
+declared query at a chosen scale factor, report failures, and write
+``BENCH_full.json`` (per-query wall seconds for the whole surface).
 
 The correctness gate (tools/preflight.py) runs at sf0.01; this sweep
-exists to catch scale-sensitive runtime failures — accumulator
+exists to (a) catch scale-sensitive runtime failures — accumulator
 overflows, degenerate-bucket blow-ups, state-store pressure — that
-only appear on bigger inputs. Round-4 record: all 183 declared
-queries ran clean at sf0.1 (10× the gate) in 228 s on local[32],
-including both streaming CEP modes agreeing on 5 546 matches.
+only appear on bigger inputs, and (b) make regressions OUTSIDE the
+~40-query bench headline visible round-over-round (r5 verdict item 3):
+``BENCH_full.json`` carries one single-pass time per declared query
+plus a ratio against the previous round's file, so a slowdown in any
+of the ~200 non-headline queries shows up in the artifact diff.
+
+Timing discipline: queries materialize through the noop sink (count()
+would let Catalyst prune the operator under test); single-pass times
+are noisier than bench.py's min-of-3 but cover everything.
 
 Usage::
 
@@ -16,6 +23,7 @@ Usage::
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -25,27 +33,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from real_time_big_data_architect_spark.session import get_spark  # noqa: E402
 
+_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_full.json",
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    prev: dict[str, float] = {}
+    try:
+        with open(_OUT) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     spark = get_spark("sweep")
     fails: list[tuple[str, str]] = []
+    timings: dict[str, float] = {}
     t0 = time.perf_counter()
     for name, fn in entrymod.queries().items():
         spark.catalog.clearCache()  # drop prior queries' dead persists
         t = time.perf_counter()
         try:
-            n = fn(spark, sf_dir).count()
-            print(
-                f"ok   {name}: {n} rows ({time.perf_counter() - t:.1f}s)",
-                flush=True,
-            )
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t
+            timings[name] = round(dt, 4)
+            print(f"ok   {name}: {dt:.1f}s", flush=True)
         except Exception as exc:  # noqa: BLE001
             fails.append((name, str(exc)[:200]))
             print(f"FAIL {name}: {str(exc)[:150]}", flush=True)
-    print(f"\ntotal {time.perf_counter() - t0:.0f}s, {len(fails)} failures")
+    total = time.perf_counter() - t0
+    vs_prev = {
+        n: round(timings[n] / prev[n], 2)
+        for n in timings
+        if n in prev and prev[n] > 0
+    }
+    regressed = {
+        n: r for n, r in vs_prev.items()
+        # single-pass noise floor: flag only meaningful slowdowns on
+        # non-trivial queries (sub-0.3 s times are scheduling jitter)
+        if r > 1.5 and timings[n] > 0.3
+    }
+    out = {
+        "metric": "full_surface_single_pass",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_queries": len(timings),
+        "n_failures": len(fails),
+        "total_wall_sec": round(total, 1),
+        "timing": "single_pass_noop_per_query",
+        "queries": timings,
+        "regressed_over_1.5x_vs_prev": regressed,
+        "failures": dict(fails),
+    }
+    with open(_OUT, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        f"\ntotal {total:.0f}s, {len(fails)} failures,"
+        f" {len(regressed)} regressions >1.5x vs prev -> {_OUT}"
+    )
     for name, msg in fails:
         print(" ", name, msg)
+    for name, r in sorted(regressed.items(), key=lambda kv: -kv[1]):
+        print(f"  regressed {name}: {r}x ({timings[name]}s)")
     spark.stop()
     return 1 if fails else 0
 
