@@ -698,12 +698,16 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: record-linkage blocking: candidates share c_custkey % 1000 (the
+#: record-linkage blocking: candidates share c_custkey DIV 16 (the
 #: "stable blocking key survives corruption" assumption every real
-#: linkage pipeline makes — and block size IS the scale knob: mod 100
-#: measured 8.3 s at sf0.1 vs 1.3 s at mod 1000, a 10x candidate-pair
-#: reduction); edit distance above LINK_MAX_LEV is a non-match.
-LINK_BLOCK_MOD = 1000
+#: linkage pipeline makes). DIV, not MOD (r6): a modulus fixes the
+#: NUMBER of blocks, so block population — and the block self-join —
+#: grows quadratically with the corpus (the ×64 probe measured the old
+#: mod-1000 plan at 13.7 s → 142.7 s for 4× data); a span fixes block
+#: POPULATION at ≤ LINK_BLOCK_SPAN regardless of corpus size, so
+#: candidate pairs stay ≤ SPAN × N — linear, the range-bucketing shape.
+#: Edit distance above LINK_MAX_LEV is a non-match.
+LINK_BLOCK_SPAN = 16
 LINK_MAX_LEV = 2
 #: corrupted character position: 1-based, derived from the key so the
 #: oracle plants the identical dirt
@@ -716,25 +720,30 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A deterministic one-character corruption builds the dirty side (the
     oracle plants byte-identical dirt). Candidate pairs come from an
-    equi-join on the blocking key, NOT a cross join: at 100 TB the
-    pair space is |block|² per block instead of N², the same blocking
-    discipline as dedup_levenshtein. Exact ``levenshtein`` scores the
-    survivors (JVM-side, no Python), and one row_number window keeps
-    the best match per dirty record (min distance, key tiebreak).
+    equi-join on the blocking key, NOT a cross join, and the key is a
+    key-range SPAN (custkey DIV 16): block population is bounded at 16
+    no matter how large the corpus, so the block join emits ≤ 16·N
+    pairs — linear at 100 TB where a fixed-modulus key would go
+    quadratic (measured: the ×64 probe caught mod-1000 at 10× wall for
+    4× data; the span plan holds flat throughput). Exact
+    ``levenshtein`` scores the survivors (JVM-side, no Python), and one
+    row_number window keeps the best match per dirty record (min
+    distance, key tiebreak).
     """
     c = load_table(spark, sf_dir, "customer")
+    blk = F.expr(f"c_custkey DIV {LINK_BLOCK_SPAN}")
     dirty = c.select(
         F.col("c_custkey").alias("d_key"),
         F.expr(
             f"concat(substring(c_name, 1, {_LINK_POS} - 1), 'x',"
             f" substring(c_name, {_LINK_POS} + 1))"
         ).alias("d_name"),
-        (F.col("c_custkey") % LINK_BLOCK_MOD).alias("blk"),
+        blk.alias("blk"),
     )
     clean = c.select(
         "c_custkey",
         "c_name",
-        (F.col("c_custkey") % LINK_BLOCK_MOD).alias("blk"),
+        blk.alias("blk"),
     )
     # thresholded levenshtein (returns -1 past the bound) abandons a
     # row as soon as the running distance exceeds LINK_MAX_LEV — the
@@ -866,11 +875,12 @@ ORACLE = {
             SELECT c_custkey AS d_key,
                    substr(c_name, 1, {_LINK_POS} - 1) || 'x' ||
                    substr(c_name, {_LINK_POS} + 1) AS d_name,
-                   c_custkey % {LINK_BLOCK_MOD} AS blk
+                   c_custkey // {LINK_BLOCK_SPAN} AS blk
             FROM customer
         ),
         clean AS (
-            SELECT c_custkey, c_name, c_custkey % {LINK_BLOCK_MOD} AS blk
+            SELECT c_custkey, c_name,
+                   c_custkey // {LINK_BLOCK_SPAN} AS blk
             FROM customer
         ),
         cand AS (

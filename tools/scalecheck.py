@@ -55,6 +55,152 @@ def _timed(label: str, mult: int, n_rows: int, df: DataFrame) -> dict:
             "mrows_per_s": round(rate, 2)}
 
 
+def hot_bucket_probe() -> None:
+    """r5 verdict item 5: scale-prove the LSH hot-bucket chain path.
+
+    Plants a fully degenerate corpus — 10 000 × mult verbatim copies of
+    ONE boilerplate page, so all copies land in the SAME bucket of all
+    8 bands — and times the full dedup_minhash_lsh pipeline. The chain
+    guard bounds candidates at n·LSH_CHAIN_NEIGHBORS per band (distinct
+    across bands), so wall-clock must grow ~linearly with n; the
+    unguarded self-join would be n²/2 pairs (1.28 × 10¹⁰ at ×16 — hours,
+    not seconds). Run: ``python tools/scalecheck.py hot``.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import dedup as dedup_ops
+
+    spark = get_spark("scalecheck-hot")
+    results = []
+    root = tempfile.mkdtemp(prefix="scalehot_")
+    boiler = " ".join(f"boilerplate{w % 23} filler{w % 7}" for w in range(60))
+    try:
+        for mult in MULTS:
+            n_hot = 10_000 * mult
+            d = f"{root}/x{mult}"
+            spark.range(n_hot).selectExpr(
+                "id AS doc_id",
+                f"'{boiler}' AS text",
+                "'en' AS lang",
+                "'web' AS source",
+                f"CAST({len(boiler)} AS BIGINT) AS n_chars",
+            ).repartition(32).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+            spark.catalog.clearCache()
+            dedup_ops.dedup_minhash_lsh(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = dedup_ops.dedup_minhash_lsh(spark, d)
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            n_pairs = out.count()
+            bound = n_hot * dedup_ops.LSH_CHAIN_NEIGHBORS
+            print(
+                f"lsh_hot_bucket x{mult:<3d} n={n_hot:<7d} {dt:6.2f}s "
+                f"pairs={n_pairs} (bound n*k={bound}, naive n^2/2="
+                f"{n_hot * (n_hot - 1) // 2})",
+                flush=True,
+            )
+            assert n_pairs <= bound, "chain guard violated"
+            results.append({"op": "lsh_hot_bucket", "mult": mult,
+                            "n_hot": n_hot, "sec": round(dt, 2),
+                            "pairs": n_pairs, "bound": bound})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    import json
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+def x64_probe() -> None:
+    """r5 verdict item 8: extend the ×64 spot-checks to the three
+    headline queries with the largest shuffle-to-input ratios after the
+    graph family — record_linkage (block-keyed self-join + best-match
+    window), interval_merge (two frames on one user_id sort), and
+    window_count_distinct (two keyed window sorts). Times each
+    end-to-end at ×16 and ×64 scaled fixture dirs; throughput must not
+    fall from ×16 to ×64. Run: ``python tools/scalecheck.py x64``.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import (
+        joins as joins_ops,
+        windows as windows_ops,
+    )
+    from real_time_big_data_architect_spark.plans import workload
+
+    spark = get_spark("scalecheck-x64")
+    qs = workload.build_queries()
+    ev_base = load_table(spark, SF_DIR, "events")
+    cust_base = load_table(spark, SF_DIR, "customer")
+    n_ev, n_cust = ev_base.count(), cust_base.count()
+    results = []
+    root = tempfile.mkdtemp(prefix="scale64_")
+    try:
+        for mult in (16, 64):
+            d = f"{root}/x{mult}"
+            # events: user+ts offsets per copy (disjoint users/ranges,
+            # the main-probe discipline)
+            ev_copies = [
+                ev_base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
+                )
+                for c in range(mult)
+            ]
+            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/events.parquet")
+            # customer: custkey offsets. Under the old mod-1000 blocking
+            # every copy stacked onto the same 1000 blocks, so block
+            # population grew with mult and this probe measured the
+            # block join going quadratic (13.7 s → 142.7 s for 4× data)
+            # — the finding that forced the DIV-span blocking now in
+            # record_linkage (block population bounded at
+            # LINK_BLOCK_SPAN for ANY corpus size)
+            _scaled(cust_base, "c_custkey", mult, 10_000_000).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/customer.parquet")
+            for name, fn, n_rows in (
+                ("record_linkage", qs["record_linkage"], n_cust * mult),
+                ("interval_merge", qs["interval_merge"], n_ev * mult),
+                ("window_count_distinct", qs["window_count_distinct"],
+                 n_ev * mult),
+            ):
+                spark.catalog.clearCache()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                rate = n_rows / dt / 1e6
+                print(
+                    f"{name:24s} x{mult:<3d} {n_rows/1e6:8.2f} Mrows "
+                    f"{dt:7.2f}s  {rate:7.2f} Mrows/s",
+                    flush=True,
+                )
+                results.append({"op": name, "mult": mult, "rows": n_rows,
+                                "sec": round(dt, 2),
+                                "mrows_per_s": round(rate, 2)})
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    import json
+
+    print(json.dumps(results))
+    spark.stop()
+    del joins_ops, windows_ops
+
+
 def main() -> None:
     spark = get_spark("scalecheck")
     ev_base = load_table(spark, SF_DIR, "events")
@@ -373,4 +519,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "hot":
+        hot_bucket_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "x64":
+        x64_probe()
+    else:
+        main()
