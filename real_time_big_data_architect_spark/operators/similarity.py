@@ -558,6 +558,212 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: product quantization geometry: DIM=64 splits into PQ_M subspaces of
+#: PQ_SUBDIM dims; each subspace carries a PQ_K-codeword codebook, so a
+#: vector compresses to PQ_M small codes (here 4×4 bits — a 64× storage
+#: reduction vs float32). The 100 TB rationale: the ADC search pass
+#: scans CODES (bytes/vector), not vectors, with distances looked up in
+#: Q×M×K precomputed tables.
+PQ_M = 4
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16
+PQ_TOPK = 5
+
+#: trained PQ codebooks per (session, corpus) — model parameters, the
+#: _CENTROID_CACHE discipline
+_PQ_CACHE: dict = {}
+
+
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sub): each vector split into PQ_M subvectors —
+    a map-side explode, 4 narrow rows per vector, no shuffle."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id",
+        F.expr(f"explode(sequence(0, {PQ_M - 1}))").alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+            "sub"
+        ),
+    )
+
+
+def _pq_best_expr(books: list) -> str:
+    """SQL text: argmin struct(dist2, code) over the m-th codebook.
+
+    ``books`` is [[(code, [f64...]), ...] per m]; the outer
+    ``element_at(array(...), m + 1)`` picks the subspace's struct
+    array, ``array_min`` is the (dist2, code)-ordered argmin — the
+    ivf_assign map-side discipline, per subspace.
+    """
+    per_m = ", ".join(_cell_structs_sql(b, emb="sub") for b in books)
+    return f"array_min(element_at(array({per_m}), CAST(m AS INT) + 1))"
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Train the PQ codebooks: init = subvectors of the first PQ_K
+    vectors, ONE Lloyd refinement round (map-side literal argmin over
+    the corpus + per-(m, code, dim) exact-decimal means — the
+    kmeans_clusters convention, so DuckDB replays the training
+    bit-exactly). Returned as driver-held model parameters
+    (≤ PQ_M × PQ_K × PQ_SUBDIM = 1024 doubles); codes that attract no
+    members drop out, exactly like empty kmeans clusters.
+    """
+    app_id = spark.sparkContext.applicationId
+    try:
+        src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        src_mtime = 0.0
+    key = (app_id, sf_dir, src_mtime)
+    if key not in _PQ_CACHE:
+        for stale in [
+            k
+            for k in _PQ_CACHE
+            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_mtime)
+        ]:
+            del _PQ_CACHE[stale]
+        emb = load_table(spark, sf_dir, "embeddings")
+        seed = (
+            emb.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cb0 = [
+            sorted(
+                (
+                    int(r.vec_id),
+                    [float(x) for x in r.embedding[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]],
+                )
+                for r in seed
+            )
+            for m in range(PQ_M)
+        ]
+        subs = _pq_subs(spark, sf_dir)
+        best0 = F.expr(_pq_best_expr(cb0))
+        assigned = subs.select(
+            "m", best0["c_label"].alias("code"), F.posexplode("sub").alias("dim", "comp")
+        )
+        refined = (
+            assigned.groupBy("m", "code", "dim")
+            .agg(
+                (
+                    F.sum(F.col("comp").cast("decimal(30,10)")).cast("double")
+                    / F.count("comp")
+                ).alias("cv")
+            )
+            .collect()  # ≤ M×K×SUBDIM scalars — model parameters
+        )
+        books: list = [dict() for _ in range(PQ_M)]
+        for r in refined:
+            books[r.m].setdefault(int(r.code), [0.0] * PQ_SUBDIM)[r.dim] = float(
+                r.cv
+            )
+        _PQ_CACHE[key] = [sorted(b.items()) for b in books]
+    return _PQ_CACHE[key]
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector → PQ_M codebook codes
+    (NS6b) — the compressed-index build step of PQ/IVF-PQ ANN systems
+    (Jégou et al.'s ADC family), Spark-first: codebooks are literal
+    model parameters, so encoding is ONE map-side pass over the corpus
+    with no shuffle and no UDF; output is 4 narrow rows per vector
+    (vec_id, m, code, dist2). Fully oracle-checked: deterministic seed
+    codebooks + decimal-exact refinement + the portable distance fold
+    make codes and quantization errors bit-identical in DuckDB.
+    """
+    books = _pq_codebooks(spark, sf_dir)
+    best = F.expr(_pq_best_expr(books))
+    return _pq_subs(spark, sf_dir).select(
+        "vec_id",
+        "m",
+        best["c_label"].alias("code"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (NS6b): for each query, the
+    k nearest corpus vectors by ASYMMETRIC distance — exact query
+    subvectors against quantized corpus codes, the classic PQ search.
+
+    Scale shape: per-query distance TABLES (Q × M × K doubles —
+    ||q_m − codeword||² for every codeword, computed driver-side from
+    the model parameters with the same left fold both engines use) are
+    embedded as literals, so scoring reads ONLY each vector's 4 codes:
+    adc = dt[q][0][c0] + dt[q][1][c1] + ... in fixed m order (no
+    fp-reorder risk). One corpus pass emits Q scored rows per vector
+    into the per-query top-k window — codes are bytes, so at 100 TB
+    the scan is ~64× lighter than the raw-vector cosine pass.
+    """
+    books = _pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # distance tables in plain Python floats == IEEE doubles: the same
+    # subtract/multiply/left-fold-add sequence the SQL replay uses
+    dt = {}
+    for q_id, q in queries:
+        for m, book in enumerate(books):
+            qs = q[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            for code, cv in book:
+                acc = 0.0
+                for a, b in zip(qs, cv):
+                    acc = acc + (a - b) * (a - b)
+                dt[(q_id, m, code)] = acc
+    codes = (
+        pq_encode(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))),"
+                " s -> s.code)"
+            ).alias("cs")
+        )
+    )
+    # adc per query: fixed-order sum of table lookups. Codes may be
+    # sparse (empty codewords dropped in training), so lookups index a
+    # rendered CASE-free literal map: element_at on an array holding
+    # dist for EVERY code 0..PQ_K-1 (missing codes never occur in cs).
+    def _dt_arr(q_id: int, m: int) -> str:
+        # CAST('...' AS DOUBLE), not a bare literal: Spark parses bare
+        # decimal literals as DECIMAL (the _cell_structs_sql convention)
+        vals = []
+        present = {c: dt[(q_id, m, c)] for c in range(PQ_K) if (q_id, m, c) in dt}
+        for c in range(PQ_K):
+            vals.append(f"CAST('{present.get(c, 0.0)!r}' AS DOUBLE)")
+        return f"array({', '.join(vals)})"
+
+    q_structs = ", ".join(
+        "struct({q} AS q_id, {adc} AS adc)".format(
+            q=q_id,
+            adc=" + ".join(
+                f"element_at({_dt_arr(q_id, m)}, cs[{m}] + 1)"
+                for m in range(PQ_M)
+            ),
+        )
+        for q_id, _ in queries
+    )
+    scored = codes.select(
+        "vec_id", F.expr(f"explode(array({q_structs}))").alias("s")
+    ).select(
+        F.col("s.q_id").alias("query_id"), "vec_id", F.col("s.adc").alias("adc")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc", "rn")
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF cell (NS6a/NS6b).
 
@@ -963,6 +1169,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_eval": ann_recall_eval,
     "kmeans_clusters": kmeans_clusters,
+    "pq_encode": pq_encode,
+    "pq_topk": pq_topk,
     # pca_project is deliberately NOT a declared query: its per-row
     # scores come from a driver-side eigensolve DuckDB cannot replay,
     # so the declared surface carries pca_certify instead — which runs
@@ -971,6 +1179,111 @@ QUERIES = {
     # API, pinned to numpy by tests/test_similarity.py.
     "pca_certify": pca_certify,  # oracle (trace + eigensolve + projection)
 }
+
+
+def _pq_ctes() -> str:
+    """CTE chain replaying PQ training + encoding bit-exactly:
+    subvector split → seed codebooks (first PQ_K vectors) → argmin
+    assignment → decimal-exact refined codebooks → final assignment —
+    every fp expression token-mirrored against the DataFrame side
+    (the _kmeans_oracle discipline, per subspace)."""
+    sd = PQ_SUBDIM
+    dist = (
+        f"list_reduce(list_transform(range(1, {sd + 1}),"
+        " i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i])),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+        subs AS (
+            SELECT vec_id, CAST(mm.m AS INT) AS m,
+                   list_transform(range(1, {sd + 1}),
+                       i -> CAST(embedding[mm.m * {sd} + i] AS DOUBLE)) AS sub
+            FROM embeddings, (SELECT unnest(range({PQ_M})) AS m) mm
+        ),
+        cb0 AS (
+            SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
+            FROM subs WHERE vec_id < {PQ_K}
+        ),
+        s1 AS (
+            SELECT s.vec_id, s.m, c.code, {dist} AS d2
+            FROM subs s JOIN cb0 c USING (m)
+        ),
+        a1 AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM s1
+            ) WHERE rn = 1
+        ),
+        cb1 AS (
+            SELECT m, code, list(cv ORDER BY dim) AS cvec FROM (
+                SELECT a.m, a.code, CAST(ii.i - 1 AS INT) AS dim,
+                       CAST(SUM(CAST(round(s.sub[ii.i], 10)
+                                     AS DECIMAL(30,10))) AS DOUBLE)
+                           / COUNT(*) AS cv
+                FROM a1 a
+                JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+                     (SELECT unnest(range(1, {sd + 1})) AS i) ii
+                GROUP BY a.m, a.code, dim
+            ) GROUP BY m, code
+        ),
+        s2 AS (
+            SELECT s.vec_id, s.m, c.code, {dist} AS d2
+            FROM subs s JOIN cb1 c USING (m)
+        ),
+        a2 AS (
+            SELECT vec_id, m, code, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+                FROM s2
+            ) WHERE rn = 1
+        )"""
+
+
+def _pq_topk_oracle() -> str:
+    """ADC replay: per-query distance tables from cb1, fixed-order
+    m=0..PQ_M-1 addition (token-mirrors the engine's left-to-right
+    literal-lookup sum), per-query top-k."""
+    sd = PQ_SUBDIM
+    qdist = (
+        f"list_reduce(list_transform(range(1, {sd + 1}),"
+        " i -> (q.sub[i] - c.cvec[i]) * (q.sub[i] - c.cvec[i])),"
+        " (x, y) -> x + y)"
+    )
+    joins = []
+    for m in range(PQ_M):
+        cond = f"d{m}.m = {m} AND d{m}.code = c.cs[{m + 1}]"
+        if m > 0:
+            cond = f"d{m}.q_id = d0.q_id AND " + cond
+        joins.append(f"JOIN dt d{m} ON {cond}")
+    adc_sum = " + ".join(f"d{m}.d" for m in range(PQ_M))
+    return f"""
+        WITH {_pq_ctes()},
+        qs AS (
+            SELECT vec_id AS q_id, m, sub FROM subs
+            WHERE vec_id < {N_QUERIES}
+        ),
+        dt AS (
+            SELECT q.q_id, q.m, c.code, {qdist} AS d
+            FROM qs q JOIN cb1 c USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, list(code ORDER BY m) AS cs
+            FROM a2 GROUP BY vec_id
+        ),
+        adc AS (
+            SELECT d0.q_id, c.vec_id, {adc_sum} AS adc
+            FROM codes c
+            {" ".join(joins)}
+            WHERE c.vec_id <> d0.q_id
+        )
+        SELECT query_id, vec_id, adc, CAST(rn AS INT) AS rn FROM (
+            SELECT q_id AS query_id, vec_id, adc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_TOPK}
+    """
 
 
 def _kmeans_oracle() -> str:
@@ -1463,4 +1776,9 @@ ORACLE = {
         GROUP BY label, dim
     """,
     "kmeans_clusters": _kmeans_oracle(),
+    "pq_encode": f"""
+        WITH {_pq_ctes()}
+        SELECT vec_id, m, code, d2 AS dist2 FROM a2
+    """,
+    "pq_topk": _pq_topk_oracle(),
 }
