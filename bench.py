@@ -70,6 +70,10 @@ HEADLINE = [
     # pagerank — multi-second loop queries by design, probed ×1/×4/×16
     # in SCALING.md instead.
     "ann_lsh_topk",
+    # r6 addition: the PQ/ADC compressed-index search (sub-second;
+    # pq_encode's training pass is exercised inside it via the
+    # codebook cache, and BENCH_full.json times every query anyway)
+    "pq_topk",
 ]
 
 

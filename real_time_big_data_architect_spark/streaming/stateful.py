@@ -1116,6 +1116,59 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (NS5): completes the outer family
+    — matched purchase/view pairs (inner semantics, exact), PLUS
+    null-extended rows for unmatched purchases AND unmatched views,
+    each emitted when the global watermark proves no future match can
+    arrive.
+
+    Eviction rules the oracle replays: an unmatched purchase needs no
+    future view (future views have ``view_ts ≥ wm``; the condition
+    needs ``view_ts ≤ ts``) → emits when ``ts < wm``, exactly the
+    left-outer rule. An unmatched VIEW can match purchases with
+    ``ts ∈ [view_ts, view_ts + 1 h]`` (future purchases have
+    ``ts ≥ wm``) → emits when ``view_ts + 1 h < wm``. Rows at/above
+    each boundary are still in state when the availableNow drain stops
+    and never surface (boundaries pinned by a crafted fixture test,
+    the left-outer discipline).
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id AND
+            view_ts >= ts - INTERVAL 1 HOUR AND
+            view_ts <= ts
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id", "user_id", "ts", "v_user_id", "view_id", "view_ts"
+    )
+    return _run_to_memory(joined, "append")
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_session_watermark": stream_session_watermark,
@@ -1129,6 +1182,7 @@ QUERIES = {
     "stream_poll_tick": stream_poll_tick,
     "stream_stream_join": stream_stream_join,
     "stream_stream_left_outer": stream_stream_left_outer,
+    "stream_stream_full_outer": stream_stream_full_outer,
     "stream_static_join": stream_static_join,
 }
 
@@ -1495,5 +1549,52 @@ ORACLE: dict[str, str] = {
         WHERE p.ts < wm.w
           AND NOT EXISTS (SELECT 1 FROM matched m
                           WHERE m.purchase_id = p.purchase_id)
+    """,
+    # full outer = matched ∪ evicted-unmatched-purchases (ts < wm, the
+    # left-outer rule) ∪ evicted-unmatched-views: a view's last possible
+    # match is a purchase at view_ts + 1 h, so it null-emits once
+    # view_ts + 1 h < wm (boundary pinned by the crafted fixture test)
+    "stream_stream_full_outer": """
+        WITH views AS (
+          SELECT user_id AS v_user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        purchases AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+          SELECT least((SELECT max(view_ts) FROM views),
+                       (SELECT max(ts) FROM purchases))
+                 - INTERVAL 10 MINUTE AS w
+        ),
+        matched AS (
+          SELECT p.purchase_id, p.user_id, p.ts,
+                 v.v_user_id, v.view_id, v.view_ts
+          FROM purchases p JOIN views v
+            ON p.user_id = v.v_user_id
+           AND v.view_ts >= p.ts - INTERVAL 1 HOUR
+           AND v.view_ts <= p.ts
+        )
+        SELECT purchase_id, user_id, ts, v_user_id, view_id, view_ts
+        FROM matched
+        UNION ALL
+        SELECT p.purchase_id, p.user_id, p.ts,
+               CAST(NULL AS BIGINT) AS v_user_id,
+               CAST(NULL AS BIGINT) AS view_id,
+               CAST(NULL AS TIMESTAMP) AS view_ts
+        FROM purchases p CROSS JOIN wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.purchase_id = p.purchase_id)
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS user_id,
+               CAST(NULL AS TIMESTAMP) AS ts,
+               v.v_user_id, v.view_id, v.view_ts
+        FROM views v CROSS JOIN wm
+        WHERE v.view_ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.view_id = v.view_id)
     """,
 }

@@ -94,10 +94,35 @@ def test_approx_distinct_certified_and_exact(spark, sf_small):
         assert got[k][1], f"{k}: HLL estimate outside 3-sigma bound"
 
 
-def test_multimodal_bundle_struct_shape(spark, sf_small):
+def test_multimodal_bundle_flattened_scalars(spark, sf_small):
+    """r6 contract: the struct is BUILT internally and every output
+    column is read back through it, flattened to hashable scalars
+    (text md5, in-order embedding fold, metadata fields)."""
     df = multimodal.multimodal_bundle(spark, sf_small)
     fields = {f.name: f.dataType.typeName() for f in df.schema.fields}
-    assert fields.get("bundle") == "struct"
-    n = df.count()
-    assert n > 0
-    assert df.filter(F.col("bundle.text").isNull()).count() == 0
+    assert fields == {
+        "doc_id": "long",
+        "text_md5": "string",
+        "embedding_sum": "double",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "long",
+        "label": "integer",
+    }
+    rows = df.collect()
+    assert rows
+    # md5/field access went THROUGH the struct: spot-check one row
+    # against a direct join projection
+    direct = {
+        r.doc_id: (r.m, float(sum(float(x) for x in r.embedding)))
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .join(
+            spark.read.parquet(f"{sf_small}/embeddings.parquet"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("doc_id", F.md5("text").alias("m"), "embedding")
+        .collect()
+    }
+    for r in rows:
+        assert r.text_md5 == direct[r.doc_id][0]
+        assert abs(r.embedding_sum - direct[r.doc_id][1]) < 1e-6

@@ -571,3 +571,59 @@ def test_stream_left_outer_null_emission_boundary(spark, tmp_path):
     assert matched == {(2, 1)}
     # strictly-below emits; at-equality and above do not
     assert nulls == {3}
+
+
+def test_stream_full_outer_both_sides_boundary(spark, tmp_path):
+    """Pin BOTH null-emission predicates the stream_stream_full_outer
+    oracle relies on. Purchase side: strictly below the watermark emits
+    (the left-outer rule). View side: a view's last possible match is a
+    purchase at view_ts + 1 h, so it null-emits iff
+    view_ts + 1 h < watermark — crafted so one view lands exactly ON
+    that boundary (02:00 + 1 h = 03:00 = wm) and must NOT emit."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_architect_spark.streaming import stateful as S
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: matched pair
+        (1, 1, "view", base.replace(hour=0, minute=30)),
+        (2, 1, "purchase", base.replace(hour=1)),
+        # user 2: unmatched purchase far below wm -> null-view row
+        (3, 2, "purchase", base.replace(hour=1)),
+        # user 3: unmatched purchase AT wm (03:00) -> held in state
+        (4, 3, "purchase", base.replace(hour=3)),
+        # user 5: unmatched view far below (00:10 + 1h = 01:10 < 03:00)
+        #         -> null-purchase row
+        (8, 5, "view", base.replace(hour=0, minute=10)),
+        # user 6: unmatched view AT the view boundary
+        #         (02:00 + 1h = 03:00 = wm, not strictly below) -> held
+        (9, 6, "view", base.replace(hour=2)),
+        # tails on both sides: watermark = 03:10 - 10 min = 03:00
+        (6, 8, "view", base.replace(hour=3, minute=10)),
+        (7, 9, "purchase", base.replace(hour=3, minute=10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = S.stream_stream_full_outer(spark, str(tmp_path)).collect()
+    matched = {
+        (r.purchase_id, r.view_id)
+        for r in out
+        if r.view_id is not None and r.purchase_id is not None
+    }
+    null_view = {r.purchase_id for r in out if r.view_id is None}
+    null_purchase = {r.view_id for r in out if r.purchase_id is None}
+    assert matched == {(2, 1)}
+    assert null_view == {3}
+    assert null_purchase == {8}
