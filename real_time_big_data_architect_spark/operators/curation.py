@@ -506,7 +506,72 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: curation_funnel gates, applied CUMULATIVELY in this order — the
+#: funnel report every corpus-curation pipeline publishes per crawl
+_FUNNEL_STAGES = (
+    "total",
+    "non_null_text",
+    "length_ok",
+    "lang_en",
+    "dedup_survivor",
+)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL: per-stage survivor counts through the
+    cumulative gate cascade (non-null text → length ≥ 100 → lang=en →
+    exact-dedup survivor) — the report a pretraining-data pipeline
+    ships with every crawl drop ("we started with N docs, kept K").
+
+    One corpus scan computes every per-doc gate flag; the only shuffle
+    is the 16-byte digest window that marks exact-dedup survivors
+    (lowest doc_id per md5(text), the dedup_exact convention — NULL
+    texts are their own survivor group via a sentinel). Counts then
+    collapse in a single aggregate and unpivot to one row per stage —
+    dimension-sized output, corpus-independent. survival_rate divides
+    exact longs into a double, so the hash is bit-stable.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    dg = F.coalesce(F.md5("text"), F.lit("<NULL>"))
+    w = W.partitionBy(dg).orderBy("doc_id")
+    flags = d.select(
+        F.col("text").isNotNull().alias("g1"),
+        (F.col("n_chars") >= 100).alias("g2"),
+        (F.col("lang") == "en").alias("g3"),
+        (F.row_number().over(w) == 1).alias("g4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("g1").cast("long")).alias("n1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("long")).alias("n2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long")).alias(
+            "n3"
+        ),
+        F.sum(
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).cast(
+                "long"
+            )
+        ).alias("n4"),
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(_FUNNEL_STAGES)
+    )
+    return agg.selectExpr(
+        f"stack({len(_FUNNEL_STAGES)}, {stack})"
+        " AS (stage_idx, stage, n_docs)",
+        "n0",
+    ).selectExpr(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE) AS survival_rate",
+    )
+
+
 QUERIES = {
+    "curation_funnel": curation_funnel,
     "curation_score": curation_score,
     "decile_cutpoints": decile_cutpoints,
     "sample_stratified": sample_stratified,
@@ -547,6 +612,39 @@ _DSUM = " + ".join(
 )
 
 ORACLE = {
+    "curation_funnel": """
+        WITH flags AS (
+            SELECT text IS NOT NULL AS g1,
+                   n_chars >= 100 AS g2,
+                   lang = 'en' AS g3,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY COALESCE(md5(text), '<NULL>')
+                       ORDER BY doc_id) = 1 AS g4
+            FROM documents
+        ),
+        agg AS (
+            -- CAST the SUMs back down: DuckDB SUM(BIGINT) is HUGEINT,
+            -- which pandas would coerce to float64 and break the hash
+            SELECT COUNT(*) AS n0,
+                   CAST(SUM(CAST(g1 AS BIGINT)) AS BIGINT) AS n1,
+                   CAST(SUM(CAST(g1 AND g2 AS BIGINT)) AS BIGINT) AS n2,
+                   CAST(SUM(CAST(g1 AND g2 AND g3 AS BIGINT))
+                        AS BIGINT) AS n3,
+                   CAST(SUM(CAST(g1 AND g2 AND g3 AND g4 AS BIGINT))
+                        AS BIGINT) AS n4
+            FROM flags
+        )
+        SELECT s.stage_idx, s.stage,
+               CASE s.stage_idx WHEN 0 THEN n0 WHEN 1 THEN n1
+                    WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n4 END AS n_docs,
+               CAST(CASE s.stage_idx WHEN 0 THEN n0 WHEN 1 THEN n1
+                    WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n4 END AS DOUBLE)
+                   / CAST(n0 AS DOUBLE) AS survival_rate
+        FROM agg,
+             (VALUES (0, 'total'), (1, 'non_null_text'), (2, 'length_ok'),
+                     (3, 'lang_en'), (4, 'dedup_survivor'))
+                 s(stage_idx, stage)
+    """,
     "sample_reservoir_group": f"""
         SELECT doc_id, source, n_chars, draw_rank
         FROM (

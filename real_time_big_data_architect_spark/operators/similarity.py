@@ -764,6 +764,53 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two corpus cohorts — the
+    ML-ops check run when a new crawl/model-version lands: did the
+    embedding distribution move? Cohorts split deterministically by
+    vec_id parity (the fixture's stand-in for old/new snapshots).
+
+    Per dimension: exact-decimal cohort means (the label_centroids
+    convention — order-independent sums, so the doubles are
+    bit-reproducible), their delta, and |delta| for ranking. One
+    posexplode pass + a 64·2-key partial agg: dimension-sized shuffle,
+    corpus-independent, no window, no collect.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    per = (
+        e.select(
+            (F.col("vec_id") % 2 == 0).alias("cohort_a"),
+            F.posexplode("embedding").alias("dim", "comp"),
+        )
+        .groupBy("dim", "cohort_a")
+        .agg(
+            (
+                F.sum(F.col("comp").cast("decimal(30,10)")).cast("double")
+                / F.count("comp")
+            ).alias("mean"),
+            F.count("comp").alias("n"),
+        )
+    )
+    a = per.filter("cohort_a").select(
+        "dim", F.col("mean").alias("mean_a"), F.col("n").alias("n_a")
+    )
+    b = per.filter(~F.col("cohort_a")).select(
+        "dim", F.col("mean").alias("mean_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "dim")
+        .select(
+            "dim",
+            "mean_a",
+            "mean_b",
+            "n_a",
+            "n_b",
+            (F.col("mean_b") - F.col("mean_a")).alias("delta"),
+            F.abs(F.col("mean_b") - F.col("mean_a")).alias("abs_delta"),
+        )
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF cell (NS6a/NS6b).
 
@@ -1171,6 +1218,7 @@ QUERIES = {
     "kmeans_clusters": kmeans_clusters,
     "pq_encode": pq_encode,
     "pq_topk": pq_topk,
+    "embedding_drift": embedding_drift,
     # pca_project is deliberately NOT a declared query: its per-row
     # scores come from a driver-side eigensolve DuckDB cannot replay,
     # so the declared surface carries pca_certify instead — which runs
@@ -1781,4 +1829,24 @@ ORACLE = {
         SELECT vec_id, m, code, d2 AS dist2 FROM a2
     """,
     "pq_topk": _pq_topk_oracle(),
+    "embedding_drift": """
+        WITH per AS (
+            SELECT CAST(gs - 1 AS INT) AS dim,
+                   vec_id % 2 = 0 AS cohort_a,
+                   CAST(SUM(CAST(round(CAST(component AS DOUBLE), 10)
+                                 AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(component) AS mean,
+                   COUNT(component) AS n
+            FROM (SELECT vec_id, unnest(embedding) AS component,
+                         generate_subscripts(embedding, 1) AS gs
+                  FROM embeddings)
+            GROUP BY dim, cohort_a
+        )
+        SELECT a.dim, a.mean AS mean_a, b.mean AS mean_b,
+               a.n AS n_a, b.n AS n_b,
+               b.mean - a.mean AS delta,
+               abs(b.mean - a.mean) AS abs_delta
+        FROM per a JOIN per b ON a.dim = b.dim
+        WHERE a.cohort_a AND NOT b.cohort_a
+    """,
 }
