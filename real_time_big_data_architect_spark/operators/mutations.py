@@ -167,6 +167,70 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: compaction planning: synthetic file listing granularity and the
+#: target compacted-file size (bytes; fixture-scaled — the real knob is
+#: 128 MB-1 GB). Next-fit-decreasing within a table partition is the
+#: OPTIMIZE bin-packing every lakehouse ships.
+COMPACT_FILE_SPAN = 250
+COMPACT_TARGET_BYTES = 16_384
+COMPACT_ROW_BYTES = 64
+
+
+def compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN (Delta OPTIMIZE / Iceberg rewrite
+    bin-packing, NS8): group a partition's undersized files into
+    target-size bins, emitting the per-bin manifest a compactor would
+    execute.
+
+    The file listing is synthesized deterministically from orders
+    (one "file" per (o_orderpriority, orderkey span), size = rows ×
+    COMPACT_ROW_BYTES — metadata-sized, like a real manifest). Packing
+    is next-fit-decreasing: files sort by (bytes DESC, file_id) WITHIN
+    their table partition and bin = exclusive-prefix-bytes DIV target —
+    one window per PARTITION key (never a global sort; a lakehouse
+    compacts partitions independently, which is exactly what keeps
+    this scale-free: the window's population is one partition's file
+    count). Deterministic throughout — the oracle replays the listing,
+    the sort, and the prefix arithmetic.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    files = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("part"),
+            F.expr(f"o_orderkey DIV {COMPACT_FILE_SPAN}").alias("file_id"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "part",
+            "file_id",
+            "n_rows",
+            (F.col("n_rows") * COMPACT_ROW_BYTES).alias("bytes"),
+        )
+    )
+    w = (
+        W.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), F.col("file_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # exclusive prefix bytes DIV target = next-fit bin. The target is a
+    # power of two, so the double division is exact and floor() equals
+    # integer division on both engines.
+    prefix = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    binned = files.withColumn(
+        "bin_id",
+        F.floor(prefix / COMPACT_TARGET_BYTES).cast("bigint"),
+    )
+    return binned.groupBy("part", "bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
+
+
 #: cdc_diff change-set rules (mirrored in the oracle SQL)
 CDC_DELETE_MOD = 11
 CDC_DELETE_R = 3
@@ -390,6 +454,7 @@ QUERIES = {
     "scd2_history": scd2_history,
     "scd2_lookup": scd2_lookup,
     "zorder_layout": zorder_layout,
+    "compaction_binpack": compaction_binpack,
     "cdc_diff": cdc_diff,
     "snapshot_restore": snapshot_restore,
     "golden_record": golden_record,
@@ -521,6 +586,31 @@ ORACLE = {
           AND (a_status <> b_status OR a_price <> b_price)
     """,
     "zorder_layout": _zorder_oracle(),
+    "compaction_binpack": f"""
+        WITH files AS (
+            SELECT o_orderpriority AS part,
+                   o_orderkey // {COMPACT_FILE_SPAN} AS file_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+            FROM orders GROUP BY 1, 2
+        ),
+        binned AS (
+            SELECT *,
+                   COALESCE(SUM(bytes) OVER (
+                       PARTITION BY part
+                       ORDER BY bytes DESC, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {COMPACT_TARGET_BYTES} AS bin_id
+            FROM files
+        )
+        SELECT part, CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+               MIN(file_id) AS first_file,
+               MAX(file_id) AS last_file
+        FROM binned GROUP BY part, bin_id
+    """,
     "merge_upsert": """
         WITH base AS (
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

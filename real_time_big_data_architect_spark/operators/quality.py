@@ -468,7 +468,46 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: skew_report: top keys per profiled column
+SKEW_TOP_N = 5
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler over the event stream's hot columns — the
+    pre-join diagnostic that decides broadcast vs salt vs AQE: for each
+    profiled column, the top-N keys by row count and their share of
+    the table.
+
+    One partial-agg shuffle per column (map-side combine makes each a
+    distinct-cardinality exchange, not a row exchange), top-N via
+    TakeOrderedAndProject heaps (orderBy + limit — never a global
+    row_number window), shares as exact-long / exact-long double
+    division. Output is 2·N rows — constant whatever the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()  # one scalar action — the profiled table's size
+
+    def top_for(col: str) -> DataFrame:
+        return (
+            ev.groupBy(F.col(col).cast("string").alias("key_value"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "key_value")
+            .limit(SKEW_TOP_N)
+            .select(
+                F.lit(col).alias("column_name"),
+                "key_value",
+                "cnt",
+                (F.col("cnt").cast("double") / F.lit(float(total))).alias(
+                    "share"
+                ),
+            )
+        )
+
+    return top_for("event_type").unionByName(top_for("user_id"))
+
+
 QUERIES = {
+    "skew_report": skew_report,
     "repetition_ratios": repetition_ratios,
     "lang_source_chi2": lang_source_chi2,
     "source_entropy": source_entropy,
@@ -488,6 +527,26 @@ _CHI2_EXPECTED = (
 )
 
 ORACLE = {
+    "skew_report": f"""
+        WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events),
+        et AS (
+            SELECT 'event_type' AS column_name,
+                   CAST(event_type AS VARCHAR) AS key_value,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, key_value LIMIT {SKEW_TOP_N}
+        ),
+        uid AS (
+            SELECT 'user_id' AS column_name,
+                   CAST(user_id AS VARCHAR) AS key_value,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+            ORDER BY cnt DESC, key_value LIMIT {SKEW_TOP_N}
+        )
+        SELECT column_name, key_value, cnt,
+               CAST(cnt AS DOUBLE) / t.total AS share
+        FROM (SELECT * FROM et UNION ALL SELECT * FROM uid), t
+    """,
     "lang_source_chi2": f"""
         WITH d AS (
             SELECT COALESCE(lang, '') AS lang,

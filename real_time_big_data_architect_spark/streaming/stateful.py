@@ -1116,6 +1116,37 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-mode streaming top-k: the running "top event types by
+    volume" leaderboard — sort + limit over a streaming aggregate,
+    which Spark permits ONLY in complete mode (the full aggregate state
+    re-emits per trigger, so a global order is well-defined).
+
+    The memory sink REPLACES its table on every trigger in complete
+    mode, so after the availableNow drain the table holds exactly the
+    final snapshot = the batch top-k — which is the oracle. State is
+    |event_type|-sized; the sort runs over that dimension-sized
+    aggregate, never over events.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal sum: order-independent across micro-batch
+            # splits, so the snapshot is batch-identical (streaming
+            # aggregates reject COUNT(DISTINCT); sums are the leaderboard
+            # metric anyway)
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+        .limit(3)
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream FULL OUTER join (NS5): completes the outer family
     — matched purchase/view pairs (inner semantics, exact), PLUS
@@ -1183,6 +1214,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_stream_left_outer": stream_stream_left_outer,
     "stream_stream_full_outer": stream_stream_full_outer,
+    "stream_topk_complete": stream_topk_complete,
     "stream_static_join": stream_static_join,
 }
 
@@ -1483,6 +1515,16 @@ ORACLE: dict[str, str] = {
     """,
     "stream_cdc_apply": _stream_cdc_apply_oracle(),
     "stream_hll_distinct": _stream_hll_oracle(),
+    "stream_topk_complete": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY n_events DESC, event_type
+        LIMIT 3
+    """,
     "stream_foreachbatch_mv": """
         SELECT event_type,
                CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
