@@ -391,7 +391,82 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed RFM scoring thresholds (days / purchase count / value total).
+#: Fixed rules, not quantiles: segment membership must be a pure map
+#: expression over per-user aggregates — quantile-based scoring would
+#: re-introduce a global rank per dimension (see decile_cutpoints for
+#: that machinery); production RFM almost always ships fixed bands.
+RFM_RECENT_D, RFM_MID_D = 60, 180
+RFM_FREQ_HI, RFM_FREQ_MID = 5, 2
+RFM_MON_HI, RFM_MON_MID = 20.0, 5.0
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events — the classic
+    behavioral-analytics primitive: per user, Recency (days since last
+    purchase, vs the corpus's latest event), Frequency (purchase
+    count), Monetary (exact-decimal value total), each scored 1-3 by
+    fixed bands, composed into a segment label.
+
+    One filter + per-user aggregate (a single user-keyed shuffle), the
+    global anchor timestamp broadcast from a 1-row agg, and scoring as
+    pure CASE expressions — no window, no quantile pass. Monetary sums
+    in DECIMAL(30,4) so ties and hashes are split-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor_ts"))
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(30,4)")
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.col("anchor_ts").cast("date"),
+                F.col("last_purchase_ts").cast("date"),
+            ).cast("int"),
+        )
+    )
+    r = (
+        F.when(F.col("recency_days") <= RFM_RECENT_D, 3)
+        .when(F.col("recency_days") <= RFM_MID_D, 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= RFM_FREQ_HI, 3)
+        .when(F.col("frequency") >= RFM_FREQ_MID, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary") >= RFM_MON_HI, 3)
+        .when(F.col("monetary") >= RFM_MON_MID, 2)
+        .otherwise(1)
+    )
+    return per.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "sessionize": sessionize,
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
@@ -404,6 +479,43 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rfm_segments": f"""
+        WITH anchor AS (SELECT MAX(ts) AS anchor_ts FROM events),
+        per AS (
+            SELECT user_id,
+                   MAX(ts) AS last_purchase_ts,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(30,4)))
+                        AS DOUBLE) AS monetary
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        scored AS (
+            SELECT p.user_id,
+                   CAST(datediff('day', CAST(p.last_purchase_ts AS DATE),
+                                 CAST(a.anchor_ts AS DATE)) AS INT)
+                       AS recency_days,
+                   p.frequency, p.monetary
+            FROM per p CROSS JOIN anchor a
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM (
+            SELECT *,
+                   CASE WHEN recency_days <= {RFM_RECENT_D} THEN 3
+                        WHEN recency_days <= {RFM_MID_D} THEN 2
+                        ELSE 1 END AS r_score,
+                   CASE WHEN frequency >= {RFM_FREQ_HI} THEN 3
+                        WHEN frequency >= {RFM_FREQ_MID} THEN 2
+                        ELSE 1 END AS f_score,
+                   CASE WHEN monetary >= {RFM_MON_HI!r} THEN 3
+                        WHEN monetary >= {RFM_MON_MID!r} THEN 2
+                        ELSE 1 END AS m_score
+            FROM scored
+        )
+    """,
     "time_to_convert": f"""
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type,

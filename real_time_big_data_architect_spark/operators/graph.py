@@ -438,7 +438,33 @@ def _lpa_oracle() -> str:
     """
 
 
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the transition graph — the first plot of
+    any graph analysis (is this power-law? where do the hubs start?):
+    per direction, how many nodes have each (distinct-neighbor) degree.
+
+    Two dimension-keyed aggregations per direction (node → degree,
+    degree → node count); output cardinality is the number of DISTINCT
+    degrees — tiny at any scale. The hub tail this surfaces is exactly
+    what decides the triangle_count orientation and the skew-join
+    strategy upstream.
+    """
+    edges = _edges(spark, sf_dir)
+
+    def dist(key: str, direction: str) -> DataFrame:
+        return (
+            edges.groupBy(F.col(key).alias("node"))
+            .agg(F.count("*").alias("degree"))
+            .groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit(direction).alias("direction"), "degree", "n_nodes")
+        )
+
+    return dist("src", "out").unionByName(dist("dst", "in"))
+
+
 QUERIES = {
+    "degree_distribution": degree_distribution,
     "transition_edges": transition_edges,
     "pagerank": pagerank,
     "triangle_count": triangle_count,
@@ -554,6 +580,24 @@ def _sssp_oracle() -> str:
 
 
 ORACLE = {
+    "degree_distribution": f"""
+        WITH {_EDGE_CTE.strip()}
+        , outd AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src
+        ),
+        ind AS (
+            SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY dst
+        )
+        SELECT 'out' AS direction, degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM outd GROUP BY degree
+        UNION ALL
+        SELECT 'in' AS direction, degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM ind GROUP BY degree
+    """,
     "sssp_weighted": _sssp_oracle(),
     "label_propagation": _lpa_oracle(),
     "transition_edges": f"""
