@@ -162,8 +162,28 @@ def main() -> None:
     spark.stop()
 
 
+def _recover_from_tail(rec: dict, sf_dir: str) -> dict | None:
+    """Recover per-query timings from a record whose ``parsed`` field
+    is null because the driver kept only a truncated ``tail`` of the
+    output line (observed on BENCH_r05.json). The queries dict is the
+    text before the ``}, "sf":`` marker; pairs in the partial fragment
+    keep their quoting, so a quoted-key regex extracts every complete
+    entry and silently drops the cut-off first one."""
+    import re
+
+    tail = rec.get("tail")
+    if not isinstance(tail, str) or '}, "sf":' not in tail:
+        return None
+    if str(rec.get("sf", "")) not in sf_dir:
+        return None
+    head = tail.split('}, "sf":')[0]
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9][0-9.]*)', head)
+    return {k: float(v) for k, v in pairs} or None
+
+
 def _latest_recorded(sf_dir: str) -> dict[str, float] | None:
-    """Per-query timings from the newest BENCH_r*.json at the same SF."""
+    """Per-query timings from the newest BENCH_r*.json at the same SF
+    (tail-recovered when the driver stored a truncated line)."""
     import glob
     import re
 
@@ -176,13 +196,17 @@ def _latest_recorded(sf_dir: str) -> dict[str, float] | None:
         try:
             with open(path) as fh:
                 rec = json.load(fh)
+            if rec.get("rc", 0) != 0:
+                continue
             parsed = rec.get("parsed") or rec
-            if rec.get("rc", 0) != 0 or "queries" not in parsed:
-                continue
-            if str(parsed.get("sf")) not in sf_dir:
-                continue
+            if "queries" in parsed and str(parsed.get("sf")) in sf_dir:
+                queries = parsed["queries"]
+            else:
+                queries = _recover_from_tail(rec, sf_dir)
+                if queries is None:
+                    continue
             if best is None or int(m.group(1)) > best[0]:
-                best = (int(m.group(1)), parsed["queries"])
+                best = (int(m.group(1)), queries)
         except (OSError, ValueError):
             continue
     return best[1] if best else None
