@@ -254,7 +254,14 @@ def quantile_partitioned_rank_sum(
                 f"sum(CASE WHEN `{flag_col}` THEN `{loc}` ELSE 0 END)"
                 f" AS `{lfs}`"
             ),
-            F.expr(f"sum(CAST(`{flag_col}` AS LONG)) AS `{nfl}`"),
+            # COALESCE: NULL flags count as unflagged (the window-twin
+            # semantics); a pid whose flags are ALL NULL must yield
+            # nfl = 0, not NULL (which would poison the fold's rank_sum
+            # and silently shrink n_false)
+            F.expr(
+                f"sum(COALESCE(CAST(`{flag_col}` AS LONG), 0))"
+                f" AS `{nfl}`"
+            ),
             F.expr(f"count(*) AS `{cnt}`"),
         )
     )

@@ -506,10 +506,16 @@ ORACLE = {
     "multimodal_bundle": """
         SELECT d.doc_id,
                md5(d.text) AS text_md5,
-               list_reduce(
-                   list_transform(range(1, len(e.embedding) + 1),
-                                  i -> CAST(e.embedding[i] AS DOUBLE)),
-                   (x, y) -> x + y) AS embedding_sum,
+               -- the CASE guards mirror Spark's aggregate(..., 0.0, +):
+               -- an empty array folds to the 0.0 seed (DuckDB's
+               -- list_reduce ERRORS on empty lists), a NULL array
+               -- stays NULL
+               CASE WHEN e.embedding IS NULL THEN NULL
+                    WHEN len(e.embedding) = 0 THEN 0.0
+                    ELSE list_reduce(
+                        list_transform(range(1, len(e.embedding) + 1),
+                                       i -> CAST(e.embedding[i] AS DOUBLE)),
+                        (x, y) -> x + y) END AS embedding_sum,
                d.lang, d.source, d.n_chars, e.label
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,

@@ -214,13 +214,17 @@ def compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bytes").desc(), F.col("file_id"))
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    # exclusive prefix bytes DIV target = next-fit bin. The target is a
-    # power of two, so the double division is exact and floor() equals
-    # integer division on both engines.
+    # exclusive prefix bytes DIV target = next-fit bin. Exact 64-bit
+    # integer division (matching the oracle's //): a double hop would
+    # round prefixes past 2^53 — reachable for a 100 TB-class
+    # partition's manifest — into the adjacent bin.
     prefix = F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    binned = files.withColumn(
-        "bin_id",
-        F.floor(prefix / COMPACT_TARGET_BYTES).cast("bigint"),
+    binned = (
+        files.withColumn("__prefix", prefix)
+        .withColumn(
+            "bin_id", F.expr(f"__prefix DIV {COMPACT_TARGET_BYTES}")
+        )
+        .drop("__prefix")
     )
     return binned.groupBy("part", "bin_id").agg(
         F.count("*").alias("n_files"),

@@ -488,8 +488,15 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = ev.count()  # one scalar action — the profiled table's size
 
     def top_for(col: str) -> DataFrame:
+        # NULL keys fold to a sentinel BEFORE the sort: Spark ascending
+        # sorts NULLS FIRST where DuckDB sorts them LAST, so a NULL key
+        # tied at the top-N boundary would otherwise select different
+        # row sets cross-engine (the dedup_exact sentinel convention)
         return (
-            ev.groupBy(F.col(col).cast("string").alias("key_value"))
+            ev.groupBy(
+                F.coalesce(F.col(col).cast("string"), F.lit("<NULL>"))
+                .alias("key_value")
+            )
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), "key_value")
             .limit(SKEW_TOP_N)
@@ -531,16 +538,18 @@ ORACLE = {
         WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events),
         et AS (
             SELECT 'event_type' AS column_name,
-                   CAST(event_type AS VARCHAR) AS key_value,
+                   COALESCE(CAST(event_type AS VARCHAR), '<NULL>')
+                       AS key_value,
                    CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM events GROUP BY event_type
+            FROM events GROUP BY 2
             ORDER BY cnt DESC, key_value LIMIT {SKEW_TOP_N}
         ),
         uid AS (
             SELECT 'user_id' AS column_name,
-                   CAST(user_id AS VARCHAR) AS key_value,
+                   COALESCE(CAST(user_id AS VARCHAR), '<NULL>')
+                       AS key_value,
                    CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM events GROUP BY user_id
+            FROM events GROUP BY 2
             ORDER BY cnt DESC, key_value LIMIT {SKEW_TOP_N}
         )
         SELECT column_name, key_value, cnt,

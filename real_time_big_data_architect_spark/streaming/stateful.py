@@ -1442,17 +1442,9 @@ ORACLE: dict[str, str] = {
     "stream_transform_with_state": _STATEFUL_COUNTS_ORACLE,
     "stream_pattern_cep": _cep_oracle(event_time=False),
     "stream_pattern_cep_eventtime": _cep_oracle(event_time=True),
-    "stream_stateful_final": f"""
-        SELECT user_id,
-               COUNT(*) AS n_events,
-               CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
-                     THEN CAST(floor(value * {STATE_TOTAL_SCALE} + 0.5)
-                               AS BIGINT)
-                     ELSE 0 END), 0) AS DOUBLE)
-                   / CAST({STATE_TOTAL_SCALE} AS DOUBLE) AS total_value
-        FROM events
-        GROUP BY user_id
-    """,
+    # same fixed-point aggregate as the per-batch counters: one source
+    # of truth for the convention
+    "stream_stateful_final": _STATEFUL_COUNTS_ORACLE,
     "stream_tumbling_watermark": """
         WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
         SELECT date_trunc('hour', ts) AS window_start,

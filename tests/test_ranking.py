@@ -317,6 +317,24 @@ def test_rank_sum_matches_window_sum(spark):
     assert (got.rank_sum, got.n_true, got.n_false) == tuple(want)
 
 
+def test_rank_sum_null_flags_count_as_unflagged(spark):
+    """NULL flags are unflagged (the window-twin's otherwise(0)
+    semantics) — including a partition whose flags are ALL NULL, which
+    must not poison rank_sum or shrink n_false."""
+    rows = [(i, float(i), None if i < 10 else i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v double, flag boolean")
+    got = quantile_partitioned_rank_sum(
+        # npart high enough that the all-NULL-flag low-value rows get
+        # their own pid(s)
+        df, "v", "id", "flag", num_partitions=10
+    ).collect()[0]
+    want_sum = sum(i + 1 for i in range(20) if rows[i][2])
+    want_true = sum(1 for r in rows if r[2])
+    assert (got.rank_sum, got.n_true, got.n_false) == (
+        want_sum, want_true, 20 - want_true,
+    )
+
+
 def test_rank_sum_descending(spark):
     rows = [(i, float(i % 4), i % 2 == 0) for i in range(30)]
     df = spark.createDataFrame(rows, "id long, v double, flag boolean")

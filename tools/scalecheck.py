@@ -129,10 +129,6 @@ def x64_probe() -> None:
     import shutil
     import tempfile
 
-    from real_time_big_data_architect_spark.operators import (
-        joins as joins_ops,
-        windows as windows_ops,
-    )
     from real_time_big_data_architect_spark.plans import workload
 
     spark = get_spark("scalecheck-x64")
@@ -176,21 +172,11 @@ def x64_probe() -> None:
                 ("window_count_distinct", qs["window_count_distinct"],
                  n_ev * mult),
             ):
+                # none of these materialize at build time, so the shared
+                # _timed (warm write + timed write on one frame) applies;
+                # clearCache isolates runs exactly like the main probe
                 spark.catalog.clearCache()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                rate = n_rows / dt / 1e6
-                print(
-                    f"{name:24s} x{mult:<3d} {n_rows/1e6:8.2f} Mrows "
-                    f"{dt:7.2f}s  {rate:7.2f} Mrows/s",
-                    flush=True,
-                )
-                results.append({"op": name, "mult": mult, "rows": n_rows,
-                                "sec": round(dt, 2),
-                                "mrows_per_s": round(rate, 2)})
+                results.append(_timed(name, mult, n_rows, fn(spark, d)))
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -41,10 +41,15 @@ _OUT = os.path.join(
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     prev: dict[str, float] = {}
     try:
         with open(_OUT) as fh:
-            prev = json.load(fh).get("queries", {})
+            rec = json.load(fh)
+        # only compare like-for-like: a prev record at a different SF
+        # would flag every query as a ~10x "regression" (or hide one)
+        if str(rec.get("sf")) == sf:
+            prev = rec.get("queries", {})
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     spark = get_spark("sweep")
@@ -76,7 +81,7 @@ def main() -> int:
     }
     out = {
         "metric": "full_surface_single_pass",
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
         "n_queries": len(timings),
         "n_failures": len(fails),
         "total_wall_sec": round(total, 1),
