@@ -438,6 +438,35 @@ def _lpa_oracle() -> str:
     """
 
 
+#: ONE dialect-shared recursive SQL string (Spark 4 supports WITH
+#: RECURSIVE): executed verbatim by Catalyst AND by DuckDB as the
+#: oracle — the sql_ansi_interface discipline applied to iterative
+#: graph SQL. Contract matches bfs_khop exactly (same seeds, same hop
+#: bound, same min-dist semantics), so the engine proves THREE
+#: independent implementations agree: the DataFrame frontier loop, the
+#: Catalyst recursive CTE, and DuckDB's recursive CTE.
+_REACH_RECURSIVE_SQL: str  # assigned below BFS constants
+
+
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded reachability as ONE recursive SQL query —
+    Spark 4's ``WITH RECURSIVE`` executing the same iterative workload
+    ``bfs_khop`` runs as a DataFrame frontier loop.
+
+    The recursion is depth-bounded (``dist < BFS_MAX_HOPS``) with
+    UNION ALL expansion and an outer MIN(dist) — a node's first level
+    is its BFS distance, so results are identical to the frontier
+    loop's (three-way equality pinned by test). Catalyst plans each
+    recursive step as the same src-keyed join the loop issues; the
+    oracle runs the IDENTICAL string in DuckDB, so the dialect is the
+    shared ANSI subset end-to-end.
+    """
+    from real_time_big_data_architect_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_RECURSIVE_SQL)
+
+
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the transition graph — the first plot of
     any graph analysis (is this power-law? where do the hubs start?):
@@ -464,6 +493,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "recursive_cte_reachability": recursive_cte_reachability,
     "degree_distribution": degree_distribution,
     "transition_edges": transition_edges,
     "pagerank": pagerank,
@@ -486,6 +516,29 @@ _EDGE_CTE = """
         WHERE nxt IS NOT NULL AND nxt <> user_id
         GROUP BY user_id, nxt
     )
+"""
+
+# see recursive_cte_reachability — one string, two engines. Kept to the
+# dialect intersection: LEAD window, UNION ALL recursion (Spark rejects
+# UNION-distinct recursion), depth bound, outer MIN. The recursive
+# member is SELECT DISTINCT — per-LEVEL dedup, which is what makes the
+# recursion frontier-shaped: without it UNION ALL enumerates PATHS, and
+# a dense graph blows past Spark's 1M recursion-row limit at sf0.01
+# (measured); with it every level is ≤ |V| rows, total ≤ (K+1)·|V|,
+# path-count-independent. (Verified to parse and return identical rows
+# on Spark 4 and DuckDB 1.0.)
+_REACH_RECURSIVE_SQL = f"""
+    WITH RECURSIVE {_EDGE_CTE.strip()},
+    walk(user_id, dist) AS (
+        SELECT DISTINCT user_id, 0 FROM events
+        WHERE user_id % {BFS_SEED_MOD} = 0
+        UNION ALL
+        SELECT DISTINCT e.dst, w2.dist + 1
+        FROM walk w2 JOIN edges e ON e.src = w2.user_id
+        WHERE w2.dist < {BFS_MAX_HOPS}
+    )
+    SELECT user_id, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY user_id
 """
 
 
@@ -580,6 +633,7 @@ def _sssp_oracle() -> str:
 
 
 ORACLE = {
+    "recursive_cte_reachability": _REACH_RECURSIVE_SQL,  # identical string
     "degree_distribution": f"""
         WITH {_EDGE_CTE.strip()}
         , outd AS (

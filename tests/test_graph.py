@@ -200,3 +200,18 @@ def test_label_propagation_matches_python_replay(spark, sf_small):
     # the fixture graph is connected enough that at least one
     # community absorbs multiple nodes
     assert len(set(got.values())) < len(nodes)
+
+
+def test_recursive_cte_matches_frontier_loop(spark, sf_small):
+    """Three-way equivalence, leg one: Spark's WITH RECURSIVE execution
+    of _REACH_RECURSIVE_SQL returns exactly bfs_khop's frontier-loop
+    result (the DuckDB leg is the oracle differential, which runs the
+    identical string)."""
+    from real_time_big_data_architect_spark.operators import graph as G
+
+    loop = {(r.user_id, r.dist) for r in G.bfs_khop(spark, sf_small).collect()}
+    rec = {
+        (r.user_id, r.dist)
+        for r in G.recursive_cte_reachability(spark, sf_small).collect()
+    }
+    assert rec == loop and loop
