@@ -130,6 +130,34 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", detect("text").alias("detected_lang"))
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic:
+    per (labelled lang, detected lang) cell, count and within-label
+    rate — the report that decides whether a lang-ID model is good
+    enough to gate a corpus on.
+
+    Composes the Arrow-batched lang_id UDF with a dimension-sized
+    aggregation (|langs|² cells); rates divide exact longs per label
+    (label totals broadcast back onto the cell table). The oracle
+    wraps lang_id's generated CASE-chain twin in the same GROUP BY, so
+    the UDF's argmax/tie/NULL semantics stay hash-pinned through the
+    aggregation too.
+    """
+    detected = lang_id(spark, sf_dir)
+    cells = detected.groupBy("lang", "detected_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_label"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "detected_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_label").cast("double"))
+        .alias("label_rate"),
+        (F.col("lang") == F.col("detected_lang")).alias("is_correct"),
+    )
+
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single other marks.
 #: Kept to constructs with identical semantics in Java regex (Spark)
 #: and RE2 (DuckDB) — no lookarounds, no \\w ambiguity.
@@ -560,6 +588,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,  # oracle replicates the heuristic in SQL
+    "lang_confusion_matrix": lang_confusion_matrix,
     "curate_corpus": curate_corpus,
     "tfidf_top_terms": tfidf_top_terms,
     "token_count_regex": token_count_regex,
@@ -673,7 +702,30 @@ def _lang_id_oracle() -> str:
         FROM (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
     """
 
+def _lang_confusion_oracle() -> str:
+    """lang_id's CASE-chain twin wrapped in the confusion GROUP BY."""
+    inner = _lang_id_oracle().strip()
+    return f"""
+        WITH detected AS ({inner}),
+        cells AS (
+            SELECT lang, detected_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM detected GROUP BY lang, detected_lang
+        ),
+        totals AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_label
+            FROM cells GROUP BY lang
+        )
+        SELECT c.lang, c.detected_lang, c.n_docs,
+               CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE)
+                   AS label_rate,
+               c.lang = c.detected_lang AS is_correct
+        FROM cells c JOIN totals t USING (lang)
+    """
+
+
 ORACLE = {
+    "lang_confusion_matrix": _lang_confusion_oracle(),
     "inverted_index": """
         WITH inst AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
