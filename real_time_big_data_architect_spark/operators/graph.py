@@ -461,9 +461,9 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the IDENTICAL string in DuckDB, so the dialect is the
     shared ANSI subset end-to-end.
     """
-    from real_time_big_data_architect_spark.tables import register_views
-
-    register_views(spark, sf_dir)
+    # register just the one view the SQL reads (the full-catalog
+    # register_views would fail on partial dirs like the scale probes')
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_REACH_RECURSIVE_SQL)
 
 

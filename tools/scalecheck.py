@@ -187,6 +187,78 @@ def x64_probe() -> None:
     del joins_ops, windows_ops
 
 
+def r6_probe() -> None:
+    """Scale rows for the round-6 additions that carry real shuffles:
+    pq_topk (codebook train + map-side ADC + per-query top-k window),
+    recursive_cte_reachability (Catalyst WITH RECURSIVE — per-level
+    joins must stay frontier-sized), curation_funnel (digest window).
+    Embeddings get the sign-flip decorrelation, events the user/ts
+    offsets — the main-probe discipline. Run:
+    ``python tools/scalecheck.py r6``.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.plans import workload
+
+    spark = get_spark("scalecheck-r6")
+    qs = workload.build_queries()
+    ev_base = load_table(spark, SF_DIR, "events")
+    emb_base = load_table(spark, SF_DIR, "embeddings")
+    doc_base = load_table(spark, SF_DIR, "documents")
+    n_ev, n_emb, n_doc = ev_base.count(), emb_base.count(), doc_base.count()
+    results = []
+    root = tempfile.mkdtemp(prefix="scale_r6_")
+    try:
+        for mult in MULTS:
+            d = f"{root}/x{mult}"
+            emb_copies = []
+            for c in range(mult):
+                flip = (
+                    "transform(embedding, (v, i) -> CAST(v * (CASE WHEN "
+                    f"pmod(hash(i + {c} * 64), 2) = 0 THEN 1.0 ELSE -1.0 "
+                    "END) AS FLOAT))"
+                )
+                emb_copies.append(
+                    emb_base.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(c * 10_000_000)
+                    ).withColumn("embedding", F.expr(flip))
+                )
+            functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/embeddings.parquet")
+            ev_copies = [
+                ev_base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
+                )
+                for c in range(mult)
+            ]
+            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/events.parquet")
+            _scaled(doc_base, "doc_id", mult, 10_000_000).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+            for name, n_rows in (
+                ("pq_topk", n_emb * mult),
+                ("recursive_cte_reachability", n_ev * mult),
+                ("curation_funnel", n_doc * mult),
+            ):
+                spark.catalog.clearCache()
+                results.append(_timed(name, mult, n_rows, qs[name](spark, d)))
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    import json
+
+    print(json.dumps(results))
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark("scalecheck")
     ev_base = load_table(spark, SF_DIR, "events")
@@ -509,5 +581,7 @@ if __name__ == "__main__":
         hot_bucket_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "x64":
         x64_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6":
+        r6_probe()
     else:
         main()
