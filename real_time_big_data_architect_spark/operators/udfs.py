@@ -173,13 +173,98 @@ def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point scale for the mapInArrow norm kernel (the
+#: _scaled_value_sum / stateful-counter discipline)
+NORM_FP_SCALE = 10_000_000_000  # 1e10 = 10-decimal fixed point
+
+
+def _norm_batches(batches):
+    """mapInArrow kernel: per-vector squared-norm in exact 1e-10 fixed
+    point. Each x² is floored at the 10th decimal HALF-UP
+    (floor(x²·1e10 + 0.5) — x² ≥ 0, so this equals both engines' round)
+    and summed as int64 — order-independent across any batching, and
+    bit-replayable by a DuckDB decimal sum. numpy's pairwise float sums
+    (np.sum) would NOT replay; the int sums do."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        vec_ids = tbl.column("vec_id").to_pylist()
+        embs = tbl.column("embedding").to_pylist()
+        fp = []
+        for e in embs:
+            if e is None:
+                fp.append(None)  # NULL in -> NULL out (oracle mirrors)
+                continue
+            x = np.asarray(e, dtype=np.float64)
+            fp.append(int(
+                np.floor(x * x * NORM_FP_SCALE + 0.5).astype(np.int64).sum()
+            ))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(vec_ids, pa.int64()),
+                pa.array(fp, pa.int64()),
+            ],
+            names=["vec_id", "norm2_fp"],
+        )
+
+
+def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms via ``mapInArrow`` — the lowest-level Python
+    crossing Spark offers (raw Arrow RecordBatches, no pandas
+    conversion), completing the UDF-surface family (pandas_udf / UDAF /
+    UDTF / applyInPandas / mapInPandas / mapInArrow).
+
+    The kernel returns the squared norm in exact 1e-10 FIXED POINT
+    (int64), so the result is independent of Arrow batch boundaries
+    and partitioning, and the DuckDB oracle replays it with a decimal
+    sum over round(x², 10); the final norm is one sqrt on the exact
+    quotient — the same double on both sides. Scan-side only: no
+    shuffle, embarrassingly parallel at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInArrow(_norm_batches, "vec_id long, norm2_fp long")
+    return out.select(
+        "vec_id",
+        "norm2_fp",
+        F.sqrt(
+            F.col("norm2_fp").cast("double") / F.lit(float(NORM_FP_SCALE))
+        ).alias("l2_norm"),
+    )
+
+
 QUERIES = {
+    "arrow_batch_norms": arrow_batch_norms,
     "udf_scalar": udf_scalar,
     "weighted_mean_agg": weighted_mean_agg,
     "grouped_map_ols": grouped_map_ols,
 }
 
 ORACLE = {
+    "arrow_batch_norms": f"""
+        WITH sums AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(floor(
+                       CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                           * {NORM_FP_SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM (SELECT vec_id, unnest(embedding) AS c FROM embeddings)
+            GROUP BY vec_id
+        ),
+        fp AS (
+            -- LEFT JOIN completion: empty arrays fold to 0 (the
+            -- kernel's empty int sum), NULL arrays stay NULL
+            SELECT e.vec_id,
+                   CASE WHEN e.embedding IS NULL THEN NULL
+                        ELSE COALESCE(f.s, 0) END AS norm2_fp
+            FROM embeddings e LEFT JOIN sums f USING (vec_id)
+        )
+        SELECT vec_id, norm2_fp,
+               sqrt(CAST(norm2_fp AS DOUBLE)
+                    / CAST({NORM_FP_SCALE} AS DOUBLE)) AS l2_norm
+        FROM fp
+    """,
     "weighted_mean_agg": f"""
         SELECT event_type,
                CASE WHEN COALESCE(SUM(user_id), 0) = 0 THEN 0.0
