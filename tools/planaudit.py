@@ -71,6 +71,7 @@ CROSS_ALLOW = {
     "stream_poll_all_tick",  # 10-source status table (catalog-sized)
     "http_poll_all_snapshot",  # same catalog-sized status relation
     "cdc_diff",              # max-version scalar (1 row)
+    "rfm_segments",          # global anchor-timestamp scalar (1 row)
     "collocations_lift",     # corpus token-total scalar (1 row)
     "cosine_topk",           # broadcast query set (N_QUERIES=10 rows)
     "hard_negatives",        # same broadcast query set
