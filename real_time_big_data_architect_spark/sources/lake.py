@@ -321,7 +321,143 @@ def colocated_join(spark: SparkSession) -> DataFrame:
     )
 
 
+try:  # Spark 4 Python DataSource WRITE path (the reader twin is
+    # sources/http_poll.py); guarded like the reader so environments
+    # without the API keep every other lake query importable.
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _JsonlCommit(WriterCommitMessage):
+        """Per-task commit message: the temp file written + row count.
+        Picklable (dataclass of primitives) — it travels executor →
+        driver for the commit/abort decision."""
+
+        path: str
+        n_rows: int
+
+    class _JsonlWriter(DataSourceWriter):
+        """Executor side: each task streams its partition to a UNIQUE
+        ``.tmp`` file; driver side: ``commit`` atomically renames every
+        temp to its final name (os.replace), ``abort`` removes them —
+        the classic two-phase publish, so readers never see a partial
+        task's output. Local-FS semantics here; on a cluster the same
+        protocol targets a shared store."""
+
+        def __init__(self, options: dict) -> None:
+            self._path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(
+                self._path,
+                f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl.tmp",
+            )
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonlCommit(tmp, n)
+
+        def commit(self, messages):
+            import os
+
+            for m in messages:
+                os.replace(m.path, m.path[: -len(".tmp")])
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        """``df.write.format("jsonl_sink").option("path", dir)`` —
+        a Python DataSource WRITER with a two-phase commit."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):  # noqa: ARG002
+            return _JsonlWriter(self.options)
+
+    JSONL_SINK_AVAILABLE = True
+except Exception:  # pragma: no cover - Python DataSource API absent
+    JSONL_SINK_AVAILABLE = False
+
+
+def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the custom Python DataSource WRITE path is
+    lossless — events project through ``jsonl_sink`` (per-task temp
+    files + atomic driver-side rename commit), read back with the
+    schema-strict JSON reader, and every column must survive EXACTLY:
+    the summary counts null-safe-equal matches per column against the
+    original rows (json.dumps emits shortest-round-trip doubles, so a
+    single ulp of serialization loss breaks n_value_exact). The oracle
+    is the roundtrip INVARIANT — every per-column match count equals
+    the row count.
+    """
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    if not JSONL_SINK_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API unavailable")
+    spark.dataSource.register(JsonlSinkDataSource)
+    work = tempfile.mkdtemp(prefix="pyds_sink_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.write.format("jsonl_sink").option("path", work).mode(
+            "append"
+        ).save()
+        back = spark.read.schema(
+            "event_id long, user_id long, event_type string, value double"
+        ).json(f"{work}/*.jsonl")
+        a, b = ev.alias("a"), back.alias("b")
+        j = a.join(b, F.col("a.event_id") == F.col("b.event_id"))
+        summary = j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("a.user_id") == F.col("b.user_id")).cast("long")
+            ).alias("n_user_exact"),
+            F.sum(
+                F.col("a.event_type").eqNullSafe(F.col("b.event_type"))
+                .cast("long")
+            ).alias("n_type_exact"),
+            F.sum(
+                F.col("a.value").eqNullSafe(F.col("b.value")).cast("long")
+            ).alias("n_value_exact"),
+        )
+        return spark.createDataFrame(
+            summary.collect(),
+            "n_rows bigint, n_user_exact bigint, n_type_exact bigint,"
+            " n_value_exact bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
+    "pyds_writer_roundtrip": pyds_writer_roundtrip,
     "ingest_observe_metrics": ingest_observe_metrics,
     "compaction_roundtrip": compaction_roundtrip,
     "orc_roundtrip": orc_roundtrip,
@@ -330,6 +466,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pyds_writer_roundtrip": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) AS n_user_exact,
+               COUNT(*) AS n_type_exact,
+               COUNT(*) AS n_value_exact
+        FROM events
+    """,
     "ingest_observe_metrics": """
         SELECT COUNT(*) AS n_rows,
                CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
