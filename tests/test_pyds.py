@@ -84,3 +84,40 @@ def test_streaming_ticks_produce_one_row_per_batch(spark, tmp_path):
         assert '"iss_position"' in rows[0].payload
     finally:
         q.stop()
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The Python DataSource writer's publish protocol: after save(),
+    only FINAL .jsonl files exist (every per-task .tmp was atomically
+    renamed by the driver-side commit), and their content parses back
+    to exactly the written rows."""
+    import glob
+    import json as _json
+
+    from real_time_big_data_architect_spark.sources import lake as L
+
+    if not L.JSONL_SINK_AVAILABLE:
+        import pytest
+
+        pytest.skip("Python DataSource API unavailable")
+    spark.dataSource.register(L.JsonlSinkDataSource)
+    df = spark.range(10).selectExpr(
+        "id AS event_id", "id * 2 AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type",
+        "CAST(id AS DOUBLE) / 4.0 AS value",
+    ).repartition(3)
+    out = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(out)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    assert not glob.glob(f"{out}/*.tmp"), "uncommitted temp files leaked"
+    rows = []
+    for p in glob.glob(f"{out}/*.jsonl"):
+        with open(p) as fh:
+            rows.extend(_json.loads(line) for line in fh)
+    got = sorted((r["event_id"], r["user_id"], r["event_type"], r["value"])
+                 for r in rows)
+    want = sorted((i, i * 2, "a" if i % 2 == 0 else "b", i / 4.0)
+                  for i in range(10))
+    assert got == want
