@@ -603,14 +603,15 @@ def _pq_best_expr(books: list) -> str:
     return f"array_min(element_at(array({per_m}), CAST(m AS INT) + 1))"
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
     """Train the PQ codebooks: init = subvectors of the first PQ_K
     vectors, ONE Lloyd refinement round (map-side literal argmin over
     the corpus + per-(m, code, dim) exact-decimal means — the
     kmeans_clusters convention, so DuckDB replays the training
-    bit-exactly). Returned as driver-held model parameters
-    (≤ PQ_M × PQ_K × PQ_SUBDIM = 1024 doubles); codes that attract no
-    members drop out, exactly like empty kmeans clusters.
+    bit-exactly). Returns (books, queries) as driver-held model
+    parameters (≤ PQ_M × PQ_K × PQ_SUBDIM = 1024 doubles + Q vectors);
+    codes that attract no members drop out, exactly like empty kmeans
+    clusters.
     """
     app_id = spark.sparkContext.applicationId
     try:
@@ -661,7 +662,15 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
             books[r.m].setdefault(int(r.code), [0.0] * PQ_SUBDIM)[r.dim] = float(
                 r.cv
             )
-        _PQ_CACHE[key] = [sorted(b.items()) for b in books]
+        # cache the ADC query vectors alongside (model-parameter class,
+        # Q×64 doubles) so pq_topk's build skips a per-invocation collect
+        queries = sorted(
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _PQ_CACHE[key] = ([sorted(b.items()) for b in books], queries)
     return _PQ_CACHE[key]
 
 
@@ -675,7 +684,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks + decimal-exact refinement + the portable distance fold
     make codes and quantization errors bit-identical in DuckDB.
     """
-    books = _pq_codebooks(spark, sf_dir)
+    books, _ = _pq_codebooks(spark, sf_dir)
     best = F.expr(_pq_best_expr(books))
     return _pq_subs(spark, sf_dir).select(
         "vec_id",
@@ -699,14 +708,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the per-query top-k window — codes are bytes, so at 100 TB
     the scan is ~64× lighter than the raw-vector cosine pass.
     """
-    books = _pq_codebooks(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = sorted(
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    books, queries = _pq_codebooks(spark, sf_dir)
     # distance tables in plain Python floats == IEEE doubles: the same
     # subtract/multiply/left-fold-add sequence the SQL replay uses
     dt = {}

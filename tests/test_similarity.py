@@ -331,7 +331,7 @@ def test_pq_encode_shape_and_determinism(spark, sf_small):
         spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
     )
     assert len(rows) == n_vec * S.PQ_M
-    books = S._pq_codebooks(spark, sf_small)
+    books, _ = S._pq_codebooks(spark, sf_small)
     for r in rows:
         assert 0 <= r.m < S.PQ_M
         assert r.code in {c for c, _ in books[r.m]}
@@ -347,7 +347,7 @@ def test_pq_topk_matches_manual_adc(spark, sf_small):
     lookup tables + per-vector code sums, top-PQ_TOPK per query."""
     from real_time_big_data_architect_spark.operators import similarity as S
 
-    books = S._pq_codebooks(spark, sf_small)
+    books, _ = S._pq_codebooks(spark, sf_small)
     emb = {
         int(r.vec_id): [float(x) for x in r.embedding]
         for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
