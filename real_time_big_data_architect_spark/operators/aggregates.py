@@ -615,7 +615,63 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
 
 
+#: backlog aging band edges in days (closed on the left)
+AGING_BANDS = ((0, 30), (31, 90), (91, 365), (366, None))
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the classic receivables/fulfilment
+    BI report: open orders banded by days outstanding against the
+    corpus's latest order date, with counts and exact-decimal value
+    totals per band.
+
+    One filter + a 1-row broadcast anchor + a map-side CASE band + a
+    4-key aggregate; shares divide exact longs. Nothing here scales
+    with anything but the scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor_d"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "days_open",
+            F.datediff(
+                F.col("anchor_d").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ),
+        )
+    )
+    band = F.lit(None).cast("int")
+    label = F.lit(None).cast("string")
+    for i, (lo, hi) in reversed(list(enumerate(AGING_BANDS))):
+        cond = (
+            (F.col("days_open") >= lo)
+            if hi is None
+            else (F.col("days_open") >= lo) & (F.col("days_open") <= hi)
+        )
+        name = f"{lo}-{hi}d" if hi is not None else f"{lo}+d"
+        band = F.when(cond, F.lit(i)).otherwise(band)
+        label = F.when(cond, F.lit(name)).otherwise(label)
+    per = aged.groupBy(band.alias("band_idx"), label.alias("band")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    total = per.agg(F.sum("n_orders").alias("n_open"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "band_idx",
+        "band",
+        "n_orders",
+        "total_price",
+        (F.col("n_orders").cast("double") / F.col("n_open").cast("double"))
+        .alias("share"),
+    )
+
+
 QUERIES = {
+    "orders_backlog_aging": orders_backlog_aging,
     "argminmax_agg": argminmax_agg,
     "group_agg": group_agg,
     "agg_skew_twophase": agg_skew_twophase,
@@ -677,7 +733,43 @@ def _auc_oracle() -> str:
 
 _Q1_DEC = "CAST(SUM(CAST({x} AS DECIMAL(30,4))) AS DOUBLE)"
 
+def _aging_oracle() -> str:
+    cases_idx, cases_lbl = [], []
+    for i, (lo, hi) in enumerate(AGING_BANDS):
+        if hi is None:
+            cond = f"days_open >= {lo}"
+            name = f"{lo}+d"
+        else:
+            cond = f"days_open >= {lo} AND days_open <= {hi}"
+            name = f"{lo}-{hi}d"
+        cases_idx.append(f"WHEN {cond} THEN {i}")
+        cases_lbl.append(f"WHEN {cond} THEN '{name}'")
+    return f"""
+        WITH anchor AS (SELECT MAX(o_orderdate) AS anchor_d FROM orders),
+        aged AS (
+            SELECT o.*,
+                   datediff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(a.anchor_d AS DATE)) AS days_open
+            FROM orders o CROSS JOIN anchor a
+            WHERE o.o_orderstatus = 'O'
+        ),
+        per AS (
+            SELECT CAST(CASE {" ".join(cases_idx)} END AS INT) AS band_idx,
+                   CASE {" ".join(cases_lbl)} END AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS total_price
+            FROM aged GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_open FROM per)
+        SELECT band_idx, band, n_orders, total_price,
+               CAST(n_orders AS DOUBLE) / CAST(t.n_open AS DOUBLE) AS share
+        FROM per, t
+    """
+
+
 ORACLE = {
+    "orders_backlog_aging": _aging_oracle(),
     "auc_rank": _auc_oracle(),
     # Sketch-certification oracles: the engine emits exact values plus
     # booleans asserting its sketch estimates met their published error

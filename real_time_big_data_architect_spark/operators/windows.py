@@ -374,7 +374,32 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_count_distinct_frame(load_table(spark, sf_dir, "events"))
 
 
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard heatmap: event counts per (ISO day-of-week ×
+    hour-of-day) cell plus each cell's share of its day — one
+    dimension-sized (7×24) aggregation off a map-side projection.
+
+    ISO dow via ``weekday()+1`` (Mon=1..Sun=7), the date_dim_build
+    convention that matches DuckDB's ``isodow`` exactly; shares divide
+    exact longs per day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count("*").alias("n_events"))
+    days = cells.groupBy("iso_dow").agg(F.sum("n_events").alias("n_day"))
+    return cells.join(F.broadcast(days), "iso_dow").select(
+        "iso_dow",
+        "hour_of_day",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("n_day").cast("double"))
+        .alias("day_share"),
+    )
+
+
 QUERIES = {
+    "events_hourly_heatmap": events_hourly_heatmap,
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag": window_lag,
@@ -389,6 +414,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_hourly_heatmap": """
+        WITH cells AS (
+            SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+                   CAST(hour(ts) AS INT) AS hour_of_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        days AS (
+            SELECT iso_dow, CAST(SUM(n_events) AS BIGINT) AS n_day
+            FROM cells GROUP BY iso_dow
+        )
+        SELECT c.iso_dow, c.hour_of_day, c.n_events,
+               CAST(c.n_events AS DOUBLE) / CAST(d.n_day AS DOUBLE)
+                   AS day_share
+        FROM cells c JOIN days d USING (iso_dow)
+    """,
     "window_count_distinct": """
         SELECT event_id, event_type, user_id, ts,
                COUNT(DISTINCT user_id) OVER (

@@ -72,6 +72,7 @@ CROSS_ALLOW = {
     "http_poll_all_snapshot",  # same catalog-sized status relation
     "cdc_diff",              # max-version scalar (1 row)
     "rfm_segments",          # global anchor-timestamp scalar (1 row)
+    "orders_backlog_aging",  # anchor-date + open-total scalars (1 row each)
     "collocations_lift",     # corpus token-total scalar (1 row)
     "cosine_topk",           # broadcast query set (N_QUERIES=10 rows)
     "hard_negatives",        # same broadcast query set
