@@ -659,22 +659,10 @@ ORACLE = {
         SELECT src, dst, w FROM edges
     """,
     "pagerank": _pagerank_oracle(),
-    "bfs_khop": f"""
-        WITH RECURSIVE {_EDGE_CTE.strip()},
-        seeds AS (
-            SELECT DISTINCT user_id FROM events
-            WHERE user_id % {BFS_SEED_MOD} = 0
-        ),
-        walk(user_id, dist) AS (
-            SELECT user_id, 0 FROM seeds
-            UNION
-            SELECT e.dst, w.dist + 1
-            FROM walk w JOIN edges e ON e.src = w.user_id
-            WHERE w.dist < {BFS_MAX_HOPS}
-        )
-        SELECT user_id, CAST(MIN(dist) AS INT) AS dist
-        FROM walk GROUP BY user_id
-    """,
+    # the SAME recursive string as recursive_cte_reachability: one
+    # hand-maintained recurrence for the whole BFS family (frontier
+    # loop, Catalyst recursion, DuckDB replay all pinned identical)
+    "bfs_khop": _REACH_RECURSIVE_SQL,
     "triangle_count": f"""
         WITH {_EDGE_CTE.strip()},
         und AS (

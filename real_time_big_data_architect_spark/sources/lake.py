@@ -371,11 +371,28 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
                     n += 1
             return _JsonlCommit(tmp, n)
 
+        def _sweep_orphans(self) -> None:
+            """Remove any leftover .tmp file in the target directory:
+            a task that died MID-write (or a losing speculative
+            attempt) never delivered its commit message, so its temp
+            is invisible to commit/abort message lists — job-level
+            cleanup is the only owner of those orphans (exactly what
+            Hadoop/Spark file committers do at job commit)."""
+            import glob as _glob
+            import os
+
+            for p in _glob.glob(os.path.join(self._path, "*.jsonl.tmp")):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
         def commit(self, messages):
             import os
 
             for m in messages:
                 os.replace(m.path, m.path[: -len(".tmp")])
+            self._sweep_orphans()
 
         def abort(self, messages):
             import os
@@ -385,6 +402,7 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
                     os.remove(m.path)
                 except OSError:
                     pass
+            self._sweep_orphans()
 
     class JsonlSinkDataSource(DataSource):
         """``df.write.format("jsonl_sink").option("path", dir)`` —
@@ -398,7 +416,10 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
             return _JsonlWriter(self.options)
 
     JSONL_SINK_AVAILABLE = True
-except Exception:  # pragma: no cover - Python DataSource API absent
+except ImportError:  # pragma: no cover - Python DataSource API absent
+    # ImportError ONLY (the http_poll reader's discipline): a real
+    # defect in the classes must propagate at import, not silently
+    # flip the capability flag and skip the tests.
     JSONL_SINK_AVAILABLE = False
 
 

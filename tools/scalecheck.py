@@ -40,6 +40,65 @@ def _scaled(df: DataFrame, key: str, mult: int, stride: int) -> DataFrame:
     return functools.reduce(DataFrame.unionByName, copies)
 
 
+#: decorrelation alphabet shared by every probe (16 rotations for up to
+#: 16 copies) — single source of truth so the probes stay comparable
+_ALPHA = "aeiousnrtlcdmhgp"
+
+
+def _rotated_doc_copies(doc_base: DataFrame, mult: int) -> DataFrame:
+    """documents ×mult with per-copy character rotation: copies are NOT
+    verbatim duplicates, so digest/near-dup group sizes stay constant
+    and the measured workload scales like real data, not like a planted
+    duplication (the main-probe discipline)."""
+    copies = []
+    for c in range(mult):
+        rot = _ALPHA[c:] + _ALPHA[:c]
+        copies.append(
+            doc_base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(c * 10_000_000)
+            ).withColumn(
+                "text", F.expr(f"translate(text, '{_ALPHA}', '{rot}')")
+            )
+        )
+    return functools.reduce(DataFrame.unionByName, copies)
+
+
+def _flipped_emb_copies(emb_base: DataFrame, mult: int) -> DataFrame:
+    """embeddings ×mult with per-copy random sign flips — an isometry:
+    intra-copy cosines are bit-identical, cross-copy cosines collapse
+    to noise."""
+    copies = []
+    for c in range(mult):
+        flip = (
+            "transform(embedding, (v, i) -> CAST(v * (CASE WHEN "
+            f"pmod(hash(i + {c} * 64), 2) = 0 THEN 1.0 ELSE -1.0 "
+            "END) AS FLOAT))"
+        )
+        copies.append(
+            emb_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(c * 10_000_000)
+            ).withColumn("embedding", F.expr(flip))
+        )
+    return functools.reduce(DataFrame.unionByName, copies)
+
+
+def _offset_event_copies(ev_base: DataFrame, mult: int) -> DataFrame:
+    """events ×mult with user AND 20-year ts offsets per copy: disjoint
+    users in disjoint time ranges, so window/lead chains stay within a
+    copy and the graph is mult near-disjoint replicas."""
+    copies = [
+        ev_base.withColumn(
+            "event_id", F.col("event_id") + F.lit(c * 10_000_000)
+        ).withColumn(
+            "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
+        )
+        for c in range(mult)
+    ]
+    return functools.reduce(DataFrame.unionByName, copies)
+
+
 def _timed(label: str, mult: int, n_rows: int, df: DataFrame) -> dict:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -143,17 +202,7 @@ def x64_probe() -> None:
             d = f"{root}/x{mult}"
             # events: user+ts offsets per copy (disjoint users/ranges,
             # the main-probe discipline)
-            ev_copies = [
-                ev_base.withColumn(
-                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
-                )
-                for c in range(mult)
-            ]
-            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+            _offset_event_copies(ev_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/events.parquet")
             # customer: custkey offsets. Under the old mod-1000 blocking
@@ -184,7 +233,6 @@ def x64_probe() -> None:
 
     print(json.dumps(results))
     spark.stop()
-    del joins_ops, windows_ops
 
 
 def r6_probe() -> None:
@@ -212,35 +260,17 @@ def r6_probe() -> None:
     try:
         for mult in MULTS:
             d = f"{root}/x{mult}"
-            emb_copies = []
-            for c in range(mult):
-                flip = (
-                    "transform(embedding, (v, i) -> CAST(v * (CASE WHEN "
-                    f"pmod(hash(i + {c} * 64), 2) = 0 THEN 1.0 ELSE -1.0 "
-                    "END) AS FLOAT))"
-                )
-                emb_copies.append(
-                    emb_base.withColumn(
-                        "vec_id", F.col("vec_id") + F.lit(c * 10_000_000)
-                    ).withColumn("embedding", F.expr(flip))
-                )
-            functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
+            _flipped_emb_copies(emb_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/embeddings.parquet")
-            ev_copies = [
-                ev_base.withColumn(
-                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
-                )
-                for c in range(mult)
-            ]
-            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+            _offset_event_copies(ev_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/events.parquet")
-            _scaled(doc_base, "doc_id", mult, 10_000_000).write.mode(
+            # ROTATED copies, not verbatim (r6 review finding): verbatim
+            # texts would grow curation_funnel's md5(text) digest groups
+            # with the multiplier and measure planted-duplication
+            # inflation instead of scaling
+            _rotated_doc_copies(doc_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/documents.parquet")
             for name, n_rows in (
@@ -393,61 +423,24 @@ def main() -> None:
     )
 
     scale_root = tempfile.mkdtemp(prefix="scalecheck_")
-    alpha = "aeiousnrtlcdmhgp"  # 16 rotations for up to 16 copies
     try:
         emb_base = load_table(spark, SF_DIR, "embeddings")
         n_emb = emb_base.count()
         for mult in MULTS:
             d = f"{scale_root}/x{mult}"
-            doc_copies = []
-            emb_copies = []
-            for c in range(mult):
-                rot = alpha[c:] + alpha[:c]
-                doc_copies.append(
-                    doc_base.withColumn(
-                        "doc_id", F.col("doc_id") + F.lit(c * 10_000_000)
-                    ).withColumn(
-                        "text",
-                        F.expr(f"translate(text, '{alpha}', '{rot}')"),
-                    )
-                )
-                flip = (
-                    "transform(embedding, (v, i) -> CAST(v * (CASE WHEN "
-                    f"pmod(hash(i + {c} * 64), 2) = 0 THEN 1.0 ELSE -1.0 "
-                    "END) AS FLOAT))"
-                )
-                emb_copies.append(
-                    emb_base.withColumn(
-                        "vec_id", F.col("vec_id") + F.lit(c * 10_000_000)
-                    ).withColumn("embedding", F.expr(flip))
-                )
-            functools.reduce(DataFrame.unionByName, doc_copies).write.mode(
+            # shared decorrelation helpers (single source of truth for
+            # every probe): rotated texts, sign-flipped embeddings,
+            # user+20-year-ts-offset events (offsetting user_id alone
+            # is not enough — same-ts rows from different copies would
+            # interleave in the transition-edge window and manufacture
+            # cross-copy edges)
+            _rotated_doc_copies(doc_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/documents.parquet")
-            functools.reduce(DataFrame.unionByName, emb_copies).write.mode(
+            _flipped_emb_copies(emb_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/embeddings.parquet")
-            # events: offset user_id AND ts per copy. The user offset
-            # alone is not enough for a disjoint-subgraph claim: the
-            # transition-edge window orders by ts within event_type, and
-            # same-ts rows from different copies would interleave,
-            # manufacturing cross-copy edges. Shifting each copy by 20
-            # years puts copies in disjoint time ranges, so the lead()
-            # chain stays within a copy (except one boundary hop per
-            # event_type where a copy's last event leads into the next
-            # copy — O(mult) edges among ~100k, noise) and the graph is
-            # mult near-disjoint replicas.
-            ev_copies = [
-                ev_base.withColumn(
-                    "event_id", F.col("event_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
-                ).withColumn(
-                    "ts", F.col("ts") + F.expr(f"INTERVAL {c * 7300} DAYS")
-                )
-                for c in range(mult)
-            ]
-            functools.reduce(DataFrame.unionByName, ev_copies).write.mode(
+            _offset_event_copies(ev_base, mult).write.mode(
                 "overwrite"
             ).parquet(f"{d}/events.parquet")
 
