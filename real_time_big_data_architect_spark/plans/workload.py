@@ -34,7 +34,11 @@ from real_time_big_data_architect_spark.operators import (
     windows,
 )
 from real_time_big_data_architect_spark.sources import http_poll, lake
-from real_time_big_data_architect_spark.streaming import stateful, time_windows
+from real_time_big_data_architect_spark.streaming import (
+    incremental,
+    stateful,
+    time_windows,
+)
 
 # Ordered cheapest-and-most-certifiable-first: oracle-able single-scan /
 # one-shuffle families, then text/multimodal/batch-window families, then
@@ -66,6 +70,7 @@ _MODULES = (
     dedup,
     similarity,
     stateful,
+    incremental,
 )
 
 

@@ -54,3 +54,68 @@ def incremental_etl(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: checkpointed exactly-once incremental ingest,
+    driven through THREE drains — (1) ingest the events file, (2) a
+    second copy lands and ONLY the delta is processed, (3) a no-new-
+    input re-run that must add nothing. The returned per-type aggregate
+    equals exactly 2× the batch aggregate IFF the checkpoint both
+    resumed (batch 2 ingested the new file) and suppressed reprocessing
+    (batches 2 and 3 never re-read old input) — a failed offset log in
+    either direction breaks the oracle hash. Counts are exact longs,
+    value totals exact decimals.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="inc_etl_")
+    in_dir = f"{work}/in"
+    out_dir = f"{work}/out"
+    ckpt = f"{work}/ckpt"
+    try:
+        import os
+
+        os.makedirs(in_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events0.parquet")
+        incremental_etl(spark, in_dir, out_dir, ckpt)  # batch 1
+        shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events1.parquet")
+        incremental_etl(spark, in_dir, out_dir, ckpt)  # batch 2: delta only
+        incremental_etl(spark, in_dir, out_dir, ckpt)  # batch 3: no-op
+        agg = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        # |event_type|-sized — materialize before the scratch dirs go
+        return spark.createDataFrame(
+            agg.collect(),
+            "event_type string, n_events bigint, sum_value double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES = {
+    "stream_incremental_etl": stream_incremental_etl,
+}
+
+#: exactly-once invariant: the drained sink holds each source row
+#: exactly TWICE (two identical input files, zero reprocessing), so
+#: every aggregate is exactly 2x the batch value
+ORACLE = {
+    "stream_incremental_etl": """
+        SELECT event_type,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+               CAST(2 * SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+}
