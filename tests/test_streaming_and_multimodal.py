@@ -345,8 +345,13 @@ def test_mv_merge_replay_and_crash_safety(spark, sf_small, tmp_path_factory):
 
 
 def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
-    """Signatures match a numpy replay; byte-identical payloads always
-    pair at Hamming 0; every reported pair respects the threshold."""
+    """Signatures match a numpy replay of the byte-4-gram SimHash;
+    planted exact copies pair at Hamming 0 and one-byte variants within
+    the threshold; the banded+guarded join equals all-pairs truth; and
+    the signature is DISCRIMINATIVE (qualifying pairs ≪ all pairs —
+    the r6 degenerate shape where every pair qualified is pinned out)."""
+    import hashlib
+
     import numpy as np
 
     from real_time_big_data_architect_spark.operators import multimodal as M
@@ -355,12 +360,35 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").collect()
 
     def phash(text: str) -> int:
-        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-        hist = np.bincount(arr >> 2, minlength=64)[:64]
-        bits = (hist > hist.mean()).astype(np.uint64)
-        return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        raw = text.encode("utf-8")
+        if len(raw) < 4:
+            return 0
+        shifts = np.arange(64, dtype=np.uint64)
+        feats = np.fromiter(
+            (
+                int(
+                    hashlib.md5(
+                        raw[i : i + 4].hex().upper().encode()
+                    ).hexdigest()[:16],
+                    16,
+                )
+                for i in range(len(raw) - 3)
+            ),
+            dtype=np.uint64,
+            count=len(raw) - 3,
+        )
+        bits = ((feats[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
     expect = {d.doc_id: phash(d.text) for d in docs}
+    for d in docs:  # planted corpus: exact copies + one-byte variants
+        if d.doc_id % 50 == 0:
+            expect[d.doc_id + M.PHASH_EXACT_COPY_OFFSET] = phash(d.text)
+        if d.doc_id % 50 == 25:
+            expect[d.doc_id + M.PHASH_NEAR_COPY_OFFSET] = phash(d.text + ".")
     got_sigs = {
         r.doc_id: r.phash & ((1 << 64) - 1)
         for r in M.media_phash(spark, sf_small).collect()
@@ -370,8 +398,8 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
     got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs}
     # COMPLETE recall, not just precision: with 4 disjoint 16-bit bands
     # and threshold 3, pigeonhole guarantees every qualifying pair
-    # shares a band — so the banded join's output must EQUAL the
-    # brute-force all-pairs ground truth, exactly
+    # shares a band — so (buckets under the chain-guard cap, asserted
+    # below) the banded join's output must EQUAL all-pairs truth
     ids = sorted(expect)
     truth = set()
     for i, a in enumerate(ids):
@@ -380,7 +408,32 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
             if hm <= M.PHASH_MAX_HAMMING:
                 truth.add((a, b, hm))
     assert got == truth
-    assert truth  # histogram hashing really collides on similar payloads
+    # every planted exact copy surfaces at Hamming 0, every one-byte
+    # variant within the threshold — the operator provably finds the
+    # near-dups it exists to find
+    for d in docs:
+        if d.doc_id % 50 == 0:
+            assert (d.doc_id, d.doc_id + M.PHASH_EXACT_COPY_OFFSET, 0) in got
+        if d.doc_id % 50 == 25:
+            assert any(
+                a == d.doc_id and b == d.doc_id + M.PHASH_NEAR_COPY_OFFSET
+                for a, b, _ in got
+            )
+    # discriminative: sparse qualifying set, not all-pairs (r6 weak)
+    n = len(expect)
+    assert len(got) < n * (n - 1) // 2 * 0.01
+    # chain guard never bites on this corpus: every band bucket under cap
+    from collections import Counter
+
+    from real_time_big_data_architect_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+    )
+
+    buckets = Counter()
+    for doc_id, sig in expect.items():
+        for band in range(M.PHASH_BANDS):
+            buckets[(band, (sig >> (16 * band)) & 0xFFFF)] += 1
+    assert max(buckets.values()) <= LSH_BUCKET_CAP
 
 
 def test_stream_hll_split_invariance(spark, sf_small, tmp_path_factory):
