@@ -1025,28 +1025,78 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEG_K = 3
 
 
-def _gram_decimal(emb: DataFrame) -> DataFrame:
-    """Uncentered 64×64 Gram matrix with EXACT accumulation: each
-    product rounds to 10 decimals (round(x,10) is half-away-from-zero
-    in both engines — the ivf_assign convention) and sums as
-    DECIMAL(30,10), so the result is independent of partitioning and
-    bit-replayable by DuckDB. One co-partitioned posexplode self-join
-    shuffle + a 4096-key agg — the data-sized work stays distributed.
-    """
-    pairs = emb.select("vec_id", F.posexplode("embedding").alias("i", "vi"))
-    a = pairs.alias("a")
-    b = pairs.alias("b")
-    return (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("a.vi").cast("double") * F.col("b.vi").cast("double"),
-                    10,
-                ).cast("decimal(30,10)")
-            ).alias("g")
+#: 1e-10 fixed-point scale for the Gram kernel — the arrow_batch_norms
+#: discipline (udfs.py): per-product round-half-away at the 10th
+#: decimal as an int64, so accumulation is ORDER-INDEPENDENT across any
+#: batching/partitioning and the diagonal replays DuckDB's decimal
+#: SUM(round(c*c, 10)) bit-exactly.
+GRAM_FP_SCALE = 10_000_000_000
+
+
+def _gram_batches(batches):
+    """mapInArrow kernel: per-partition partial Gram in exact 1e-10
+    fixed point. Each vector contributes floor(|x_i·x_j|·1e10 + 0.5)
+    with the product's sign (= round-half-away-from-zero, the exact
+    rule both engines' round(x, 10) applies; for the diagonal x_i² ≥ 0
+    this is literally the proven arrow_batch_norms formula). One int64
+    64×64 accumulator per partition, ONE 4096-row emission — no
+    per-vector row fan-out at all, vs the old posexplode self-join's
+    4096 rows per vector (the r6 verdict's 16.4 s CPU hotspot)."""
+    import numpy as np
+    import pyarrow as pa
+
+    acc = np.zeros((DIM, DIM), dtype=np.int64)
+    seen = False
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        for e in tbl.column("embedding").to_pylist():
+            if e is None:
+                continue
+            x = np.asarray(e[:DIM], dtype=np.float64)
+            d = x.size
+            p = np.outer(x, x)
+            fp = np.floor(np.abs(p) * GRAM_FP_SCALE + 0.5).astype(np.int64)
+            np.negative(fp, where=p < 0, out=fp)
+            acc[:d, :d] += fp
+            seen = True
+    if seen:
+        ii, jj = np.meshgrid(
+            np.arange(DIM, dtype=np.int32),
+            np.arange(DIM, dtype=np.int32),
+            indexing="ij",
         )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii.ravel(), pa.int32()),
+                pa.array(jj.ravel(), pa.int32()),
+                pa.array(acc.ravel(), pa.int64()),
+            ],
+            names=["i", "j", "g_fp"],
+        )
+
+
+def _gram_fixed_point(emb: DataFrame) -> DataFrame:
+    """Uncentered 64×64 Gram matrix, 1e-10 fixed point: (i, j, g_fp)
+    where g_fp = Σ round-half-away(x_i·x_j, 10)·1e10 as an exact
+    integer. Partial Grams accumulate per partition inside
+    :func:`_gram_batches` (int64, order-independent), then a single
+    4096-key agg sums one 4096-row batch PER PARTITION — the shuffle
+    carries model-parameter-sized partials, never data-sized rows, and
+    the DECIMAL(38,0) final sum is overflow-safe out to ~1e28 (int64
+    per-partition partials are safe to ~1e8 unit-scale vectors per
+    partition, far past any real maxPartitionBytes split).
+
+    Replaces the r6 posexplode self-join (4096× per-vector row fan-out,
+    the slowest plan of the surface at 16.4 s) with the same exact
+    decimals: diagonal terms use the floor(x²·1e10 + 0.5) formula the
+    oracle-green arrow_batch_norms kernel already proved equal to both
+    engines' round(x², 10) on this data.
+    """
+    parts = fan_out(emb.select("embedding")).mapInArrow(
+        _gram_batches, "i int, j int, g_fp long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("g_fp").cast("decimal(38,0)")).alias("g_fp")
     )
 
 
@@ -1080,11 +1130,12 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     G = np.zeros((DIM, DIM))
-    tr = Decimal(0)
-    for r in _gram_decimal(emb).collect():
-        G[r.i, r.j] = float(r.g)
+    tr_fp = 0
+    for r in _gram_fixed_point(emb).collect():  # 4096 model parameters
+        G[r.i, r.j] = int(r.g_fp) / GRAM_FP_SCALE
         if r.i == r.j:
-            tr += r.g
+            tr_fp += int(r.g_fp)
+    tr = Decimal(tr_fp) / Decimal(GRAM_FP_SCALE)
     eigvals, eigvecs = np.linalg.eigh(G)
     v = eigvecs[:, -1]
     lam = float(eigvals[-1])
@@ -1134,18 +1185,18 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-D semantic sorting.
 
     Split exactly like IVF training: the DATA-sized work is
-    distributed — the 64×64 Gram matrix accumulates as one
-    posexplode self-join co-partitioned on vec_id (a single shuffle)
-    plus a 4096-key partial agg, and the projection pass is a JVM
+    distributed — the 64×64 Gram matrix accumulates as per-partition
+    fixed-point partials inside a ``mapInArrow`` kernel plus one
+    4096-key agg over partition-count-sized partials (see
+    :func:`_gram_fixed_point`), and the projection pass is a JVM
     fold against the broadcast component — while the 64×64
     eigenproblem itself is 4096 scalars of MODEL parameters, solved
     exactly driver-side with ``eigh`` (the treeAggregate-then-solve
     shape every distributed PCA uses — power iteration would need a
     spectral gap these near-isotropic embeddings don't have). Sign is
     canonicalized (first nonzero coordinate positive) so results are
-    reproducible, and the Gram accumulates in exact DECIMAL (see
-    :func:`_gram_decimal`) so the result is partition-order
-    DETERMINISTIC.
+    reproducible, and the Gram accumulates in exact 1e-10 fixed point
+    so the result is partition-order DETERMINISTIC.
 
     Library API, not a declared query (r6, per the r5 verdict): the
     eigensolve is not SQL-expressible, so the declared surface carries
@@ -1159,8 +1210,8 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     G = np.zeros((DIM, DIM))
-    for r in _gram_decimal(emb).collect():  # 4096 model-parameter scalars
-        G[r.i, r.j] = float(r.g)
+    for r in _gram_fixed_point(emb).collect():  # 4096 model parameters
+        G[r.i, r.j] = int(r.g_fp) / GRAM_FP_SCALE
     eigvals, eigvecs = np.linalg.eigh(G)
     v = eigvecs[:, -1]
     nz = np.flatnonzero(np.abs(v) > 1e-12)
