@@ -53,6 +53,7 @@ def main() -> int:
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     spark = get_spark("sweep")
+    loadavg0 = round(os.getloadavg()[0], 1)  # contention marker
     fails: list[tuple[str, str]] = []
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -73,12 +74,48 @@ def main() -> int:
         for n in timings
         if n in prev and prev[n] > 0
     }
-    regressed = {
+    flagged = {
         n: r for n, r in vs_prev.items()
         # single-pass noise floor: flag only meaningful slowdowns on
         # non-trivial queries (sub-0.3 s times are scheduling jitter)
         if r > 1.5 and timings[n] > 0.3
     }
+    # Machine adjudication (r6 verdict item 4: tpch_q4's 1.58x
+    # single-pass flag needed a hand re-measure that landed at 0.79s).
+    # Every flag is re-measured isolated min-of-3 in-session; only
+    # flags that SURVIVE stay regressions, the rest are recorded as
+    # adjudicated noise.
+    adjudicated: dict[str, dict] = {}
+    regressed: dict[str, float] = {}
+    qmap = entrymod.queries()
+    for name, r in flagged.items():
+        spark.catalog.clearCache()
+        iso = []
+        try:
+            for _ in range(3):
+                t = time.perf_counter()
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                iso.append(time.perf_counter() - t)
+        except Exception as exc:  # noqa: BLE001
+            fails.append((name, f"adjudication rerun: {str(exc)[:150]}"))
+            continue
+        best = round(min(iso), 4)
+        final = round(min(timings[name], best) / prev[name], 2)
+        adjudicated[name] = {
+            "flagged_ratio": r,
+            "isolated_min3": best,
+            "final_ratio": final,
+        }
+        timings[name] = min(timings[name], best)
+        if final > 1.5:
+            regressed[name] = final
+        print(
+            f"adjudicated {name}: flagged {r}x -> isolated min3 {best}s"
+            f" ({final}x, {'REGRESSION' if final > 1.5 else 'noise'})",
+            flush=True,
+        )
     out = {
         "metric": "full_surface_single_pass",
         "sf": sf,
@@ -86,7 +123,9 @@ def main() -> int:
         "n_failures": len(fails),
         "total_wall_sec": round(total, 1),
         "timing": "single_pass_noop_per_query",
+        "loadavg_at_start": loadavg0,
         "queries": timings,
+        "adjudicated_flags": adjudicated,
         "regressed_over_1.5x_vs_prev": regressed,
         "failures": dict(fails),
     }
