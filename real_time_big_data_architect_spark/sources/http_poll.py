@@ -27,6 +27,7 @@ import json
 import time
 import urllib.error
 import urllib.request
+from real_time_big_data_architect_spark.streaming import progress
 
 
 #: hard byte ceiling on a single poll payload. The catalog endpoints
@@ -377,6 +378,7 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
     )
     try:
         q.awaitTermination()
+        progress.record(q)
         # materialize the catalog-sized (10-row) status set, then drop
         # the scratch table so repeated invocations leave no warehouse
         # debris — the drop runs even when a tick fails mid-batch

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_big_data_architect_spark.streaming import progress
 from real_time_big_data_architect_spark.tables import (
     _normalize_events_ts,
     probe_events_schema,
@@ -54,6 +55,7 @@ def incremental_etl(
         .start()
     )
     q.awaitTermination()
+    progress.record(q)
 
 
 def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:

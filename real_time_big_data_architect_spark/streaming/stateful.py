@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from real_time_big_data_architect_spark.streaming import progress
 from real_time_big_data_architect_spark.tables import (
     _normalize_events_ts,
     probe_events_schema,
@@ -91,6 +92,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        progress.record(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.sql(f"SELECT * FROM {name}")
@@ -358,6 +360,7 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        progress.record(q)
         committed = mv_committed(work)
         schema = "event_type string, sum_value double, n_events bigint"
         if committed is None:  # empty stream: no batch ever committed
@@ -496,6 +499,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        progress.record(q)
         committed = mv_committed(work)
         schema = (
             "event_type string, n_zero_regs bigint,"
@@ -604,6 +608,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        progress.record(q)
         committed = mv_committed(work)
         schema = (
             "o_orderkey bigint, o_orderstatus string, o_totalprice double"

@@ -1,0 +1,193 @@
+"""Streaming micro-batch latency harness → LATENCY.md.
+
+The reference's real-time loop is a 60 s poll tick
+(`/root/reference/app.py:37`, st_autorefresh(interval=60_000)); a
+micro-batch engine honors that contract iff every micro-batch completes
+in ≪ 60 s and state stays bounded. This harness runs every declared
+``stream_*`` query at the bench SF, captures each drain's
+StreamingQueryProgress events (recorded by the run sites via
+``streaming.progress``), and writes LATENCY.md: per query — streams
+started, micro-batches executed, max/mean batch duration, peak state
+rows and state memory. Exits 1 if any batch duration breaches the 60 s
+budget (at fixture scale the margin should be ~100×).
+
+Multi-batch coverage: the single-file fixture drains in one
+micro-batch; to measure REPEATED-batch behavior (state growth across
+commits) the events fixture is also split into 4 chunk files in a temp
+dir and re-drained for the file-source stateful queries, so the
+artifact shows batch-over-batch durations and a bounded state curve.
+
+Usage::
+
+    python tools/latency.py                     # sf0.1, writes LATENCY.md
+    SPARK_GRAFT_SF_DIR=... python tools/latency.py
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from real_time_big_data_architect_spark.session import get_spark  # noqa: E402
+from real_time_big_data_architect_spark.streaming import progress  # noqa: E402
+
+TICK_BUDGET_MS = 60_000  # the reference's poll interval
+
+_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "LATENCY.md"
+)
+
+
+def _summarize(events: list[dict]) -> dict:
+    durs = []
+    state_rows = 0
+    state_mem = 0
+    for e in events:
+        d = e.get("durationMs", {}) or {}
+        if "triggerExecution" in d:
+            durs.append(float(d["triggerExecution"]))
+        for so in e.get("stateOperators", []) or []:
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0) or 0))
+            state_mem = max(
+                state_mem, int(so.get("memoryUsedBytes", 0) or 0)
+            )
+    return {
+        "batches": len(durs),
+        "max_ms": max(durs) if durs else 0.0,
+        "mean_ms": statistics.fmean(durs) if durs else 0.0,
+        "state_rows": state_rows,
+        "state_mem": state_mem,
+    }
+
+
+def _split_events(spark, sf_dir: str, tmp: str, n: int = 4) -> None:
+    """Write the events fixture as n single-file chunks (events0..n-1)
+    so the maxFilesPerTrigger=1 file source executes n micro-batches."""
+    import glob
+    import shutil
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.count()
+    per = (rows + n - 1) // n
+    pdf = ev.toPandas()
+    os.makedirs(tmp, exist_ok=True)
+    for k in range(n):
+        chunk = pdf.iloc[k * per : (k + 1) * per]
+        sdir = os.path.join(tmp, f"chunk{k}.dir")
+        spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(tmp, f"events{k}.parquet"))
+        shutil.rmtree(sdir)
+
+
+#: file-source stateful queries re-run over the 4-chunk corpus for the
+#: multi-batch state curve (foreachBatch/CDC/poll queries manage their
+#: own inputs; stream-stream joins need both sides in one dir anyway)
+MULTI_BATCH = (
+    "stream_tumbling_watermark",
+    "stream_session_watermark",
+    "stream_sliding_watermark",
+    "stream_dedup_watermark",
+    "stream_stateful_counts",
+    "stream_stateful_final",
+    "stream_topk_complete",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("latency")
+    qs = entrymod.queries()
+    streamers = {k: v for k, v in qs.items() if k.startswith("stream_")}
+    rows: list[tuple[str, str, dict, float]] = []
+    fails: list[str] = []
+    for name, fn in streamers.items():
+        mark = len(progress.RUNS)
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            fails.append(f"{name}: {str(exc)[:150]}")
+            continue
+        wall = time.perf_counter() - t0
+        captured = progress.RUNS[mark:]
+        merged: list[dict] = []
+        for _, events in captured:
+            merged.extend(events)
+        rows.append((name, "fixture", _summarize(merged), wall))
+
+    # multi-batch pass: 4-chunk corpus, maxFilesPerTrigger=1 → 4+ batches
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _split_events(spark, sf_dir, tmp, n=4)
+        for name in MULTI_BATCH:
+            if name not in streamers:
+                continue
+            mark = len(progress.RUNS)
+            t0 = time.perf_counter()
+            try:
+                streamers[name](spark, tmp).collect()
+            except Exception as exc:  # noqa: BLE001
+                fails.append(f"{name} (multi): {str(exc)[:150]}")
+                continue
+            wall = time.perf_counter() - t0
+            merged = []
+            for _, events in progress.RUNS[mark:]:
+                merged.extend(events)
+            rows.append((name, "4-chunk", _summarize(merged), wall))
+
+    breaches = [
+        (n, s) for n, _, s, _ in rows if s["max_ms"] >= TICK_BUDGET_MS
+    ]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    with open(_OUT, "w") as fh:
+        fh.write(
+            "# LATENCY — streaming micro-batch durations vs the 60 s tick"
+            " budget\n\n"
+            f"SF: {sf}; budget: {TICK_BUDGET_MS} ms per micro-batch (the"
+            " reference's poll interval, app.py:37). `batches` counts"
+            " progress events with a triggerExecution duration (incl."
+            " the no-data finalization batch availableNow appends);"
+            " state columns are the PEAK across batches — bounded state"
+            " across the 4-chunk drain is the leak check.\n\n"
+            "| query | corpus | batches | max batch ms | mean ms |"
+            " peak state rows | peak state MB | wall s |\n"
+            "|---|---|---:|---:|---:|---:|---:|---:|\n"
+        )
+        for name, corpus, s, wall in sorted(rows):
+            fh.write(
+                f"| {name} | {corpus} | {s['batches']} |"
+                f" {s['max_ms']:.0f} | {s['mean_ms']:.0f} |"
+                f" {s['state_rows']} | {s['state_mem'] / 1e6:.2f} |"
+                f" {wall:.1f} |\n"
+            )
+        if fails:
+            fh.write("\n## failures\n\n")
+            for f in fails:
+                fh.write(f"- {f}\n")
+        fh.write(
+            f"\nmax batch duration observed:"
+            f" {max((s['max_ms'] for _, _, s, _ in rows), default=0):.0f} ms"
+            f" — {'BREACHES' if breaches else 'well inside'} the"
+            f" {TICK_BUDGET_MS} ms budget.\n"
+        )
+    print(f"wrote {_OUT}: {len(rows)} runs, {len(fails)} failures,"
+          f" {len(breaches)} budget breaches")
+    for f in fails:
+        print(" FAIL", f)
+    spark.stop()
+    return 1 if (fails or breaches) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
