@@ -569,6 +569,135 @@ def main() -> None:
     spark.stop()
 
 
+def r7_probe() -> None:
+    """r6 verdict item 6: planted-skew probes for the remaining
+    pair-generators. Run: ``python tools/scalecheck.py r7``.
+
+    - ``dedup_ngram_jaccard`` / ``media_phash_dedup``: a fully
+      degenerate corpus (10 000 × mult verbatim copies of one
+      boilerplate page) lands every doc in the same LSH / phash-band
+      buckets; the shared chain guard must bound candidates at n·k and
+      keep wall ~linear (the unguarded join would be n²/2 pairs).
+    - ``grid_radius_join``: 250 × mult points planted into ONE grid
+      cell (user ids rejection-sampled JVM-side so their md5-derived
+      coordinates land in cell (0,0)). A radius join's CONTRACT is all
+      qualifying pairs, so output is genuinely Θ(n²) for a dense cell —
+      the scale invariant here is emitted PAIRS/s flat-or-rising, i.e.
+      the bin-and-verify plan adds no overhead beyond the
+      semantically-required output.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import (
+        dedup as dedup_ops,
+        joins as join_ops,
+        multimodal as mm_ops,
+    )
+
+    spark = get_spark("scalecheck-r7")
+    results = []
+    root = tempfile.mkdtemp(prefix="scale_r7_")
+    boiler = " ".join(f"boilerplate{w % 23} filler{w % 7}" for w in range(24))
+    try:
+        # ---- hot-key corpora for the two guarded pair-generators ----
+        for mult in MULTS:
+            n_hot = 10_000 * mult
+            d = f"{root}/hot{mult}"
+            spark.range(n_hot).selectExpr(
+                "id AS doc_id",
+                f"'{boiler}' AS text",
+                "'en' AS lang",
+                "'web' AS source",
+                f"CAST({len(boiler)} AS BIGINT) AS n_chars",
+            ).repartition(32).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+            for label, fn in (
+                ("ngram_jaccard_hot", dedup_ops.dedup_ngram_jaccard),
+                ("phash_hot_bucket", mm_ops.media_phash_dedup),
+            ):
+                spark.catalog.clearCache()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                out = fn(spark, d)
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                n_pairs = out.count()
+                # phash corpus plants +2% variants (n/50 exact + n/50
+                # near copies); bound accordingly
+                n_eff = n_hot + (n_hot // 50) * 2 if label.startswith("ph") else n_hot
+                bound = n_eff * dedup_ops.LSH_CHAIN_NEIGHBORS
+                print(
+                    f"{label} x{mult:<3d} n={n_hot:<7d} {dt:6.2f}s"
+                    f" pairs={n_pairs} (bound n*k={bound}, naive n^2/2="
+                    f"{n_eff * (n_eff - 1) // 2})",
+                    flush=True,
+                )
+                assert n_pairs <= bound, f"{label}: chain guard violated"
+                results.append({"op": label, "mult": mult, "n_hot": n_hot,
+                                "sec": round(dt, 2), "pairs": n_pairs,
+                                "bound": bound})
+
+        # ---- grid_radius_join: one dense cell ----
+        # rejection-sample user ids whose md5-derived point lands in
+        # cell (0,0): JVM-side vectorized scan, no driver loop
+        accept = (
+            spark.range(60_000_000)
+            .selectExpr(
+                "id",
+                "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 10000 AS hx",
+                "CAST(conv(substring(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+                " AS BIGINT) % 10000 AS hy",
+            )
+            .where("hx < 150 AND hy < 150")  # x,y in [0,15) => cell (0,0)
+            .limit(250 * MULTS[-1])
+            .select("id")
+        )
+        hot_ids = [r.id for r in accept.collect()]
+        assert len(hot_ids) >= 250 * MULTS[-1], "not enough sampled ids"
+        for mult in MULTS:
+            n_pts = 250 * mult
+            d = f"{root}/grid{mult}"
+            spark.createDataFrame(
+                [(int(u),) for u in hot_ids[:n_pts]], "user_id long"
+            ).selectExpr(
+                "user_id",
+                "'click' AS event_type",
+                "CAST(user_id AS DOUBLE) AS value",
+                "TIMESTAMP '2024-01-01 00:00:00' AS ts",
+            ).repartition(32).write.mode("overwrite").parquet(
+                f"{d}/events.parquet"
+            )
+            spark.catalog.clearCache()
+            join_ops.grid_radius_join(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = join_ops.grid_radius_join(spark, d)
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            n_pairs = out.count()
+            print(
+                f"grid_hot_cell x{mult:<3d} n={n_pts:<6d} {dt:6.2f}s"
+                f" pairs={n_pairs}"
+                f" ({n_pairs / dt / 1e6:.2f} Mpairs/s)",
+                flush=True,
+            )
+            results.append({"op": "grid_hot_cell", "mult": mult,
+                            "n_pts": n_pts, "sec": round(dt, 2),
+                            "pairs": n_pairs,
+                            "mpairs_s": round(n_pairs / dt / 1e6, 2)})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hot":
         hot_bucket_probe()
@@ -576,5 +705,7 @@ if __name__ == "__main__":
         x64_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "r6":
         r6_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r7":
+        r7_probe()
     else:
         main()
