@@ -25,7 +25,11 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import fan_out, load_table
+from real_time_big_data_architect_spark.tables import (
+    _stat_sig,
+    fan_out,
+    load_table,
+)
 
 DIM = 64
 TOP_K = 5
@@ -353,11 +357,11 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
     # session. Bounded: one entry per (app, corpus dir); entries of
     # dead sessions are evicted below.
     app_id = spark.sparkContext.applicationId
-    try:  # regenerated fixture dir → new mtime → cache miss
-        src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        src_mtime = 0.0
-    key = (app_id, sf_dir, src_mtime)
+    # content fingerprint, not bare mtime (ADVICE r6): (mtime_ns, size)
+    # distinguishes a rewrite within mtime granularity, and a MISSING
+    # path keys as None instead of aliasing to a sentinel float
+    src_sig = _stat_sig(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (app_id, sf_dir, src_sig)
     if key not in _CENTROID_CACHE:
         # evict dead-session entries AND same-dir entries whose fixture
         # was since regenerated (stale mtime) — the cache stays at one
@@ -365,7 +369,7 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
         for stale in [
             k
             for k in _CENTROID_CACHE
-            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_mtime)
+            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_sig)
         ]:
             del _CENTROID_CACHE[stale]
         rows = _centroid_table(spark, sf_dir).collect()
@@ -614,16 +618,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
     clusters.
     """
     app_id = spark.sparkContext.applicationId
-    try:
-        src_mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        src_mtime = 0.0
-    key = (app_id, sf_dir, src_mtime)
+    # content fingerprint, not bare mtime — see the centroid cache note
+    src_sig = _stat_sig(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (app_id, sf_dir, src_sig)
     if key not in _PQ_CACHE:
         for stale in [
             k
             for k in _PQ_CACHE
-            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_mtime)
+            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_sig)
         ]:
             del _PQ_CACHE[stale]
         emb = load_table(spark, sf_dir, "embeddings")

@@ -350,7 +350,15 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
         protocol targets a shared store."""
 
         def __init__(self, options: dict) -> None:
+            import uuid as _uuid
+
             self._path = options["path"]
+            # per-JOB namespace for temp files (ADVICE r6): the orphan
+            # sweep must only ever touch THIS job's temps — two
+            # concurrent appends to the same path would otherwise
+            # delete each other's in-flight task files. Generated
+            # driver-side, travels to executors in the pickled writer.
+            self._job_tag = _uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             import json as _json
@@ -362,7 +370,8 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
             pid = TaskContext.get().partitionId()
             tmp = os.path.join(
                 self._path,
-                f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl.tmp",
+                f"part-{self._job_tag}-{pid:05d}"
+                f"-{_uuid.uuid4().hex[:8]}.jsonl.tmp",
             )
             n = 0
             with open(tmp, "w") as fh:
@@ -372,16 +381,21 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
             return _JsonlCommit(tmp, n)
 
         def _sweep_orphans(self) -> None:
-            """Remove any leftover .tmp file in the target directory:
-            a task that died MID-write (or a losing speculative
-            attempt) never delivered its commit message, so its temp
-            is invisible to commit/abort message lists — job-level
+            """Remove any leftover .tmp file THIS JOB wrote: a task
+            that died MID-write (or a losing speculative attempt)
+            never delivered its commit message, so its temp is
+            invisible to commit/abort message lists — job-level
             cleanup is the only owner of those orphans (exactly what
-            Hadoop/Spark file committers do at job commit)."""
+            Hadoop/Spark file committers do at job commit). Scoped to
+            the job tag (ADVICE r6): a concurrent append's in-flight
+            temps are NOT ours to delete."""
             import glob as _glob
             import os
 
-            for p in _glob.glob(os.path.join(self._path, "*.jsonl.tmp")):
+            pattern = os.path.join(
+                self._path, f"part-{self._job_tag}-*.jsonl.tmp"
+            )
+            for p in _glob.glob(pattern):
                 try:
                     os.remove(p)
                 except OSError:
@@ -458,7 +472,11 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary = j.agg(
             F.count("*").alias("n_rows"),
             F.sum(
-                (F.col("a.user_id") == F.col("b.user_id")).cast("long")
+                # eqNullSafe like the other columns (ADVICE r6): a
+                # NULL user_id row would yield NULL under ==, drop
+                # from the count, and spuriously break the roundtrip
+                F.col("a.user_id").eqNullSafe(F.col("b.user_id"))
+                .cast("long")
             ).alias("n_user_exact"),
             F.sum(
                 F.col("a.event_type").eqNullSafe(F.col("b.event_type"))
