@@ -692,6 +692,36 @@ def r7_probe() -> None:
                             "n_pts": n_pts, "sec": round(dt, 2),
                             "pairs": n_pairs,
                             "mpairs_s": round(n_pairs / dt / 1e6, 2)})
+
+        # ---- pca_certify: the r7 mapInArrow Gram at x1/x4/x16 ----
+        # (the r6 verdict flagged the missing SCALING row for the then-
+        # slowest query; the probe now times the rebuilt kernel)
+        from real_time_big_data_architect_spark.operators import (
+            similarity as sim_ops,
+        )
+
+        emb_base = load_table(spark, SF_DIR, "embeddings")
+        n_emb = emb_base.count()
+        for mult in MULTS:
+            d = f"{root}/pca{mult}"
+            _flipped_emb_copies(emb_base, mult).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/embeddings.parquet")
+            spark.catalog.clearCache()
+            sim_ops.pca_certify(spark, d).collect()  # warm
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            sim_ops.pca_certify(spark, d).collect()
+            dt = time.perf_counter() - t0
+            n = n_emb * mult
+            print(
+                f"pca_certify x{mult:<3d} n={n:<7d} {dt:6.2f}s"
+                f" ({n / dt / 1e3:.1f} kvec/s)",
+                flush=True,
+            )
+            results.append({"op": "pca_certify", "mult": mult, "n": n,
+                            "sec": round(dt, 2),
+                            "kvec_s": round(n / dt / 1e3, 1)})
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(results))
