@@ -658,6 +658,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("vec_id"), F.col("u").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # Fixpoint detection by label-sum (r7): per-node comp is MONOTONE
+    # non-increasing (least() in the lowering; the jump replaces comp
+    # with comp-node's label, itself ≤ comp), so Σcomp strictly
+    # decreases until the fixpoint and "sum unchanged" ⟺ "no node
+    # changed". One DECIMAL(38,0) agg per round replaces the old
+    # jumped⋈labels diff join AND serves as the single action that
+    # materializes the round's (lazy) localCheckpoint — one pass per
+    # round instead of two plus a join.
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).first().s
     for _ in range(MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.v == labels.vec_id)
@@ -676,17 +687,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jumped = (
             lowered.join(ptr, lowered.comp == ptr.p_vec, "left")
             .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.withColumnRenamed("comp", "new_comp")
-            .join(labels, "vec_id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        new_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first().s
         labels = jumped
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     labeled = (
         load_table(spark, sf_dir, "embeddings")
