@@ -324,20 +324,25 @@ def try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     family degrades those rows to NULL and keeps the batch alive
     (the arithmetic twin of safe_cast_fns' TRY_CAST).
 
-    Per order: a guaranteed-overflow product (every key ≥ 1 scaled by
-    i64-max → NULL for all but key 0·…), a modular denominator that
-    hits zero on every 7th key (divide-by-zero → NULL), and a safe
-    branch that stays exact. The oracle replays the same row classes
-    with CASE guards — DuckDB would raise on the raw expressions, so
-    the guard IS the cross-engine semantic.
+    Per order: a product whose multiplier is i64-max on every 5th key
+    (overflow → NULL for those rows, exact ×1000 elsewhere — bad rows
+    are RARE, the realistic corpus shape; the r7 change from
+    every-row-overflow, which forced a caught JVM ArithmeticException
+    per row and made a trivial projection the slowest scalar query),
+    a modular denominator that hits zero on every 7th key
+    (divide-by-zero → NULL), and a safe branch that stays exact. The
+    oracle replays the same row classes with CASE guards — DuckDB
+    would raise on the raw expressions, so the guard IS the
+    cross-engine semantic.
     """
     o = load_table(spark, sf_dir, "orders")
     denom = F.col("o_orderkey") % 7
     return o.select(
         "o_orderkey",
-        F.expr(f"try_multiply(o_orderkey + 1, {_I64_MAX}L)").alias(
-            "overflow_product"
-        ),
+        F.expr(
+            "try_multiply(o_orderkey + 1, CASE WHEN o_orderkey % 5 = 0"
+            f" THEN {_I64_MAX}L ELSE 1000L END)"
+        ).alias("overflow_product"),
         F.expr("try_divide(o_totalprice, o_orderkey % 7)").alias(
             "risky_ratio"
         ),
@@ -369,7 +374,9 @@ QUERIES = {
 ORACLE = {
     "try_arith": f"""
         SELECT o_orderkey,
-               CASE WHEN o_orderkey = 0
+               CASE WHEN o_orderkey % 5 <> 0
+                    THEN (o_orderkey + 1) * 1000
+                    WHEN o_orderkey = 0
                     THEN CAST({_I64_MAX} AS BIGINT)
                     ELSE CAST(NULL AS BIGINT) END AS overflow_product,
                CASE WHEN o_orderkey % 7 = 0 THEN NULL
