@@ -249,3 +249,54 @@ def test_date_typed_fixture_vintage_still_works(
         want = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
         got = sorted(map(tuple, fn(spark, str(tmp)).collect()))
         assert got == want, fn.__name__
+
+
+def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
+    """r7 regression guard for the load_table DataFrame cache: same
+    path + same session reuses the plan; REWRITING the file at the
+    same path (new stat signature) must re-read — a stale cached scan
+    would silently serve the old rows."""
+    import glob
+    import shutil
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    def write_docs(rows):
+        d = tmp_path / "documents.parquet.dir"
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.move(part, str(tmp_path / "documents.parquet"))
+        shutil.rmtree(d)
+
+    write_docs([(1, "one", "en", "a", 3)])
+    df1 = load_table(spark, str(tmp_path), "documents")
+    assert df1.count() == 1
+    # cache hit: identical object while the file is untouched
+    assert load_table(spark, str(tmp_path), "documents") is df1
+    write_docs([(1, "one", "en", "a", 3), (2, "two", "en", "a", 3)])
+    df2 = load_table(spark, str(tmp_path), "documents")
+    assert df2 is not df1
+    assert df2.count() == 2
+
+
+def test_streaming_progress_capture_records_batches(spark, sf_small):
+    """r7 regression guard for the latency artifact's data source:
+    a streaming drain must append its StreamingQueryProgress events
+    (with batch durations) to streaming.progress.RUNS."""
+    from real_time_big_data_architect_spark.streaming import (
+        progress,
+        stateful,
+    )
+
+    mark = len(progress.RUNS)
+    stateful.stream_tumbling_watermark(spark, sf_small).collect()
+    captured = progress.RUNS[mark:]
+    assert captured, "drain recorded no progress"
+    events = [e for _, evs in captured for e in evs]
+    assert any(
+        "triggerExecution" in (e.get("durationMs") or {}) for e in events
+    )
