@@ -681,6 +681,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "comp"
             ),
         )
+        # ONE pointer jump per round: a second jump within the round
+        # (tried in r7) doubles the un-checkpointed lineage — the
+        # intermediate relation feeds both join sides and recomputes
+        # its whole subtree, measured 8 s → 107 s. Depth still halves
+        # every round, which is the log-convergence that matters.
         ptr = lowered.select(
             F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
         )
