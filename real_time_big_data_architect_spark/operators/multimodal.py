@@ -356,6 +356,26 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash64(raw: bytes) -> int:
+    """64-bit SimHash of a byte payload over sliding 4-grams — the
+    pure kernel, unit-property-tested against an arithmetic-only
+    replay. Payloads under 4 bytes have no features → sig 0 (the rule
+    the oracle's LEFT JOIN + COALESCE applies)."""
+    if len(raw) < 4:
+        return 0
+    shifts = np.arange(64, dtype=np.uint64)
+    feats = np.fromiter(
+        (_gram64(raw[i : i + 4]) for i in range(len(raw) - 3)),
+        dtype=np.uint64,
+        count=len(raw) - 3,
+    )
+    bits = ((feats[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+
+
 def _phash_sigs(corpus: DataFrame) -> DataFrame:
     """(doc_id, payload) → (doc_id, phash, band0..band3).
 
@@ -370,28 +390,10 @@ def _phash_sigs(corpus: DataFrame) -> DataFrame:
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(64, dtype=np.uint64)
         for b in batches:
             sigs, bands = [], [[] for _ in range(PHASH_BANDS)]
             for payload in b["payload"]:
-                raw = bytes(payload) if payload is not None else b""
-                if len(raw) < 4:
-                    sig = 0
-                else:
-                    feats = np.fromiter(
-                        (_gram64(raw[i : i + 4]) for i in range(len(raw) - 3)),
-                        dtype=np.uint64,
-                        count=len(raw) - 3,
-                    )
-                    bits = (
-                        (feats[:, None] >> shifts[None, :]) & np.uint64(1)
-                    ).astype(np.int64)
-                    votes = (2 * bits - 1).sum(axis=0)
-                    sig = int(
-                        ((votes > 0).astype(np.uint64) << shifts).sum(
-                            dtype=np.uint64
-                        )
-                    )
+                sig = phash64(bytes(payload) if payload is not None else b"")
                 for i in range(PHASH_BANDS):
                     bands[i].append((sig >> (16 * i)) & 0xFFFF)
                 sigs.append(sig - (1 << 64 if sig >= 1 << 63 else 0))

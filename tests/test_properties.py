@@ -334,3 +334,41 @@ def test_simhash_kernel_matches_pure_python_reference():
         assert list(got) == [signed] + bands
 
     check()
+
+
+def test_phash_kernel_matches_pure_python_reference():
+    """Same discipline for the media phash (r7 byte-4-gram SimHash):
+    md5-low-64 of each window's UPPERCASE-hex rendering, ±1 votes per
+    bit, sign → bit — replayed arithmetic-only (no numpy), so kernel
+    and DuckDB oracle cannot drift together. Random BINARY payloads,
+    including <4-byte ones (sig 0)."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from real_time_big_data_architect_spark.operators import multimodal as M
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def check(raw):
+        got = M.phash64(raw)
+        if len(raw) < 4:
+            assert got == 0
+            return
+        feats = [
+            int(
+                hashlib.md5(
+                    raw[i : i + 4].hex().upper().encode()
+                ).hexdigest()[:16],
+                16,
+            )
+            for i in range(len(raw) - 3)
+        ]
+        want = 0
+        for b in range(64):
+            vote = sum(1 if (f >> b) & 1 else -1 for f in feats)
+            if vote > 0:
+                want |= 1 << b
+        assert got == want
+
+    check()
