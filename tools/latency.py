@@ -90,8 +90,9 @@ def _split_events(spark, sf_dir: str, tmp: str, n: int = 4) -> None:
 
 
 #: file-source stateful queries re-run over the 4-chunk corpus for the
-#: multi-batch state curve (foreachBatch/CDC/poll queries manage their
-#: own inputs; stream-stream joins need both sides in one dir anyway)
+#: multi-batch state curve, including the stream-stream joins (both
+#: sides stream the same chunked dir, so watermark eviction across
+#: commits is exercised; CDC/poll queries manage their own inputs)
 MULTI_BATCH = (
     "stream_tumbling_watermark",
     "stream_session_watermark",
@@ -100,6 +101,9 @@ MULTI_BATCH = (
     "stream_stateful_counts",
     "stream_stateful_final",
     "stream_topk_complete",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_stream_full_outer",
 )
 
 
