@@ -83,18 +83,49 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query."""
     per_mod: list[list[tuple[str, Callable[[SparkSession, str], DataFrame]]]] = []
     seen: set[str] = set()
+    rot = _round_number()
     for mod in _MODULES:
         overlap = seen & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         seen |= mod.QUERIES.keys()
-        per_mod.append(list(mod.QUERIES.items()))
+        items = list(mod.QUERIES.items())
+        # rotate each module's lead query by the round number (the r6
+        # verdict's full prescription): the external prefix sample
+        # certifies DIFFERENT members of every family each round,
+        # converging on whole-surface external coverage over rounds.
+        # Stable WITHIN a round (the driver's correctness sample and
+        # the committed preflight artifact see the same order).
+        k = rot % len(items) if items else 0
+        per_mod.append(items[k:] + items[:k])
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for tier in zip_longest(*per_mod):
         for item in tier:
             if item is not None:
                 out[item[0]] = item[1]
     return out
+
+
+def _round_number() -> int:
+    """Current build round from the driver's PROGRESS.jsonl (0 when
+    absent — e.g. a bare clone), used only to rotate the registry's
+    per-module lead query round-over-round."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "PROGRESS.jsonl",
+    )
+    try:
+        last = None
+        with open(path) as fh:
+            for line in fh:
+                if line.strip():
+                    last = line
+        return int(json.loads(last)["round"]) if last else 0
+    except (OSError, ValueError, KeyError, TypeError):
+        return 0
 
 
 def build_oracle_sql() -> dict[str, str]:
