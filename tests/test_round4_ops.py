@@ -1058,13 +1058,21 @@ def test_try_arith_null_semantics(spark, sf_small):
 
     rows = SC.try_arith(spark, sf_small).collect()
     assert rows
+    saw_overflow = saw_exact = False
     for r in rows:
-        if r.o_orderkey == 0:
+        # r7: overflow hits every 5th key (rare-bad-row shape); other
+        # rows carry the exact x1000 product
+        if r.o_orderkey % 5 != 0:
+            assert r.overflow_product == (r.o_orderkey + 1) * 1000
+            saw_exact = True
+        elif r.o_orderkey == 0:
             assert r.overflow_product == SC._I64_MAX
         else:
             assert r.overflow_product is None  # overflow -> NULL, no error
+            saw_overflow = True
         if r.denom_was_zero:
             assert r.risky_ratio is None  # /0 -> NULL, no error
         else:
             assert r.risky_ratio is not None
         assert r.safe_next == r.o_orderkey + 1
+    assert saw_overflow and saw_exact  # both row classes exercised
