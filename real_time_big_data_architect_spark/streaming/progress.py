@@ -19,8 +19,11 @@ import json
 from typing import Any
 
 #: (sink/query name, [progress event dicts]) per completed drain, in
-#: start order. Cleared only by consumers (snapshot/diff), never here.
+#: start order. Consumers snapshot-and-diff; a soft cap below keeps a
+#: long-lived session (thousands of drains) from growing unboundedly.
 RUNS: list[tuple[str, list[dict[str, Any]]]] = []
+
+_RUNS_CAP = 4096
 
 
 def record(q: Any) -> None:
@@ -40,5 +43,7 @@ def record(q: Any) -> None:
             elif hasattr(p, "json"):
                 events.append(json.loads(p.json))
         RUNS.append((str(getattr(q, "name", "") or q.id), events))
+        if len(RUNS) > _RUNS_CAP:
+            del RUNS[: len(RUNS) - _RUNS_CAP]
     except Exception:  # noqa: BLE001 — diagnostics only, never fatal
         pass
