@@ -26,3 +26,36 @@ def test_inventory_matches_registry():
         assert kind == want, f"{name}: doc says {kind}, registry says {want}"
     m = re.search(r"^(\d+) queries: (\d+) oracle-backed", text, re.M)
     assert m and int(m.group(1)) == len(qs) and int(m.group(2)) == len(oracles)
+
+
+def test_registry_order_coverage_aware():
+    """r7 verdict item 1: the driver samples the first ~50 registry keys,
+    so (a) the first len(_MODULES) keys must cover every module, and
+    (b) never-externally-certified queries (COVERAGE.json) must come
+    first — the only repeats allowed in the 50-prefix are from modules
+    whose every query is already certified."""
+    import json
+    import os
+
+    order = list(workload.build_queries())
+    owner = {}
+    for mod in workload._MODULES:
+        short = mod.__name__.rsplit(".", 1)[-1]
+        for q in mod.QUERIES:
+            owner[q] = short
+    n_mod = len(workload._MODULES)
+    assert len({owner[q] for q in order[:n_mod]}) == n_mod
+
+    if not os.path.exists("COVERAGE.json"):
+        return
+    certified = set(json.load(open("COVERAGE.json")))
+    full_mods = {
+        mod.__name__.rsplit(".", 1)[-1]
+        for mod in workload._MODULES
+        if all(q in certified for q in mod.QUERIES)
+    }
+    for q in order[:50]:
+        assert q not in certified or owner[q] in full_mods, (
+            f"{q} is already certified but leads the sample while "
+            f"module {owner[q]} still has uncertified queries"
+        )
