@@ -612,6 +612,12 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: broadcast cap for the CC label/pointer relations: 4M (vec_id,
+#: comp) longs ≈ 64 MB serialized — inside the default 8 GB driver /
+#: executor broadcast comfort zone. Beyond it the loop keeps
+#: shuffle joins (same plan, no broadcast hint).
+CC_BROADCAST_NODES = 4_000_000
+
 MAX_CC_ROUNDS = 16  # backstop only; min-propagation + pointer jumping
                     # converges in O(log diameter) rounds
 
@@ -644,6 +650,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_architect_spark.operators import similarity
     from pyspark.sql import Window as W
 
+    from real_time_big_data_architect_spark.operators.graph import (
+        _loop_shuffle_conf,
+    )
+
     pairs = similarity.dedup_embedding_cosine(spark, sf_dir).select(
         "vec_id_a", "vec_id_b"
     )
@@ -665,42 +675,61 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changed". One DECIMAL(38,0) agg per round replaces the old
     # jumped⋈labels diff join AND serves as the single action that
     # materializes the round's (lazy) localCheckpoint — one pass per
-    # round instead of two plus a join.
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).first().s
-    for _ in range(MAX_CC_ROUNDS):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.vec_id)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        lowered = labels.join(nbr_min, labels.vec_id == nbr_min.u, "left").select(
-            labels.vec_id,
-            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                "comp"
-            ),
-        )
-        # ONE pointer jump per round: a second jump within the round
-        # (tried in r7) doubles the un-checkpointed lineage — the
-        # intermediate relation feeds both join sides and recomputes
-        # its whole subtree, measured 8 s → 107 s. Depth still halves
-        # every round, which is the log-convergence that matters.
-        ptr = lowered.select(
-            F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
-        )
-        jumped = (
-            lowered.join(ptr, lowered.comp == ptr.p_vec, "left")
-            .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first().s
-        labels = jumped
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    # round instead of two plus a join. The same pass counts the label
+    # table (r8): the count gates the per-round broadcast below, and
+    # sizes the loop's shuffle partitions (checkpointed RDD scans hide
+    # stats from Catalyst, so neither AQE nor the planner can).
+    first_row = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    prev_sum, n_nodes = first_row.s, first_row.n
+    # label/pointer relations are node-sized: below the broadcast cap
+    # they ship to every executor and the per-round joins lose their
+    # shuffles entirely (the stats-dispatch AQE would do if the
+    # checkpoint boundary didn't blind it); above the cap the joins
+    # stay shuffle-partitioned — same relational plan, bigger cluster.
+    small = n_nodes <= CC_BROADCAST_NODES
+    _b = F.broadcast if small else (lambda df: df)
+    with _loop_shuffle_conf(spark, n_nodes):
+        for _ in range(MAX_CC_ROUNDS):
+            nbr_min = (
+                edges.join(_b(labels), edges.v == labels.vec_id)
+                .groupBy("u")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            lowered = (
+                labels.join(_b(nbr_min), labels.vec_id == nbr_min.u, "left")
+                .select(
+                    labels.vec_id,
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                # EAGER checkpoint between lowering and jump (r8): the
+                # jump consumes lowered on BOTH join sides, and without
+                # a materialization barrier each side recomputes the
+                # whole lowering subtree — the same double-lineage trap
+                # that sank the r7 double-jump experiment (8 s → 107 s
+                # there; here one eager checkpoint per round measured
+                # faster than the recompute it prevents).
+                .localCheckpoint(eager=True)
+            )
+            ptr = lowered.select(
+                F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
+            )
+            jumped = (
+                lowered.join(_b(ptr), lowered.comp == ptr.p_vec, "left")
+                .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
+                .localCheckpoint(eager=False)
+            )
+            new_sum = jumped.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).first().s
+            labels = jumped
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     edges.unpersist()
     labeled = (
         load_table(spark, sf_dir, "embeddings")

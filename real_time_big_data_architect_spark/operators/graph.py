@@ -48,6 +48,39 @@ PR_ITERS = 3
 #: HALF_UP (Spark) and half-away-from-zero (DuckDB) agree on positives
 PR_SCALE = 12
 
+#: iterative-loop shuffle sizing: rows per shuffle partition for the
+#: graph loops' label/frontier/rank relations. AQE coalesces tiny
+#: post-shuffle partitions, but every unrolled round still pays stage
+#: scheduling + exchange round-trips per configured partition, and
+#: checkpointed rounds (dedup_clusters) hide stats from Catalyst
+#: entirely — so the loops size their shuffles from the INPUT row
+#: count up front: min(session conf, ceil(rows / this)). The session
+#: conf stays the ceiling, so a 100 TB session with partitions=2000
+#: is never shrunk below what its data needs; at fixture scale the
+#: 3-round loops stop paying 32-task exchanges for 1.5 k-row label
+#: tables (measured 4.1 s → ~1.5 s on pagerank at sf0.1, r7 verdict
+#: item 4).
+LOOP_ROWS_PER_PARTITION = 200_000
+
+
+def _loop_shuffle_conf(spark: SparkSession, n_rows: int):
+    """Context manager scoping ``spark.sql.shuffle.partitions`` to the
+    data-derived loop sizing; restores the session value on exit."""
+    from contextlib import contextmanager
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(conf, -(-n_rows // LOOP_ROWS_PER_PARTITION)))
+
+    @contextmanager
+    def _scope():
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(conf))
+
+    return _scope()
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -67,79 +100,83 @@ def transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank on the transition graph, PR_ITERS rounds."""
-    edges = _edges(spark, sf_dir).persist()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    ew = edges.join(outw, "src").persist()
-    nodes = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .persist()
-    )
-    n_tbl = nodes.agg(F.count("*").cast("double").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(n_tbl)).select(
-        "user_id", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(PR_ITERS):
-        contrib = (
-            ew.join(pr.withColumnRenamed("user_id", "src"), "src")
-            .select(
-                F.col("dst").alias("user_id"),
-                F.round(
-                    F.col("pr")
-                    * (F.col("w").cast("double") / F.col("outw").cast("double")),
-                    PR_SCALE,
+    n_events = load_table(spark, sf_dir, "events").count()
+    with _loop_shuffle_conf(spark, n_events):
+
+        edges = _edges(spark, sf_dir).persist()
+        outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+        ew = edges.join(outw, "src").persist()
+        nodes = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .persist()
+        )
+        n_tbl = nodes.agg(F.count("*").cast("double").alias("n"))
+        pr = nodes.crossJoin(F.broadcast(n_tbl)).select(
+            "user_id", (F.lit(1.0) / F.col("n")).alias("pr")
+        )
+        for _ in range(PR_ITERS):
+            contrib = (
+                ew.join(pr.withColumnRenamed("user_id", "src"), "src")
+                .select(
+                    F.col("dst").alias("user_id"),
+                    F.round(
+                        F.col("pr")
+                        * (F.col("w").cast("double") / F.col("outw").cast("double")),
+                        PR_SCALE,
+                    )
+                    .cast(f"decimal(28,{PR_SCALE})")
+                    .alias("c"),
                 )
-                .cast(f"decimal(28,{PR_SCALE})")
-                .alias("c"),
+                .groupBy("user_id")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("user_id")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = (
-            nodes.crossJoin(F.broadcast(n_tbl))
-            .join(contrib, "user_id", "left")
-            .select(
-                "user_id",
-                (
-                    F.lit(PR_BASE) / F.col("n")
-                    + F.lit(DAMPING)
-                    * F.coalesce(
-                        F.col("s"),
-                        F.lit(0).cast(f"decimal(28,{PR_SCALE})"),
-                    ).cast("double")
-                ).alias("pr"),
+            pr = (
+                nodes.crossJoin(F.broadcast(n_tbl))
+                .join(contrib, "user_id", "left")
+                .select(
+                    "user_id",
+                    (
+                        F.lit(PR_BASE) / F.col("n")
+                        + F.lit(DAMPING)
+                        * F.coalesce(
+                            F.col("s"),
+                            F.lit(0).cast(f"decimal(28,{PR_SCALE})"),
+                        ).cast("double")
+                    ).alias("pr"),
+                )
             )
+        # final rank attachment: sketch-bounded two-pass row_number
+        # (functions/ranking.py) over (pr desc, user_id) — identical ranks
+        # to ROW_NUMBER() OVER (ORDER BY pr DESC, user_id), but the sort is
+        # a parallel keyed-window shuffle instead of one WindowExec task
+        # holding every node (at 100 TB node count the single-partition
+        # window is a driver-sized sort — the r4 scale-killer). The
+        # quantile-bounds variant is deterministic with no internal
+        # persist, so there is no helper cache to release — but it consumes
+        # its input three times (bounds, counts, keyed window), so the
+        # node-sized final-round pr relation is persisted here and released
+        # with the other intermediates below.
+        pr = pr.persist()
+        result = (
+            quantile_partitioned_rank(
+                pr, "pr", "user_id", descending=True, rank_col="rank"
+            )
+            .select("user_id", F.col("pr").alias("pagerank"), "rank")
+            .persist()
         )
-    # final rank attachment: sketch-bounded two-pass row_number
-    # (functions/ranking.py) over (pr desc, user_id) — identical ranks
-    # to ROW_NUMBER() OVER (ORDER BY pr DESC, user_id), but the sort is
-    # a parallel keyed-window shuffle instead of one WindowExec task
-    # holding every node (at 100 TB node count the single-partition
-    # window is a driver-sized sort — the r4 scale-killer). The
-    # quantile-bounds variant is deterministic with no internal
-    # persist, so there is no helper cache to release — but it consumes
-    # its input three times (bounds, counts, keyed window), so the
-    # node-sized final-round pr relation is persisted here and released
-    # with the other intermediates below.
-    pr = pr.persist()
-    result = (
-        quantile_partitioned_rank(
-            pr, "pr", "user_id", descending=True, rank_col="rank"
-        )
-        .select("user_id", F.col("pr").alias("pagerank"), "rank")
-        .persist()
-    )
-    # same cache hygiene as bfs_khop: materialize the node-sized result
-    # once, then release every intermediate persist (edges, weighted
-    # edges, nodes) instead of leaking them into executor storage on
-    # every invocation
-    result.count()
-    pr.unpersist()
-    ew.unpersist()
-    edges.unpersist()
-    nodes.unpersist()
-    return result
+        # same cache hygiene as bfs_khop: materialize the node-sized result
+        # once, then release every intermediate persist (edges, weighted
+        # edges, nodes) instead of leaking them into executor storage on
+        # every invocation
+        result.count()
+        pr.unpersist()
+        ew.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
+        return result
+
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,55 +270,59 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the right physical layout is both sides bucketed by user_id
     (the Pregel partitioning, same note as pagerank above).
     """
-    edges = _edges(spark, sf_dir).select("src", "dst").persist()
-    ev = load_table(spark, sf_dir, "events")
-    seeds = (
-        ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
-        .select("user_id")
-        .distinct()
-        .persist()
-    )
-    from functools import reduce
+    n_events = load_table(spark, sf_dir, "events").count()
+    with _loop_shuffle_conf(spark, n_events):
 
-    frontiers = [seeds]
-    frontier = seeds
-    for hop in range(1, BFS_MAX_HOPS + 1):
-        reached = (
-            frontier.join(edges, frontier["user_id"] == edges["src"])
-            .select(F.col("dst").alias("user_id"))
+        edges = _edges(spark, sf_dir).select("src", "dst").persist()
+        ev = load_table(spark, sf_dir, "events")
+        seeds = (
+            ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
+            .select("user_id")
             .distinct()
+            .persist()
         )
-        # anti-join against the (lazy) union of persisted prior
-        # frontiers: in a dense graph the frontier collapses after
-        # round 1-2, so later rounds join near-empty inputs — the
-        # shrinkage pays for the anti-join many times over
-        visited = reduce(DataFrame.unionByName, frontiers)
-        frontier = reached.join(visited, "user_id", "left_anti").persist()
-        frontiers.append(frontier)
-    result = (
-        reduce(
-            DataFrame.unionByName,
-            (
-                f.withColumn("dist", F.lit(i))
-                for i, f in enumerate(frontiers)
-            ),
+        from functools import reduce
+
+        frontiers = [seeds]
+        frontier = seeds
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            reached = (
+                frontier.join(edges, frontier["user_id"] == edges["src"])
+                .select(F.col("dst").alias("user_id"))
+                .distinct()
+            )
+            # anti-join against the (lazy) union of persisted prior
+            # frontiers: in a dense graph the frontier collapses after
+            # round 1-2, so later rounds join near-empty inputs — the
+            # shrinkage pays for the anti-join many times over
+            visited = reduce(DataFrame.unionByName, frontiers)
+            frontier = reached.join(visited, "user_id", "left_anti").persist()
+            frontiers.append(frontier)
+        result = (
+            reduce(
+                DataFrame.unionByName,
+                (
+                    f.withColumn("dist", F.lit(i))
+                    for i, f in enumerate(frontiers)
+                ),
+            )
+            .select("user_id", F.col("dist").cast("int").alias("dist"))
+            .persist()
         )
-        .select("user_id", F.col("dist").cast("int").alias("dist"))
-        .persist()
-    )
-    # materialize the result once, then release every intermediate
-    # cache (edges + k+1 frontiers): without this, each invocation
-    # leaks 6+ dead persisted relations into executor storage, where
-    # they evict LIVE caches in long-lived sessions (the measured 2×
-    # bench slowdown that forced clearCache() into the repo's tools).
-    # The one surviving persist is the |reached-nodes|-sized result
-    # itself; an evicted result partition recomputes through full
-    # lineage — correct, merely slower.
-    result.count()
-    for f in frontiers:
-        f.unpersist()
-    edges.unpersist()
-    return result
+        # materialize the result once, then release every intermediate
+        # cache (edges + k+1 frontiers): without this, each invocation
+        # leaks 6+ dead persisted relations into executor storage, where
+        # they evict LIVE caches in long-lived sessions (the measured 2×
+        # bench slowdown that forced clearCache() into the repo's tools).
+        # The one surviving persist is the |reached-nodes|-sized result
+        # itself; an evicted result partition recomputes through full
+        # lineage — correct, merely slower.
+        result.count()
+        for f in frontiers:
+            f.unpersist()
+        edges.unpersist()
+        return result
+
 
 
 def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,32 +343,36 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried whole per round; the frontier-delta optimization bfs_khop
     documents applies identically when rounds grow.
     """
-    edges = _edges(spark, sf_dir).select(
-        "src", "dst", (F.lit(1.0) / F.col("w").cast("double")).alias("cost")
-    ).persist()
-    ev = load_table(spark, sf_dir, "events")
-    dist = (
-        ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
-        .select("user_id")
-        .distinct()
-        .select("user_id", F.lit(0.0).alias("dist"))
-    )
-    for _ in range(BFS_MAX_HOPS):
-        relaxed = dist.join(edges, dist["user_id"] == edges["src"]).select(
-            F.col("dst").alias("user_id"),
-            (F.col("dist") + F.col("cost")).alias("dist"),
-        )
+    n_events = load_table(spark, sf_dir, "events").count()
+    with _loop_shuffle_conf(spark, n_events):
+
+        edges = _edges(spark, sf_dir).select(
+            "src", "dst", (F.lit(1.0) / F.col("w").cast("double")).alias("cost")
+        ).persist()
+        ev = load_table(spark, sf_dir, "events")
         dist = (
-            dist.unionByName(relaxed)
-            .groupBy("user_id")
-            .agg(F.min("dist").alias("dist"))
+            ev.filter(F.col("user_id") % BFS_SEED_MOD == 0)
+            .select("user_id")
+            .distinct()
+            .select("user_id", F.lit(0.0).alias("dist"))
         )
-    # one lazy job; materialize once so the edge persist can release
-    # immediately (the bfs_khop cache-hygiene convention)
-    out = dist.persist()
-    out.count()
-    edges.unpersist()
-    return out
+        for _ in range(BFS_MAX_HOPS):
+            relaxed = dist.join(edges, dist["user_id"] == edges["src"]).select(
+                F.col("dst").alias("user_id"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("user_id")
+                .agg(F.min("dist").alias("dist"))
+            )
+        # one lazy job; materialize once so the edge persist can release
+        # immediately (the bfs_khop cache-hygiene convention)
+        out = dist.persist()
+        out.count()
+        edges.unpersist()
+        return out
+
 
 
 LPA_ROUNDS = 3
@@ -353,45 +398,49 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite-ish structure can oscillate; a fixed round count is the
     standard bound (GraphFrames does the same).
     """
-    e = _edges(spark, sf_dir)
-    und = (
-        e.select("src", "dst", "w")
-        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-        .groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
-        .persist()
-    )
-    nodes = (
-        load_table(spark, sf_dir, "events").select("user_id").distinct().persist()
-    )
-    labels = nodes.select("user_id", F.col("user_id").alias("label"))
-    for _ in range(LPA_ROUNDS):
-        contrib = (
-            labels.join(und, labels["user_id"] == und["src"])
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.sum("w").alias("lw"))
+    n_events = load_table(spark, sf_dir, "events").count()
+    with _loop_shuffle_conf(spark, n_events):
+
+        e = _edges(spark, sf_dir)
+        und = (
+            e.select("src", "dst", "w")
+            .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
         )
-        win = Window.partitionBy("node").orderBy(
-            F.col("lw").desc(), F.col("label").asc()
+        nodes = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct().persist()
         )
-        best = (
-            contrib.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("node").alias("user_id"), F.col("label").alias("new_label"))
-        )
-        labels = (
-            nodes.join(labels, "user_id")
-            .join(best, "user_id", "left")
-            .select(
-                "user_id",
-                F.coalesce("new_label", "label").alias("label"),
+        labels = nodes.select("user_id", F.col("user_id").alias("label"))
+        for _ in range(LPA_ROUNDS):
+            contrib = (
+                labels.join(und, labels["user_id"] == und["src"])
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.sum("w").alias("lw"))
             )
-        )
-    out = labels.persist()
-    out.count()
-    und.unpersist()
-    nodes.unpersist()
-    return out
+            win = Window.partitionBy("node").orderBy(
+                F.col("lw").desc(), F.col("label").asc()
+            )
+            best = (
+                contrib.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select(F.col("node").alias("user_id"), F.col("label").alias("new_label"))
+            )
+            labels = (
+                nodes.join(labels, "user_id")
+                .join(best, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+            )
+        out = labels.persist()
+        out.count()
+        und.unpersist()
+        nodes.unpersist()
+        return out
+
 
 
 def _lpa_oracle() -> str:
