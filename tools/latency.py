@@ -106,6 +106,76 @@ MULTI_BATCH = (
     "stream_stream_full_outer",
 )
 
+#: scaled multi-batch passes (r7 verdict item 3): the watermark-
+#: bounded-state claim measured, not asserted — the SAME 4-chunk drain
+#: over ×4 and ×16 event corpora (disjoint-user, disjoint-time copies,
+#: the scalecheck convention) must show peak state rows SUBLINEAR in
+#: input (state tracks the watermark horizon, not corpus volume) and
+#: max batch duration still ≪ the 60 s tick. ×16 runs the stateful
+#: core; the three stream-stream joins are ×4-only (their buffered-
+#: pair state is itself watermark-bounded, shown at ×4, and ×16 wall
+#: adds minutes without new information — noted in the artifact).
+SCALED_MULTS = (4, 16)
+SCALED_X16 = (
+    "stream_tumbling_watermark",
+    "stream_session_watermark",
+    "stream_sliding_watermark",
+    "stream_dedup_watermark",
+    "stream_stateful_counts",
+    "stream_stateful_final",
+    "stream_topk_complete",
+)
+
+
+def _split_scaled_events(
+    spark, sf_dir: str, tmp: str, mult: int, n: int = 4
+) -> int:
+    """Write events ×mult (user/ts-offset copies — disjoint users in
+    disjoint 20-year time ranges, the scalecheck replica convention)
+    as n chunk files; returns the scaled row count."""
+    import functools
+    import glob
+    import shutil
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_architect_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # 90-day copy spacing: far beyond every watermark/session horizon
+    # (fixture span 30 days, watermarks ≤ 10 min) so copies are
+    # time-disjoint, but small enough that ×16 stays inside pandas'
+    # datetime64[ns] year-2262 bound (applyInPandasWithState converts
+    # event times through pandas — scalecheck's 20-year spacing
+    # overflows it at ×16)
+    copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(c * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(c * 10_000_000))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {c * 90} DAYS"))
+        for c in range(mult)
+    ]
+    scaled = functools.reduce(DataFrame.unionByName, copies)
+    os.makedirs(tmp, exist_ok=True)
+    # one chunk file per mult/n consecutive copies: chunks advance in
+    # event time like a real ingest (watermark moves forward batch
+    # over batch, which is exactly the eviction path under test)
+    per = max(1, mult // n)
+    total = 0
+    for k in range(n):
+        lo, hi = k * per * 10_000_000, (k + 1) * per * 10_000_000
+        chunk = scaled.filter(
+            (F.col("event_id") >= lo)
+            & (F.col("event_id") < (hi if k < n - 1 else mult * 10_000_000))
+        )
+        sdir = os.path.join(tmp, f"chunk{k}.dir")
+        chunk.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(tmp, f"events{k}.parquet"))
+        shutil.rmtree(sdir)
+        total += 1
+    return scaled.count()
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,6 +220,30 @@ def main() -> int:
                 merged.extend(events)
             rows.append((name, "4-chunk", _summarize(merged), wall))
 
+    # scaled multi-batch passes: state-boundedness MEASURED as input
+    # grows (r7 verdict item 3) — see SCALED_MULTS/SCALED_X16 notes
+    for mult in SCALED_MULTS:
+        names = MULTI_BATCH if mult == 4 else SCALED_X16
+        with tempfile.TemporaryDirectory() as tmp:
+            _split_scaled_events(spark, sf_dir, tmp, mult, n=4)
+            for name in names:
+                if name not in streamers:
+                    continue
+                mark = len(progress.RUNS)
+                t0 = time.perf_counter()
+                try:
+                    streamers[name](spark, tmp).collect()
+                except Exception as exc:  # noqa: BLE001
+                    fails.append(f"{name} (x{mult}): {str(exc)[:150]}")
+                    continue
+                wall = time.perf_counter() - t0
+                merged = []
+                for _, events in progress.RUNS[mark:]:
+                    merged.extend(events)
+                rows.append(
+                    (name, f"x{mult}-4chunk", _summarize(merged), wall)
+                )
+
     breaches = [
         (n, s) for n, _, s, _ in rows if s["max_ms"] >= TICK_BUDGET_MS
     ]
@@ -163,7 +257,22 @@ def main() -> int:
             " progress events with a triggerExecution duration (incl."
             " the no-data finalization batch availableNow appends);"
             " state columns are the PEAK across batches — bounded state"
-            " across the 4-chunk drain is the leak check.\n\n"
+            " across the 4-chunk drain is the leak check. x4/x16 rows"
+            " drain the SAME 4-chunk shape over scaled event corpora"
+            " (disjoint-user/disjoint-time copies). Bounded-state"
+            " criterion by operator class: watermark-gated operators"
+            " (tumbling/sliding/session/dedup) must peak at the"
+            " WATERMARK HORIZON — the active keys of one chunk — not"
+            " the cumulative drain (e.g. dedup x16: 1.6M rows drained,"
+            " peak 30k state rows = one chunk's horizon); per-key"
+            " counters (stateful_counts/final) peak at KEY cardinality"
+            " by contract (their docstrings say so), which is why the"
+            " key-disjoint corpus shows them linear in copies while"
+            " every watermarked operator stays at horizon size. Max"
+            " batch duration must stay ≪ budget throughout. The three"
+            " stream-stream joins run the scaled pass at x4 only"
+            " (their pair-buffer state is watermark-bounded the same"
+            " way; x16 adds wall minutes, not information).\n\n"
             "| query | corpus | batches | max batch ms | mean ms |"
             " peak state rows | peak state MB | wall s |\n"
             "|---|---|---:|---:|---:|---:|---:|---:|\n"
