@@ -323,12 +323,27 @@ def _gram64(g: bytes) -> int:
 
 
 #: planted near-duplicate geometry for the dedup eval corpus: every
-#: 50th doc gets a byte-identical copy (doc_id + EXACT_COPY_OFFSET) and
-#: every doc ≡ 25 (mod 50) gets a one-byte-appended variant (doc_id +
-#: NEAR_COPY_OFFSET). A constant planting FRACTION, not count — the
-#: corpus construction scales with the fixture.
-PHASH_EXACT_COPY_OFFSET = 1_000_000
-PHASH_NEAR_COPY_OFFSET = 2_000_000
+#: 50th doc gets a byte-identical copy (doc_id + M) and every doc ≡ 25
+#: (mod 50) gets a one-byte-appended variant (doc_id + 2·M), where
+#: M = max(doc_id) + 1 is DERIVED FROM THE CORPUS (ADVICE r7: the old
+#: fixed 1e6/2e6 offsets collide with base ids once the corpus reaches
+#: 1M docs). Both engines compute the same M from the same table, so
+#: the planted ids agree. A constant planting FRACTION, not count —
+#: the corpus construction scales with the fixture.
+PHASH_OFFSET_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
+
+
+def phash_copy_offset(sf_dir: str) -> int:
+    """M for a fixture dir — what the planted ids are offset by; used
+    by tests to name expected pairs (the engine derives it in-plan)."""
+    import duckdb
+
+    return (
+        duckdb.sql(
+            "SELECT max(doc_id) + 1 FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+    )
 
 
 def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,12 +357,24 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature qualified every pair.
     """
     d = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    exact = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + PHASH_EXACT_COPY_OFFSET).alias("doc_id"), "text"
+    # M = max(doc_id)+1 computed IN-PLAN (broadcast one-row aggregate,
+    # no driver collect) — collision-free planted ids at any corpus
+    # size; the oracle derives the identical M with a scalar subquery
+    m_tbl = load_table(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + F.lit(1)).alias("__m")
     )
-    near = d.filter(F.col("doc_id") % 50 == 25).select(
-        (F.col("doc_id") + PHASH_NEAR_COPY_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(".")).alias("text"),
+    exact = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(m_tbl))
+        .select((F.col("doc_id") + F.col("__m")).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 50 == 25)
+        .crossJoin(F.broadcast(m_tbl))
+        .select(
+            (F.col("doc_id") + F.lit(2) * F.col("__m")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(".")).alias("text"),
+        )
     )
     return (
         d.unionByName(exact)
@@ -356,23 +383,39 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: phash vote accumulation chunk: features are processed in fixed
+#: slices so peak memory is O(chunk·64), not O(payload·64) — the
+#: un-chunked vote matrix was ~1 KB per payload byte, i.e. GBs for one
+#: multi-MB media object (ADVICE r7). 64 Ki features ≈ 32 MB peak.
+PHASH_VOTE_CHUNK = 65_536
+
+
 def phash64(raw: bytes) -> int:
     """64-bit SimHash of a byte payload over sliding 4-grams — the
     pure kernel, unit-property-tested against an arithmetic-only
     replay. Payloads under 4 bytes have no features → sig 0 (the rule
-    the oracle's LEFT JOIN + COALESCE applies)."""
-    if len(raw) < 4:
+    the oracle's LEFT JOIN + COALESCE applies).
+
+    Votes accumulate per PHASH_VOTE_CHUNK feature slice into one
+    64-wide int64 vector — int64 addition is exact and associative,
+    so the chunked sum is bit-identical to the single-matrix sum while
+    peak memory stays O(chunk), payload-size-independent."""
+    n_feats = len(raw) - 3
+    if n_feats <= 0:
         return 0
     shifts = np.arange(64, dtype=np.uint64)
-    feats = np.fromiter(
-        (_gram64(raw[i : i + 4]) for i in range(len(raw) - 3)),
-        dtype=np.uint64,
-        count=len(raw) - 3,
-    )
-    bits = ((feats[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    votes = (2 * bits - 1).sum(axis=0)
+    votes = np.zeros(64, dtype=np.int64)
+    for lo in range(0, n_feats, PHASH_VOTE_CHUNK):
+        hi = min(lo + PHASH_VOTE_CHUNK, n_feats)
+        feats = np.fromiter(
+            (_gram64(raw[i : i + 4]) for i in range(lo, hi)),
+            dtype=np.uint64,
+            count=hi - lo,
+        )
+        bits = ((feats[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes += (2 * bits - 1).sum(axis=0)
     return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
 
@@ -436,9 +479,24 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     above it, so a degenerate bucket (1M boilerplate near-identical
     media) emits n·k candidates instead of n²/2. Same cap/chain
     constants as MinHash-LSH and SimHash so the three paths cannot
-    drift.
+    drift. The all-pairs ORACLE is exact only while every bucket stays
+    under the cap — pinned where the oracle actually runs by
+    tests/test_scale_posture.py::test_phash_buckets_under_cap_where_
+    oracle_runs (sf0.001 and sf0.01; at sf0.1 an over-cap bucket exists
+    and the guard's own n·k bound is pinned instead); the over-cap degrade contract (candidates ≤ n·k, every
+    doc still paired) is pinned on an all-identical corpus by
+    tests/test_streaming_and_multimodal.py.
     """
-    sigs = media_phash(spark, sf_dir).repartition(F.col("doc_id"))
+    return phash_dedup_pairs(_phash_corpus(spark, sf_dir))
+
+
+def phash_dedup_pairs(corpus: DataFrame) -> DataFrame:
+    """Banded Hamming-≤-threshold pairs over an arbitrary
+    ``(doc_id, payload binary)`` corpus — the operator body of
+    :func:`media_phash_dedup`, factored so boundary corpora (e.g. the
+    all-identical hot-bucket case) test the SAME plan the declared
+    query runs."""
+    sigs = _phash_sigs(corpus).repartition(F.col("doc_id"))
     buckets = sigs.select(
         "doc_id",
         "phash",
@@ -508,10 +566,10 @@ def _phash_dedup_oracle() -> str:
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + {PHASH_EXACT_COPY_OFFSET} AS doc_id, text
+          SELECT doc_id + {PHASH_OFFSET_SQL} AS doc_id, text
           FROM documents WHERE doc_id % 50 = 0
           UNION ALL
-          SELECT doc_id + {PHASH_NEAR_COPY_OFFSET} AS doc_id,
+          SELECT doc_id + 2 * {PHASH_OFFSET_SQL} AS doc_id,
                  text || '.' AS text
           FROM documents WHERE doc_id % 50 = 25
         ),

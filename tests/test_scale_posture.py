@@ -115,3 +115,62 @@ def test_curated_corpus_lake_roundtrip(spark, sf_small, tmp_path_factory):
     assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
         map(tuple, curated.select(*cols).collect())
     )
+
+
+def _hottest_phash_bucket(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_architect_spark.operators import multimodal as M
+
+    sigs = M.media_phash(spark, sf_dir)
+    buckets = sigs.select(
+        F.posexplode(
+            F.array(*[F.col(f"band{i}") for i in range(M.PHASH_BANDS)])
+        ).alias("band", "bucket")
+    )
+    return (
+        buckets.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+        .mx
+    )
+
+
+def test_phash_buckets_under_cap_where_oracle_runs(spark):
+    """ADVICE r7: media_phash_dedup's oracle is exact all-pairs while
+    its operator carries the hot-bucket chain guard — the two agree
+    exactly IFF every band bucket stays under LSH_BUCKET_CAP. Assert
+    that invariant at the SFs where hash comparison actually executes:
+    sf0.01 (driver + preflight differential) and sf0.001 (this suite's
+    exact-equality test)."""
+    from real_time_big_data_architect_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hottest = _hottest_phash_bucket(spark, sf_dir)
+        assert hottest <= LSH_BUCKET_CAP, (
+            f"{sf_dir}: hottest phash bucket {hottest} exceeds the"
+            f" {LSH_BUCKET_CAP} cap — the exact all-pairs oracle no"
+            " longer matches the chain-guarded operator at this SF"
+        )
+
+
+def test_phash_guard_bound_at_bench_sf(spark):
+    """At sf0.1 (bench/sweep — query runs, no oracle diff) the corpus
+    DOES carry an over-cap bucket, so the chain guard is active by
+    design there; what must hold is the guard's own contract: pair
+    count ≤ n·k·bands and no member of an over-cap bucket orphaned.
+    (The exactness claim is only made where the previous test pins
+    under-cap buckets.)"""
+    from real_time_big_data_architect_spark.operators import multimodal as M
+    from real_time_big_data_architect_spark.operators.dedup import (
+        LSH_CHAIN_NEIGHBORS,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    sigs = M.media_phash(spark, sf_dir)
+    n = sigs.count()
+    n_pairs = M.media_phash_dedup(spark, sf_dir).count()
+    assert n_pairs <= n * LSH_CHAIN_NEIGHBORS * M.PHASH_BANDS

@@ -383,12 +383,13 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
         votes = (2 * bits - 1).sum(axis=0)
         return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
+    off = M.phash_copy_offset(sf_small)
     expect = {d.doc_id: phash(d.text) for d in docs}
     for d in docs:  # planted corpus: exact copies + one-byte variants
         if d.doc_id % 50 == 0:
-            expect[d.doc_id + M.PHASH_EXACT_COPY_OFFSET] = phash(d.text)
+            expect[d.doc_id + off] = phash(d.text)
         if d.doc_id % 50 == 25:
-            expect[d.doc_id + M.PHASH_NEAR_COPY_OFFSET] = phash(d.text + ".")
+            expect[d.doc_id + 2 * off] = phash(d.text + ".")
     got_sigs = {
         r.doc_id: r.phash & ((1 << 64) - 1)
         for r in M.media_phash(spark, sf_small).collect()
@@ -413,10 +414,10 @@ def test_media_phash_dedup_replay_and_exact_pairs(spark, sf_small):
     # near-dups it exists to find
     for d in docs:
         if d.doc_id % 50 == 0:
-            assert (d.doc_id, d.doc_id + M.PHASH_EXACT_COPY_OFFSET, 0) in got
+            assert (d.doc_id, d.doc_id + off, 0) in got
         if d.doc_id % 50 == 25:
             assert any(
-                a == d.doc_id and b == d.doc_id + M.PHASH_NEAR_COPY_OFFSET
+                a == d.doc_id and b == d.doc_id + 2 * off
                 for a, b, _ in got
             )
     # discriminative: sparse qualifying set, not all-pairs (r6 weak)
@@ -680,3 +681,55 @@ def test_stream_full_outer_both_sides_boundary(spark, tmp_path):
     assert matched == {(2, 1)}
     assert null_view == {3}
     assert null_purchase == {8}
+
+
+def test_phash_all_identical_corpus_chain_guard(spark):
+    """r7 verdict item 5: every doc in ONE bucket (all payloads
+    byte-identical, population > LSH_BUCKET_CAP). The chain guard must
+    (a) bound candidates by n·k instead of n²/2 and (b) keep the
+    recall contract it documents — every doc still surfaces in at
+    least one pair (all pairs Hamming 0 here)."""
+    from real_time_big_data_architect_spark.operators import multimodal as M
+    from real_time_big_data_architect_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        LSH_CHAIN_NEIGHBORS,
+    )
+
+    n = LSH_BUCKET_CAP * 3  # decisively over the cap
+    payload = b"identical media payload bytes!" * 4
+    corpus = spark.createDataFrame(
+        [(i, bytearray(payload)) for i in range(n)],
+        "doc_id long, payload binary",
+    )
+    pairs = M.phash_dedup_pairs(corpus).collect()
+    assert pairs, "no pairs from an all-identical corpus"
+    # chain bound: each member chains to at most k neighbors per band,
+    # pairs are deduped across the 4 bands
+    assert len(pairs) <= n * LSH_CHAIN_NEIGHBORS
+    assert all(p.hamming == 0 for p in pairs)
+    # recall contract: no member is orphaned by the guard
+    seen = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert seen == set(range(n))
+
+
+def test_phash_sub4byte_and_null_payloads(spark):
+    """Boundary payloads (< 4 bytes, NULL) fold to sig 0 — the
+    documented kernel rule — and pair only with each other."""
+    from real_time_big_data_architect_spark.operators import multimodal as M
+
+    corpus = spark.createDataFrame(
+        [
+            (0, bytearray(b"")),
+            (1, bytearray(b"abc")),  # 3 bytes: no 4-gram window
+            (2, None),
+            (3, bytearray(b"a real payload with plenty of bytes" * 8)),
+        ],
+        "doc_id long, payload binary",
+    )
+    sigs = {r.doc_id: r.phash for r in M._phash_sigs(corpus).collect()}
+    assert sigs[0] == 0 and sigs[1] == 0 and sigs[2] == 0
+    assert sigs[3] != 0
+    got = {
+        (p.doc_a, p.doc_b) for p in M.phash_dedup_pairs(corpus).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
