@@ -164,7 +164,12 @@ def main() -> None:
                 "isolated_min3": best,
                 "final_ratio": round(min(timings[name], best) / prev[name], 2),
             }
-            timings[name] = min(timings[name], best)
+            # ADVICE r7: adjudication only ARBITRATES regression flags;
+            # it never floors the headline numbers. timings[] stays the
+            # pure interleaved composite (the label below stays true,
+            # and improved/stable queries aren't disadvantaged by a
+            # one-sided extra-samples policy); the isolated minimum
+            # participates only in the regression ratio below.
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -184,8 +189,16 @@ def main() -> None:
     }
     diagnostics = dict(out)
     if prev:
+        # regression ratios use the adjudicated (isolated min-of-3)
+        # floor where one was measured — so pass-interleaving noise
+        # doesn't flag — while the headline timings above remain the
+        # unfloored interleaved composite
+        def _adj(val: float, name: str) -> float:
+            a = adjudicated.get(name)
+            return min(val, a["isolated_min3"]) if a else val
+
         deltas = {
-            n: round(timings[n] / prev[n], 2)
+            n: round(_adj(timings[n], n) / prev[n], 2)
             for n in timings
             if n in prev and prev[n] > 0
         }

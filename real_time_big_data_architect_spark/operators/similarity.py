@@ -1038,9 +1038,17 @@ GRAM_FP_SCALE = 10_000_000_000
 def _gram_batches(batches):
     """mapInArrow kernel: per-partition partial Gram in exact 1e-10
     fixed point. Each vector contributes floor(|x_i·x_j|·1e10 + 0.5)
-    with the product's sign (= round-half-away-from-zero, the exact
-    rule both engines' round(x, 10) applies; for the diagonal x_i² ≥ 0
-    this is literally the proven arrow_batch_norms formula). One int64
+    with the product's sign — the round-half-away-from-zero both
+    engines' float round(x, 10) pipelines compute (for the diagonal
+    x_i² ≥ 0 this is literally the proven arrow_batch_norms formula).
+    Precision claim, stated exactly (ADVICE r7): this equals the
+    ORACLE's path — DuckDB round(double, 10) → DECIMAL(30,10) — which
+    itself rounds the FLOAT product; it is not exact-decimal
+    ROUND_HALF_UP of the product's full binary expansion. The
+    engine-pipeline equality is pinned by
+    tests/test_properties.py::test_gram_fixed_point_matches_oracle_
+    decimal_path (250k adversarial doubles + planted k+0.5/1e10 ties +
+    a hypothesis sweep) on top of the per-round hash gate. One int64
     64×64 accumulator per partition, ONE 4096-row emission — no
     per-vector row fan-out at all, vs the old posexplode self-join's
     4096 rows per vector (the r6 verdict's 16.4 s CPU hotspot)."""

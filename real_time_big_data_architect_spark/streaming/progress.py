@@ -5,7 +5,13 @@ here after the drain, so a harness (tools/latency.py) can attribute
 batch durations / state rows / state memory to the declared query that
 started the stream — without touching the query functions' signatures
 or adding a listener race. The capture is append-only per process;
-consumers snapshot-and-diff around each query invocation.
+consumers ``mark()`` before a run and read ``since(mark)`` after.
+
+Entries carry a MONOTONIC sequence number, so the soft cap's head-trim
+cannot shift what a held mark refers to (ADVICE r7: a bare list index
+breaks the snapshot-and-diff contract the moment the cap trims between
+mark and read — events would silently drop or misattribute in a
+long-lived session).
 
 This is the measurement the reference's 60 s poll tick implies
 (`/root/reference/app.py:37` — st_autorefresh(interval=60_000)): a
@@ -18,12 +24,27 @@ from __future__ import annotations
 import json
 from typing import Any
 
-#: (sink/query name, [progress event dicts]) per completed drain, in
-#: start order. Consumers snapshot-and-diff; a soft cap below keeps a
-#: long-lived session (thousands of drains) from growing unboundedly.
-RUNS: list[tuple[str, list[dict[str, Any]]]] = []
+#: (seq, sink/query name, [progress event dicts]) per completed drain,
+#: in start order. seq is monotonic across trims; a soft cap below
+#: keeps a long-lived session (thousands of drains) from growing
+#: unboundedly.
+RUNS: list[tuple[int, str, list[dict[str, Any]]]] = []
 
 _RUNS_CAP = 4096
+_next_seq = 0
+
+
+def mark() -> int:
+    """Opaque token for snapshot-and-diff: pass to :func:`since`."""
+    return _next_seq
+
+
+def since(token: int) -> list[tuple[str, list[dict[str, Any]]]]:
+    """(name, events) for every run recorded after ``mark()`` returned
+    ``token`` — correct even if the cap trimmed older entries in
+    between (entries the cap dropped are gone either way; entries
+    recorded after the mark are matched by seq, not list position)."""
+    return [(name, events) for seq, name, events in RUNS if seq >= token]
 
 
 def record(q: Any) -> None:
@@ -33,6 +54,7 @@ def record(q: Any) -> None:
     strings, objects with a ``.json``, or plain dicts) and never raises:
     progress capture must not fail a correctness run.
     """
+    global _next_seq
     try:
         events = []
         for p in q.recentProgress or []:
@@ -42,7 +64,10 @@ def record(q: Any) -> None:
                 events.append(json.loads(p))
             elif hasattr(p, "json"):
                 events.append(json.loads(p.json))
-        RUNS.append((str(getattr(q, "name", "") or q.id), events))
+        RUNS.append(
+            (_next_seq, str(getattr(q, "name", "") or q.id), events)
+        )
+        _next_seq += 1
         if len(RUNS) > _RUNS_CAP:
             del RUNS[: len(RUNS) - _RUNS_CAP]
     except Exception:  # noqa: BLE001 — diagnostics only, never fatal

@@ -372,3 +372,66 @@ def test_phash_kernel_matches_pure_python_reference():
         assert got == want
 
     check()
+
+
+def test_gram_fixed_point_matches_oracle_decimal_path():
+    """ADVICE r7 (similarity.py fixed-point Gram): the kernel's
+    floor(|p|·1e10 + 0.5) float64 formula must equal the ORACLE's
+    actual path — DuckDB round(p, 10) cast to DECIMAL(30,10) — on
+    adversarial doubles, including planted values that land exactly on
+    k + 0.5 at the 1e10 scale (the boundary where a float-scaled
+    product and a decimal expansion could in principle round apart).
+    This pins the equivalence the pca_certify hash gate relies on; the
+    claim is engine-pipeline equality, not exact-decimal ROUND_HALF_UP
+    of the product's full binary expansion (see the kernel docstring).
+    """
+    from decimal import Decimal
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hypothesis import given, settings, strategies as st
+
+    rng = np.random.default_rng(20260815)
+    x = rng.standard_normal(100_000) * rng.choice(
+        [1e-6, 1e-3, 1.0, 10.0], 100_000
+    )
+    p = x * rng.standard_normal(100_000)
+    ties = (
+        rng.integers(-(10**12), 10**12, 25_000).astype(np.float64) + 0.5
+    ) / 1e10
+    p = np.concatenate([p, ties])
+    fp = np.floor(np.abs(p) * 1e10 + 0.5).astype(np.int64)
+    fp = np.where(p < 0, -fp, fp)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"p": p}))
+    dec = con.execute(
+        "SELECT CAST(round(p, 10) AS DECIMAL(30,10)) AS d FROM t"
+    ).fetchall()
+    got = np.array(
+        [int(Decimal(str(d[0])) * (10**10)) for d in dec], dtype=np.int64
+    )
+    mism = int((got != fp).sum())
+    assert mism == 0, f"{mism} disagreements with the oracle decimal path"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e8,
+            max_value=1e8,
+            allow_nan=False,
+            allow_infinity=False,
+        )
+    )
+    def prop(v: float) -> None:
+        kern = int(np.floor(abs(v) * 1e10 + 0.5))
+        kern = -kern if v < 0 else kern
+        d = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE), 10)"
+            " AS DECIMAL(30,10))",
+            [v],
+        ).fetchone()[0]
+        assert int(Decimal(str(d)) * (10**10)) == kern
+
+    prop()

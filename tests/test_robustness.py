@@ -292,9 +292,9 @@ def test_streaming_progress_capture_records_batches(spark, sf_small):
         stateful,
     )
 
-    mark = len(progress.RUNS)
+    mark = progress.mark()
     stateful.stream_tumbling_watermark(spark, sf_small).collect()
-    captured = progress.RUNS[mark:]
+    captured = progress.since(mark)
     assert captured, "drain recorded no progress"
     events = [e for _, evs in captured for e in evs]
     assert any(

@@ -185,7 +185,7 @@ def main() -> int:
     rows: list[tuple[str, str, dict, float]] = []
     fails: list[str] = []
     for name, fn in streamers.items():
-        mark = len(progress.RUNS)
+        mark = progress.mark()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
@@ -193,7 +193,7 @@ def main() -> int:
             fails.append(f"{name}: {str(exc)[:150]}")
             continue
         wall = time.perf_counter() - t0
-        captured = progress.RUNS[mark:]
+        captured = progress.since(mark)
         merged: list[dict] = []
         for _, events in captured:
             merged.extend(events)
@@ -207,7 +207,7 @@ def main() -> int:
         for name in MULTI_BATCH:
             if name not in streamers:
                 continue
-            mark = len(progress.RUNS)
+            mark = progress.mark()
             t0 = time.perf_counter()
             try:
                 streamers[name](spark, tmp).collect()
@@ -216,7 +216,7 @@ def main() -> int:
                 continue
             wall = time.perf_counter() - t0
             merged = []
-            for _, events in progress.RUNS[mark:]:
+            for _, events in progress.since(mark):
                 merged.extend(events)
             rows.append((name, "4-chunk", _summarize(merged), wall))
 
@@ -229,7 +229,7 @@ def main() -> int:
             for name in names:
                 if name not in streamers:
                     continue
-                mark = len(progress.RUNS)
+                mark = progress.mark()
                 t0 = time.perf_counter()
                 try:
                     streamers[name](spark, tmp).collect()
@@ -238,7 +238,7 @@ def main() -> int:
                     continue
                 wall = time.perf_counter() - t0
                 merged = []
-                for _, events in progress.RUNS[mark:]:
+                for _, events in progress.since(mark):
                     merged.extend(events)
                 rows.append(
                     (name, f"x{mult}-4chunk", _summarize(merged), wall)
