@@ -93,6 +93,8 @@ CROSS_ALLOW = {
                              # (≤ npartitions rows — bounded by the
                              # partition COUNT, not the data)
     "sequence_gaps",         # same partition-id offset inequality join
+    "media_phash_dedup",     # planted-offset M = max(doc_id)+1 scalar
+                             # (1-row broadcast onto the corpus scan)
 }
 
 #: queries allowed an unpartitioned window: input is a dimension-sized
