@@ -1180,7 +1180,10 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
             n,
         )
     ]
-    return spark.createDataFrame(
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    return jvm_local_df(
+        spark,
         row,
         "trace_g double, eig_sum_ok boolean, residual_ok boolean,"
         " unit_norm_ok boolean, lambda_bounded boolean,"

@@ -131,45 +131,31 @@ _PICK_EXPRS: dict[str, str] = {
 }
 
 
-def batch_insights(tidies: dict[str, DataFrame]) -> dict[str, Insight]:
-    """Agent 1 over a WHOLE catalog tick in one Spark action.
+def batch_insights(
+    tidies: dict[str, "DataFrame | Any"],
+) -> dict[str, Insight]:
+    """Agent 1 over a WHOLE catalog tick, one concurrent action per
+    source.
 
     Each source's tidy frame contributes a one-row aggregate branch
-    ``(source, n, pick-json)``; the branches union into a single job,
-    and the shared formatter renders headlines driver-side from the
-    collected picks. Semantics match per-source
+    ``(source, n, pick-json)``, collected concurrently across driver
+    threads, and the shared formatter renders headlines driver-side
+    from the collected picks. Semantics match per-source
     :func:`snapshot_insights` + the C3 dispatcher (same formatter, same
-    empty-batch and malformed-pick degrades); cost is ONE job per tick
-    instead of 1-2 jobs per source — the scheduling fixed cost that
-    dominated the 10-source tick (r7 verdict item 2).
+    empty-batch and malformed-pick degrades); cost is the scheduling
+    fixed cost of ONE concurrent wave per tick instead of 1-2 serial
+    jobs per source (r7 verdict item 2).
+
+    Values may be DataFrames or ZERO-ARG FACTORIES returning one: a
+    factory's plan construction (createDataFrame + normalize, ~40 ms of
+    py4j chatter each) then runs inside the same worker thread as the
+    branch's analysis and collect, overlapping across sources instead
+    of serializing before the wave.
     """
     import json
     from concurrent.futures import ThreadPoolExecutor
 
     out: dict[str, Insight] = {}
-    parts: list[tuple[str, DataFrame]] = []
-    for source, df in tidies.items():
-        pick = _PICK_EXPRS.get(source)
-        try:
-            parts.append(
-                (
-                    source,
-                    df.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        (
-                            F.expr(f"to_json({pick})")
-                            if pick
-                            else F.lit(None).cast("string")
-                        ).alias("pick"),
-                    ).select(F.lit(source).alias("source"), "n", "pick"),
-                )
-            )
-        except Exception as exc:  # noqa: BLE001 — e.g. a tidy frame
-            # whose schema can't host this source's pick (C3 per
-            # source, plan-build time)
-            out[source] = fallback_insight(source, str(exc))
-    if not parts:
-        return out
 
     # One action per source, all submitted concurrently: the dominant
     # per-branch cost is JVM-side analysis/optimization of the
@@ -177,15 +163,30 @@ def batch_insights(tidies: dict[str, DataFrame]) -> dict[str, Insight]:
     # threads — a union would analyze all ten branches serially in one
     # thread. A failing branch degrades through the per-source C3
     # dispatcher, exactly like the sequential path.
-    def _one(item: tuple[str, DataFrame]) -> tuple[str, Any]:
-        source, branch = item
+    def _one(source: str) -> tuple[str, Any]:
+        spec = tidies[source]
         try:
+            df = spec() if callable(spec) else spec
+        except Exception as exc:  # noqa: BLE001 — C4/C3: the payload
+            # can't even become a tidy frame for this source
+            return source, fallback_insight(source, str(exc))
+        pick = _PICK_EXPRS.get(source)
+        try:
+            branch = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.expr(f"to_json({pick})")
+                    if pick
+                    else F.lit(None).cast("string")
+                ).alias("pick"),
+            ).select(F.lit(source).alias("source"), "n", "pick")
             return source, branch.collect()[0]
-        except Exception:  # noqa: BLE001
-            return source, commentary(tidies[source], source)
+        except Exception:  # noqa: BLE001 — C3 per source: fall back to
+            # the sequential dispatcher over the built tidy frame
+            return source, commentary(df, source)
 
-    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-        results = list(pool.map(_one, parts))
+    with ThreadPoolExecutor(max_workers=max(len(tidies), 1)) as pool:
+        results = list(pool.map(_one, list(tidies)))
     collected = []
     for source, res in results:
         if isinstance(res, Insight):

@@ -42,6 +42,24 @@ STATUS_SCHEMA = (
 MAX_POLL_ROWS_PER_BATCH = 64
 
 
+def payload_relation(spark: SparkSession, payload: str) -> DataFrame:
+    """One-row ``payload string`` relation built JVM-SIDE (range+lit →
+    a codegen'd scan). ``createDataFrame`` would embed a Python-RDD
+    scan instead, and EVERY action on such a plan pays a Python worker
+    round-trip (~0.2 s measured) — per source, per tick."""
+    return spark.range(1).select(F.lit(payload).alias("payload"))
+
+
+def _status_relation(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Catalog-sized status rows as a JVM-side ``VALUES`` relation —
+    same Python-RDD-scan avoidance as :func:`payload_relation`, for the
+    per-tick status append (≤ 1 row per catalog source by the
+    MAX_POLL_ROWS_PER_BATCH contract)."""
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    return jvm_local_df(spark, rows, STATUS_SCHEMA)
+
+
 def _bounded_rows(batch_df: DataFrame, cols: list[str]) -> list:
     """Collect a poll batch with a hard row bound: ``limit(cap + 1)``
     keeps the transfer executor-bounded even when the check fails."""
@@ -71,14 +89,11 @@ def process_tick(
         if error is not None or payload is None:
             insight = agents.commentary(None, source_key, fetch_error=error or "no payload")
         else:
-            tidy = norm.normalize(
-                spark.createDataFrame([(payload,)], "payload string"), source_key
-            )
+            tidy = norm.normalize(payload_relation(spark, payload), source_key)
             insight = agents.commentary(tidy, source_key)
     d = asdict(insight)
-    return spark.createDataFrame(
-        [(tick, d["source"], d["n_rows"], d["headline"], d["agent"])],
-        STATUS_SCHEMA,
+    return _status_relation(
+        spark, [(tick, d["source"], d["n_rows"], d["headline"], d["agent"])]
     )
 
 
@@ -184,10 +199,16 @@ def run_poll_all_pipeline(
                     (batch_id, d["source"], d["n_rows"], d["headline"], d["agent"])
                 )
             else:
-                tidies[r.source] = norm.normalize(
-                    sp.createDataFrame([(r.payload,)], "payload string"),
-                    r.source,
-                )
+                # a zero-arg factory: batch_insights builds the tidy
+                # plan inside the branch's own worker thread, so the
+                # ten sources' plan construction overlaps with their
+                # analysis instead of serializing up front
+                def _tidy(payload=r.payload, source=r.source) -> DataFrame:
+                    return norm.normalize(
+                        payload_relation(sp, payload), source
+                    )
+
+                tidies[r.source] = _tidy
         if tidies:
             for insight in agents.batch_insights(tidies).values():
                 d = asdict(insight)
@@ -195,9 +216,9 @@ def run_poll_all_pipeline(
                     (batch_id, d["source"], d["n_rows"], d["headline"], d["agent"])
                 )
         if status_parts:
-            sp.createDataFrame(status_parts, STATUS_SCHEMA).write.mode(
-                "append"
-            ).saveAsTable(status_table)
+            _status_relation(sp, status_parts).write.mode("append").saveAsTable(
+                status_table
+            )
 
     writer = stream.writeStream.foreachBatch(on_batch)
     if available_now:

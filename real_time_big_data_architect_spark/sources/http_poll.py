@@ -387,8 +387,15 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
         ).collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-    return spark.createDataFrame(
-        rows, "source string, n_rows long, agent string"
+    # JVM-side VALUES relation: createDataFrame would wrap the 10 rows
+    # in a Python-RDD scan, charging the caller's collect a Python
+    # worker round-trip (see tables.jvm_local_df)
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    return jvm_local_df(
+        spark,
+        [(r.source, r.n_rows, r.agent) for r in rows],
+        "source string, n_rows long, agent string",
     )
 
 

@@ -84,7 +84,10 @@ def ingest_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed, obs = with_ingest_metrics(ev, ["value", "props"])
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    return jvm_local_df(
+        spark,
         [(m["n_rows"], m["null_value"], m["null_props"])],
         "n_rows long, null_value long, null_props long",
     )
@@ -131,12 +134,10 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.sum(digest).alias("content_checksum"),
         )
-        # materialize the 1-row summary so the scratch dir (a full
-        # fragmented + compacted copy of events) can be deleted now
-        # instead of leaking per invocation
-        return spark.createDataFrame(
-            result.collect(), "n_rows bigint, content_checksum bigint"
-        )
+        # eager JVM materialization of the 1-row summary so the scratch
+        # dir (a full fragmented + compacted copy of events) can be
+        # deleted now instead of leaking per invocation
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -191,11 +192,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.sum(digest).alias("content_checksum"),
         )
-        # materialize the 1-row summary so the scratch ORC copy is
-        # deleted now instead of leaking per invocation
-        return spark.createDataFrame(
-            result.collect(), "n_rows bigint, content_checksum bigint"
-        )
+        # eager JVM materialization of the 1-row summary so the scratch
+        # ORC copy is deleted now instead of leaking per invocation
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -239,10 +238,7 @@ def partition_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        return spark.createDataFrame(
-            out.collect(),
-            "event_type string, n_events bigint, sum_value double",
-        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -277,10 +273,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        return spark.createDataFrame(
-            out.collect(),
-            "c_mktsegment string, n_orders bigint, revenue double",
-        )
+        return out.localCheckpoint(eager=True)
     finally:
         # the 5-row summary is materialized above, so the warehouse
         # tables (full bucketed copies) need not outlive the call
@@ -496,11 +489,7 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.value").eqNullSafe(F.col("b.value")).cast("long")
             ).alias("n_value_exact"),
         )
-        return spark.createDataFrame(
-            summary.collect(),
-            "n_rows bigint, n_user_exact bigint, n_type_exact bigint,"
-            " n_value_exact bigint",
-        )
+        return summary.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -95,11 +95,9 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        # |event_type|-sized — materialize before the scratch dirs go
-        return spark.createDataFrame(
-            agg.collect(),
-            "event_type string, n_events bigint, sum_value double",
-        )
+        # |event_type|-sized — eager JVM materialization before the
+        # scratch dirs go (no Python-RDD scan for the caller's collect)
+        return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

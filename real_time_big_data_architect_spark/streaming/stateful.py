@@ -395,9 +395,10 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
             "n_events",
         )
-        # materialize before the work dir disappears (the view is tiny
-        # — one row per event_type)
-        return spark.createDataFrame(view.collect(), schema)
+        # materialize JVM-side before the work dir disappears (eager
+        # localCheckpoint: no Python-RDD scan in the returned plan, so
+        # the caller's collect doesn't pay a Python worker round-trip)
+        return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -532,7 +533,8 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame([], schema)
         regs = spark.read.parquet(committed[1])
         out = hll_estimate(spark, regs)
-        return spark.createDataFrame(out.collect(), schema)
+        # eager JVM materialization before the work dir disappears
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -652,10 +654,11 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.col("o_totalprice").cast("double"),
         )
-        # materialize via Arrow (toPandas) before the work dir
-        # disappears — ~3x faster than a Row-list createDataFrame at
-        # the orders-sized view
-        return spark.createDataFrame(view.toPandas(), schema)
+        # eager localCheckpoint: materialize JVM-side before the work
+        # dir disappears — no driver round-trip at all for the
+        # orders-sized view (the old toPandas→createDataFrame shipped
+        # every row through the driver twice)
+        return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -761,10 +764,10 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             self._acc = handle.getValueState("acc", "n long, total4 long")
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._acc.exists():
-                n, total4 = self._acc.get()
-            else:
-                n, total4 = 0, 0
+            # one get() round-trip: None means absent (the exists()
+            # pre-check was a second state-server RPC per key per batch)
+            acc = self._acc.get()
+            n, total4 = acc if acc is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 total4 += _scaled_value_sum(pdf)
@@ -807,9 +810,10 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            stage, started = (
-                self._st.get() if self._st.exists() else (0, 0.0)
-            )
+            # single get() round-trip (None = absent) instead of
+            # exists()+get(): one fewer state-server RPC per key/batch
+            st = self._st.get()
+            stage, started = st if st is not None else (0, 0.0)
             # chunks of one micro-batch arrive unordered: sort by event
             # time (event_id tiebreak) before running the machine
             pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
@@ -859,15 +863,18 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             self._buf = handle.getListState(
                 "buf", "ts_ms long, event_id long, event_type string"
             )
-            self._pat = handle.getValueState(
-                "pat", "stage integer, started_ms long"
+            #: one control record per key — machine stage, window start
+            #: AND the drained high-water mark (the lateness gate) fused
+            #: into a single ValueState, so a batch pays ONE get and ONE
+            #: update round-trip per key instead of two of each (the
+            #: state server is a per-call RPC; at 1500 keys/batch the
+            #: extra round-trips were the dominant addBatch cost)
+            self._ctl = handle.getValueState(
+                "ctl", "stage integer, started_ms long, wm_ms long"
             )
-            #: high-water mark of everything already consumed: the
-            #: lateness gate for new arrivals
-            self._dwm = handle.getValueState("dwm", "wm_ms long")
             self._handle = handle
 
-        def _drain(self, key, wm_ms: int):
+        def _drain(self, key, wm_ms: int, stage: int, started: int):
             buf = [tuple(r) for r in self._buf.get()]
             if not buf:
                 return
@@ -881,9 +888,6 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                 self._handle.registerTimer(min(r[0] for r in buf))
                 return
             rest = [r for r in buf if r[0] > wm_ms]
-            stage, started = (
-                self._pat.get() if self._pat.exists() else (0, 0)
-            )
             matches = []
             win_ms = int(CEP_WINDOW_S * 1000)
             for ts_ms, _eid, etype in ready:
@@ -892,8 +896,7 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                 )
                 if m:
                     matches.append(m)
-            self._pat.update((stage, started))
-            self._dwm.update((wm_ms,))
+            self._ctl.update((stage, started, wm_ms))
             self._buf.clear()
             if rest:
                 self._buf.put(rest)
@@ -911,7 +914,8 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                 )
 
         def handleInputRows(self, key, rows, timerValues):
-            drained = self._dwm.get()[0] if self._dwm.exists() else -1
+            ctl = self._ctl.get()
+            stage, started, drained = ctl if ctl is not None else (0, 0, -1)
             new = []
             for pdf in rows:
                 for ts_val, eid, etype in zip(
@@ -927,10 +931,16 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                     new.append((ts_ms, int(eid), str(etype)))
             if new:
                 self._buf.appendList(new)
-            yield from self._drain(key, timerValues.getCurrentWatermarkInMs())
+            yield from self._drain(
+                key, timerValues.getCurrentWatermarkInMs(), stage, started
+            )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            yield from self._drain(key, timerValues.getCurrentWatermarkInMs())
+            ctl = self._ctl.get()
+            stage, started = (ctl[0], ctl[1]) if ctl is not None else (0, 0)
+            yield from self._drain(
+                key, timerValues.getCurrentWatermarkInMs(), stage, started
+            )
 
         def close(self) -> None:
             pass

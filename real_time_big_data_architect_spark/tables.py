@@ -213,3 +213,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def jvm_local_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
+    """Small driver-side row set as a JVM-built literal relation.
+
+    ``createDataFrame`` wraps even a 1-row list in a Python-RDD scan,
+    and EVERY subsequent action on that plan re-runs a Python worker
+    (~0.2 s measured per action) — a hidden tax on queries that return
+    driver-computed summaries. Named-parameter ``VALUES`` builds the
+    same relation JVM-side, then casts each column to the declared DDL
+    type (VALUES inference differs: int → INT, not BIGINT).
+
+    Positional ``?`` markers are NOT safe here: they bind in
+    plan-traversal order inside a VALUES relation, not textual order
+    (measured: scrambled columns). Scalar values only (int / float /
+    str / bool / None).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(ddl)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = schema.fieldNames()
+    args = {
+        f"c{i}_{j}": v
+        for i, r in enumerate(rows)
+        for j, v in enumerate(r)
+    }
+    values = ",".join(
+        "(" + ",".join(f":c{i}_{j}" for j in range(len(names))) + ")"
+        for i in range(len(rows))
+    )
+    df = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t({','.join(names)})",
+        args=args,
+    )
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
