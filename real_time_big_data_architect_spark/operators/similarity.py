@@ -1044,11 +1044,19 @@ def _gram_batches(batches):
     Precision claim, stated exactly (ADVICE r7): this equals the
     ORACLE's path — DuckDB round(double, 10) → DECIMAL(30,10) — which
     itself rounds the FLOAT product; it is not exact-decimal
-    ROUND_HALF_UP of the product's full binary expansion. The
-    engine-pipeline equality is pinned by
+    ROUND_HALF_UP of the product's full binary expansion. Domain
+    bound: the equality holds for |x_i·x_j| < 2^51/1e10 ≈ 2.25e5 —
+    above that the scaled product's float64 spacing reaches 0.5 and
+    the kernel's single rounding (floor(x+0.5)) can differ from the
+    oracle's DOUBLE round → DECIMAL re-round by one ulp (measured
+    onset: 431608.25367514987 in the 2^51 octave; ~3% of that octave
+    diverges). Pinned by the boundary witness in the property test.
+    Embedding components are unit-scale, so their pairwise products
+    sit orders of magnitude below the bound. The engine-pipeline equality is pinned by
     tests/test_properties.py::test_gram_fixed_point_matches_oracle_
     decimal_path (250k adversarial doubles + planted k+0.5/1e10 ties +
-    a hypothesis sweep) on top of the per-round hash gate. One int64
+    a hypothesis sweep over the domain) on top of the per-round hash
+    gate. One int64
     64×64 accumulator per partition, ONE 4096-row emission — no
     per-vector row fan-out at all, vs the old posexplode self-join's
     4096 rows per vector (the r6 verdict's 16.4 s CPU hotspot)."""

@@ -384,6 +384,17 @@ def test_gram_fixed_point_matches_oracle_decimal_path():
     This pins the equivalence the pca_certify hash gate relies on; the
     claim is engine-pipeline equality, not exact-decimal ROUND_HALF_UP
     of the product's full binary expansion (see the kernel docstring).
+
+    The claim is DOMAIN-BOUNDED: it holds for |p| < 2^51/1e10
+    (≈ 225179.98). From that octave up, the scaled product's float64
+    spacing reaches 0.5 and the kernel's single rounding can differ
+    from the oracle's DOUBLE round → DECIMAL re-round by one ulp
+    (measured: 0 mismatches in ~1M uniform samples through 2^51;
+    ~3% of the 2^51..2^52 octave diverges, first found by hypothesis
+    at 450360.85198042274). The onset example is pinned below as the
+    boundary witness. Embedding-component products (the kernel's
+    actual input) are unit-scale, orders of magnitude inside the
+    bound.
     """
     from decimal import Decimal
 
@@ -415,23 +426,35 @@ def test_gram_fixed_point_matches_oracle_decimal_path():
     mism = int((got != fp).sum())
     assert mism == 0, f"{mism} disagreements with the oracle decimal path"
 
-    @settings(max_examples=300, deadline=None)
-    @given(
-        st.floats(
-            min_value=-1e8,
-            max_value=1e8,
-            allow_nan=False,
-            allow_infinity=False,
-        )
-    )
-    def prop(v: float) -> None:
-        kern = int(np.floor(abs(v) * 1e10 + 0.5))
-        kern = -kern if v < 0 else kern
+    DOMAIN = float(2**51) / 1e10  # 225179.9813685248
+
+    def _kern(v: float) -> int:
+        k = int(np.floor(abs(v) * 1e10 + 0.5))
+        return -k if v < 0 else k
+
+    def _oracle(v: float) -> int:
         d = con.execute(
             "SELECT CAST(round(CAST(? AS DOUBLE), 10)"
             " AS DECIMAL(30,10))",
             [v],
         ).fetchone()[0]
-        assert int(Decimal(str(d)) * (10**10)) == kern
+        return int(Decimal(str(d)) * (10**10))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-DOMAIN,
+            max_value=DOMAIN,
+            allow_nan=False,
+            allow_infinity=False,
+        )
+    )
+    def prop(v: float) -> None:
+        assert _oracle(v) == _kern(v)
 
     prop()
+
+    # boundary witnesses: OUTSIDE the documented domain the engines'
+    # last-ulp rounding diverges — keep the bound honest, not hidden
+    for outside in (431608.25367514987, 450360.85198042274):
+        assert _oracle(outside) != _kern(outside)
