@@ -718,6 +718,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ptr = lowered.select(
                 F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
             )
+            # ONE jump per round. Pointer-doubling (a second jump to
+            # square the pointer, rounds ~log₄) has now been measured
+            # twice: r7 without a barrier between the jumps (8 → 107 s,
+            # double-lineage recompute) and r8 WITH an eager
+            # localCheckpoint between them (6.7 → 39 s warm at sf0.1 —
+            # the extra per-round materialization + broadcast of a
+            # node-sized relation costs far more than the ~5 saved
+            # rounds). Single jump + eager-checkpointed lowering is the
+            # measured optimum; don't retry without new evidence.
             jumped = (
                 lowered.join(_b(ptr), lowered.comp == ptr.p_vec, "left")
                 .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
