@@ -300,3 +300,30 @@ def test_streaming_progress_capture_records_batches(spark, sf_small):
     assert any(
         "triggerExecution" in (e.get("durationMs") or {}) for e in events
     )
+
+
+def test_jvm_local_df_binding_types_and_plan(spark):
+    """tables.jvm_local_df: the named-parameter VALUES relation must
+    (a) keep column/row order — positional '?' markers bind in
+    plan-traversal order inside VALUES (measured scrambled), which is
+    exactly the bug named binding prevents; (b) cast to the declared
+    DDL (VALUES infers int → INT, the contract says BIGINT); (c) carry
+    None as typed NULL; and (d) contain no Python-RDD scan, so actions
+    don't pay a Python worker round-trip."""
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    rows = [(1, "binance", 2.5, None), (0, "usgs", -1.0, "x")]
+    df = jvm_local_df(
+        spark, rows, "tick long, source string, rate double, note string"
+    )
+    assert df.schema.simpleString() == (
+        "struct<tick:bigint,source:string,rate:double,note:string>"
+    )
+    got = [(r.tick, r.source, r.rate, r.note) for r in df.collect()]
+    assert got == rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ExistingRDD" not in plan
+    # empty input degrades to an empty typed frame
+    empty = jvm_local_df(spark, [], "a long, b string")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<a:bigint,b:string>"
