@@ -824,10 +824,22 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                            y -> struct(members[i] AS m1, y AS m2))))
         END"""
     )
+    # rebalance BLOCKS across cores before pair generation + scoring:
+    # the grouped relation is |blocks| rows (~86 at sf0.1, a few MB),
+    # so AQE coalesces its shuffle to ~1 partition and the whole
+    # explode + levenshtein DP — the expensive per-pair O(prefix²)
+    # step — ran serial (measured 3.6 s → 1.0 s warm at sf0.1). The
+    # repartition must sit BELOW the explode: placed above it,
+    # Catalyst pushes the lev_dist filter back through the round-robin
+    # exchange and the DP runs serial again (and twice). Block-level
+    # round-robin is balanced here because the chain guard caps every
+    # block's pair count.
+    grouped = grouped.repartition(spark.sparkContext.defaultParallelism)
+    pairs = grouped.filter(F.size("members") >= 2).select(
+        F.explode(pair_expr).alias("p")
+    )
     return (
-        grouped.filter(F.size("members") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(
+        pairs.select(
             F.least("p.m1.doc_id", "p.m2.doc_id").alias("doc_a"),
             F.greatest("p.m1.doc_id", "p.m2.doc_id").alias("doc_b"),
             F.levenshtein(F.col("p.m1.prefix"), F.col("p.m2.prefix")).alias(
