@@ -23,7 +23,7 @@ from real_time_big_data_architect_spark.functions.numeric import dec_sum
 from real_time_big_data_architect_spark.functions.ranking import (
     quantile_partitioned_rank_sum,
 )
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 
 def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,8 +112,16 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over orderstatus × orderpriority (NS2): all grouping sets."""
-    o = load_table(spark, sf_dir, "orders")
+    """CUBE over orderstatus × orderpriority (NS2): all grouping sets.
+
+    fan_out first: CUBE's Expand replicates each row 4× map-side
+    before the partial agg — compute-dense enough that the one-task
+    fixture scan ran it serial (tools/parallelcheck.py)."""
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(dec_sum("o_totalprice", "sum_price"), F.count("*").alias("n_orders"))

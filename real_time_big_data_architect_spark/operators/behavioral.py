@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from real_time_big_data_architect_spark.functions.ranking import (
     range_partitioned_key_lead,
 )
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 #: session gap threshold: a pause longer than this starts a new session
 SESSION_GAP_US = 1_800_000_000  # 30 minutes in microseconds
@@ -378,9 +378,13 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 101 != 0
     )
+    # fan_out BEFORE the two-pass lead: the fixture scans as one task,
+    # so both the percentile-bounds pass and the pid case-chain
+    # evaluated serially (~1.3 s each at sf0.1, caught by
+    # tools/parallelcheck.py); the id column is a few MB to reshuffle
     return (
         range_partitioned_key_lead(
-            ev.select("event_id"), "event_id", "next_id"
+            fan_out(ev.select("event_id")), "event_id", "next_id"
         )
         .filter(F.col("next_id") - F.col("event_id") > 1)
         .select(

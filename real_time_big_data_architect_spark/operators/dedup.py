@@ -461,7 +461,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Repartition so the signature pass materializes once and both
     # consumers (bucketing + signature re-join) reuse the exchange.
-    sigs = _simhash_bands(spark, sf_dir).repartition(F.col("doc_id"))
+    # Explicit partition count: without it AQE coalesces the few-MB
+    # signature exchange to one partition and the downstream band
+    # bucketing + pair chaining ran serial (tools/parallelcheck.py).
+    sigs = _simhash_bands(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     buckets = sigs.select(
         "doc_id",
         "simhash",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,7 +658,9 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering dedups the symmetric pair. sqrt is IEEE-correctly-rounded,
     so the emitted distance is bit-identical across engines.
     """
-    pts = _geo_points(spark, sf_dir)
+    # fan_out: the md5-derived coordinates are compute-dense per row
+    # and otherwise evaluate inside the one-task fixture scan
+    pts = fan_out(_geo_points(spark, sf_dir))
     r = F.lit(GEO_RADIUS)
     cellx = F.floor(F.col("x") / r)
     celly = F.floor(F.col("y") / r)
@@ -749,6 +751,15 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row as soon as the running distance exceeds LINK_MAX_LEV — the
     # oracle computes the full distance and filters; values agree on
     # every kept row
+    # pin the block join's partitioning: the blk shuffle is only a few
+    # MB, so AQE coalesces it to one partition and the ≤16·N pair
+    # explosion + levenshtein DP ran serial (~0.9 s at sf0.1,
+    # tools/parallelcheck.py). An explicit keyed repartition is exempt
+    # from AQE coalescing and satisfies the join's distribution, so no
+    # extra exchange is added.
+    dirty = dirty.repartition(
+        spark.sparkContext.defaultParallelism, "blk"
+    )
     cand = (
         dirty.join(clean, "blk")
         .withColumn(

@@ -115,8 +115,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
     rows-only check: the kernel is a stub, not SQL-expressible.
+    fan_out: the Python decode kernel otherwise runs inside the
+    fixture's one-task scan (tools/parallelcheck.py).
     """
-    media = build_media_table(spark, sf_dir)
+    media = fan_out(build_media_table(spark, sf_dir))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

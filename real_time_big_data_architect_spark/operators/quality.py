@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 #: contamination n-gram width (word-level); 8 is the common eval-decontam
 #: choice (BIG-bench / GPT-3 used 13-gram chars, Llama 8-gram words)
@@ -99,9 +99,11 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram), probe the broadcast hash map-side, and re-aggregate per doc.
     One shuffle (doc_id re-agg), no corpus-vs-corpus join.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "w", F.split("text", " ")
-    )
+    # gram construction (split + windowed concat_ws + explode) is the
+    # compute-dense step: fan_out it off the one-task fixture scan
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("w", F.split("text", " "))
     # docs shorter than the window yield NO grams (an empty array, not
     # a descending sequence indexing before the array start) and drop
     # out of the exploded relation — mirroring the oracle's empty range

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 
 def ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +78,12 @@ def safe_cast_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest twin of the PERMISSIVE JSON mode. Counts parseable vs not
     per event_type so the whole surface is one oracle-exact row set.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out the two needed columns: the per-row JSON parse
+    # (get_json_object) otherwise runs map-side in the fixture's
+    # one-task scan (~1.4 s serial at sf0.1, tools/parallelcheck.py)
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select("event_type", "props")
+    )
     k_int = F.expr(
         "try_cast(get_json_object(props, '$.k') AS BIGINT)"
     )
@@ -335,7 +340,13 @@ def try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     would raise on the raw expressions, so the guard IS the
     cross-engine semantic.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # every 5th key's overflow raises a caught JVM ArithmeticException —
+    # compute-dense per row, so fan_out instead of the one-task scan
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
     denom = F.col("o_orderkey") % 7
     return o.select(
         "o_orderkey",

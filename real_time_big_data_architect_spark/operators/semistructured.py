@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 
 def explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,9 +106,15 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips typed data exactly (strings, bigints, doubles). The
     oracle is the original projection: any serialization loss breaks
     the hash. Both directions are per-row codegen expressions — no
-    shuffle, no Python.
+    Python; fan_out spreads the per-row XML serialize+parse across
+    cores (the fixture's one-task scan ran it serial, ~0.8 s at sf0.1 —
+    tools/parallelcheck.py).
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
     doc = F.to_xml(
         F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
     )
@@ -184,7 +190,11 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays as before, so element semantics and ordering are identical
     and unit tests still check them by splitting the string back.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # per-row array algebra is compute-dense: fan_out so it doesn't run
+    # serial in the fixture's one-task scan (tools/parallelcheck.py)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     h = F.floor(n / 2).cast("int")
@@ -214,10 +224,16 @@ def corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     kills the job on the first bad byte and silent drops lose data;
     production ingest quarantines with a reason, exactly this shape.
     The oracle replays the classification with ``json_valid`` +
-    ``TRY_CAST`` over the identical generated feed. Map-only pass —
-    one scan, no shuffle until the tiny per-status rollup.
+    ``TRY_CAST`` over the identical generated feed. Map-heavy pass —
+    fan_out spreads the per-row build+parse across cores (serial in
+    the one-task fixture scan otherwise); the only other shuffle is
+    the tiny per-status rollup.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+    )
     k = F.col("o_orderkey").cast("string")
     c = F.col("o_custkey").cast("string")
     good = F.concat(F.lit('{"k":'), k, F.lit(',"c":'), c, F.lit("}"))

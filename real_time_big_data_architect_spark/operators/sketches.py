@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import fan_out, load_table
 
 CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 1024  # counters per row
@@ -414,7 +414,11 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest version of this profile; the sketch-based cousin is
     ``approx_distinct``. Oracle: UNION ALL of per-column aggregates.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # the multi-distinct Expand replicates every row 6× map-side —
+    # compute-dense, so fan_out it off the one-task fixture scan
+    o = fan_out(
+        load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    )
     aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"nn_{c}"))

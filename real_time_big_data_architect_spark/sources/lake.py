@@ -259,12 +259,18 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shuffles 100 TB": pay the shuffle once at write time,
     join co-located forever after. The oracle is the plain join.
     """
-    from real_time_big_data_architect_spark.tables import load_table
+    from real_time_big_data_architect_spark.tables import fan_out, load_table
 
     try:
-        write_bucketed(spark, load_table(spark, sf_dir, "orders"),
+        # fan_out the write inputs: hashing every row into buckets from
+        # the one-task fixture scan serialized the table writes
+        # (tools/parallelcheck.py); bucketed tables may carry multiple
+        # files per bucket, so the parallel write stays co-location-
+        # correct and the join still plans with ZERO Exchange
+        write_bucketed(spark, fan_out(load_table(spark, sf_dir, "orders")),
                        "o_custkey", "orders_bkt")
-        write_bucketed(spark, load_table(spark, sf_dir, "customer"),
+        write_bucketed(spark,
+                       fan_out(load_table(spark, sf_dir, "customer")),
                        "c_custkey", "customer_bkt")
         joined = colocated_join(spark)
         out = joined.groupBy("c_mktsegment").agg(
