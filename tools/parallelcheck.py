@@ -76,10 +76,12 @@ def main() -> int:
     url = spark.sparkContext.uiWebUrl
     appid = spark.sparkContext.applicationId
     queries = entrymod.queries()
-    wanted = sys.argv[1:] or [
+    subset = sys.argv[1:]
+    wanted = subset or [
         n for n in queries if not (n.startswith("stream_") or n == "pyds_writer_roundtrip")
     ]
     flags: list[tuple[str, int, int, int]] = []
+    worst_serial: dict[str, int] = {}
     for name in wanted:
         fn = queries[name]
         try:
@@ -92,13 +94,15 @@ def main() -> int:
             continue
         new = [s for k, s in after.items() if k not in before]
         worst = 0
+        worst_any = 0
         for s in new:
             run_ms = int(s.get("executorRunTime", 0) or 0)
-            if int(s.get("numTasks", 0) or 0) == 1 and run_ms >= SERIAL_MS:
-                if name in ALLOW:
-                    continue
-                flags.append((name, s["stageId"], run_ms, 1))
-                worst = max(worst, run_ms)
+            if int(s.get("numTasks", 0) or 0) == 1:
+                worst_any = max(worst_any, run_ms)
+                if run_ms >= SERIAL_MS and name not in ALLOW:
+                    flags.append((name, s["stageId"], run_ms, 1))
+                    worst = max(worst, run_ms)
+        worst_serial[name] = worst_any
         status = f"FLAG serial stage {worst} ms" if worst else (
             "ok (allowlisted scan)" if name in ALLOW else "ok"
         )
@@ -110,8 +114,44 @@ def main() -> int:
             print(f"  {name:32s} stage {sid:5d} {ms:6d} ms in 1 task")
     else:
         print("0 serial-stage flags")
+    if not subset:  # full run: write the committed artifact
+        _write_md(worst_serial, flags)
+        print("wrote PARALLEL.md")
     spark.stop()
     return 1 if flags else 0
+
+
+def _write_md(worst_serial: dict[str, int], flags: list) -> None:
+    lines = [
+        "# PARALLEL — serial-stage audit (tools/parallelcheck.py)",
+        "",
+        f"SF: {SF_DIR.rsplit('sf', 1)[-1]}; threshold: a one-task stage"
+        f" with ≥ {SERIAL_MS} ms of executor run time. The fixtures are"
+        " single-file parquet, so a one-task SCAN (IO + decompress,"
+        " measured ≤ ~0.6 s) is expected; anything above the threshold"
+        " is compute riding the scan or an AQE-coalesced exchange —"
+        " the byte-sizing failure mode that serializes compute-dense"
+        " stages while every shuffle/spill metric looks healthy"
+        " (found and fixed on 13 queries in r8; see SHUFFLES.md §AQE).",
+        "",
+        f"Result: **{len(flags)} flags** over {len(worst_serial)} batch"
+        " queries. Worst one-task stage per query (ms of executor"
+        " time), top 20:",
+        "",
+        "| query | worst 1-task stage ms |",
+        "|---|---:|",
+    ]
+    top = sorted(worst_serial.items(), key=lambda kv: -kv[1])[:20]
+    for name, ms in top:
+        note = " (allowlisted scan)" if name in ALLOW and ms >= SERIAL_MS else ""
+        lines.append(f"| {name}{note} | {ms} |")
+    lines.append("")
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PARALLEL.md"),
+        "w",
+    ) as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
