@@ -498,7 +498,14 @@ def phash_dedup_pairs(corpus: DataFrame) -> DataFrame:
     :func:`media_phash_dedup`, factored so boundary corpora (e.g. the
     all-identical hot-bucket case) test the SAME plan the declared
     query runs."""
-    sigs = _phash_sigs(corpus).repartition(F.col("doc_id"))
+    # explicit partition count: a count-less keyed repartition lets
+    # AQE coalesce the few-MB signature exchange to one partition and
+    # serialize the band bucketing downstream (the dedup_simhash bug
+    # class, tools/parallelcheck.py)
+    sigs = _phash_sigs(corpus).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        F.col("doc_id"),
+    )
     buckets = sigs.select(
         "doc_id",
         "phash",

@@ -859,7 +859,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cell = W.partitionBy("cell")
     v = (
         _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
-        .repartition("cell")
+        # explicit count: AQE may coalesce a count-less keyed
+        # repartition to one partition and serialize the per-cell
+        # window + pair scoring (tools/parallelcheck.py bug class)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "cell"
+        )
         .withColumn("csize", F.count("*").over(w_cell))
         .persist()
     )
