@@ -617,14 +617,13 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: broadcast cap for the CC label/pointer relations: 4M (vec_id,
-#: comp) longs ≈ 64 MB serialized — inside the default 8 GB driver /
-#: executor broadcast comfort zone. Beyond it the loop keeps
-#: shuffle joins (same plan, no broadcast hint).
-CC_BROADCAST_NODES = 4_000_000
+MAX_CC_ROUNDS = 16  # backstop only; alternating star contraction
+                    # converges in O(log n) alternations in practice
+                    # (fixture's ~1000-node path: 6)
 
-MAX_CC_ROUNDS = 16  # backstop only; min-propagation + pointer jumping
-                    # converges in O(log diameter) rounds
+#: hash stride for the star-contraction fixpoint checksum — a prime
+#: above 2^32 so (big, small) pairs map injectively for ids < 2^32
+_CC_SUM_STRIDE = 4294967311
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,16 +637,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — i.e. the actual "keep one per group" decision a curation
     pipeline applies before training.
 
-    Distributed algorithm (the GraphX/"hash-to-min" shape, no driver-side
-    graph): iterate (1) label = min(label, neighbors' labels) — one
-    shuffle on the edge dst — then (2) pointer-jump label = label[label]
-    — one self-join — until a round changes nothing. Jumping halves the
-    label-tree depth each round, so rounds grow with log(diameter), not
-    diameter; near-dup clusters are tight (fixture max size 4 → 1-2
-    rounds). Per round the driver sees ONE scalar (the changed-row
-    count) and ``localCheckpoint`` truncates the growing lineage — the
-    standard iterative-Spark pattern. Edges persist once; at 100 TB the
-    edge list is the (small) LSH/IVF candidate output, not the corpus.
+    Distributed algorithm: ALTERNATING LARGE-STAR / SMALL-STAR
+    CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). State is the edge relation alone — no label
+    table, no self-join, so the double-lineage recompute trap that
+    sank two pointer-doubling attempts (r7: 107 s; r8: 39 s) cannot
+    occur. Per alternation: large-star re-points every node's larger
+    neighbors at its minimum neighbor (one window shuffle on the
+    symmetrized src), then small-star re-points every node and its
+    smaller neighbors at the group minimum (one window shuffle on the
+    canonical big endpoint). Both operations are plain keyed shuffles
+    off ONE relation; at fixpoint every component is a star rooted at
+    its minimum id. Replaced the r8 min-propagation + pointer-jump
+    loop: 11 rounds / 2 actions each → 6 alternations / 1 action each
+    on the same fixture (warm sf0.1 5.6 → ~3.5 s), identical labels.
+
+    Fixpoint detection is EXACT and costs one agg per alternation:
+    each star only ever lowers an edge's partner (never raises), and
+    duplicate-merges remove strictly-positive terms, so
+    Σ(big·STRIDE + small) over the distinct edge set is strictly
+    decreasing on ANY change — "sum unchanged across one full
+    alternation" ⟺ both stars were no-ops. The agg doubles as the
+    action materializing the round's (lazy) ``localCheckpoint``, which
+    truncates lineage (checkpointed scans hide stats, so the loop
+    sizes its own shuffles via ``_loop_shuffle_conf``). At 100 TB the
+    edge list is the (small) LSH/IVF candidate output, not the corpus,
+    and the windows shuffle-partition by node id — no node-sized
+    broadcast anywhere.
 
     Oracle: DuckDB recursive CTE computes min-reachable-id per node over
     the same (deterministic, oracle-exact) pair set.
@@ -662,89 +678,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.dedup_embedding_cosine(spark, sf_dir).select(
         "vec_id_a", "vec_id_b"
     )
-    edges = pairs.select(
-        F.col("vec_id_a").alias("u"), F.col("vec_id_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("vec_id_b").alias("u"), F.col("vec_id_a").alias("v"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        edges.select("u")
+    # canonical orientation big > small; near-dup pairs are unique but
+    # distinct() keeps the contraction's dedup invariant independent of
+    # the upstream's contract
+    E = (
+        pairs.select(
+            F.greatest("vec_id_a", "vec_id_b").alias("big"),
+            F.least("vec_id_a", "vec_id_b").alias("small"),
+        )
         .distinct()
-        .select(F.col("u").alias("vec_id"), F.col("u").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # Fixpoint detection by label-sum (r7): per-node comp is MONOTONE
-    # non-increasing (least() in the lowering; the jump replaces comp
-    # with comp-node's label, itself ≤ comp), so Σcomp strictly
-    # decreases until the fixpoint and "sum unchanged" ⟺ "no node
-    # changed". One DECIMAL(38,0) agg per round replaces the old
-    # jumped⋈labels diff join AND serves as the single action that
-    # materializes the round's (lazy) localCheckpoint — one pass per
-    # round instead of two plus a join. The same pass counts the label
-    # table (r8): the count gates the per-round broadcast below, and
-    # sizes the loop's shuffle partitions (checkpointed RDD scans hide
-    # stats from Catalyst, so neither AQE nor the planner can).
-    first_row = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    prev_sum, n_nodes = first_row.s, first_row.n
-    # label/pointer relations are node-sized: below the broadcast cap
-    # they ship to every executor and the per-round joins lose their
-    # shuffles entirely (the stats-dispatch AQE would do if the
-    # checkpoint boundary didn't blind it); above the cap the joins
-    # stay shuffle-partitioned — same relational plan, bigger cluster.
-    small = n_nodes <= CC_BROADCAST_NODES
-    _b = F.broadcast if small else (lambda df: df)
-    with _loop_shuffle_conf(spark, n_nodes):
+
+    def _checksum(df: DataFrame):
+        # strictly decreasing on any edge change (see docstring); also
+        # the single action that materializes df's lazy checkpoint
+        return df.agg(
+            F.sum(
+                F.col("big").cast("decimal(38,0)") * _CC_SUM_STRIDE
+                + F.col("small").cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    first = _checksum(E)
+    prev_sum, n_edges = first.s, first.n
+    with _loop_shuffle_conf(spark, 2 * n_edges):
         for _ in range(MAX_CC_ROUNDS):
-            nbr_min = (
-                edges.join(_b(labels), edges.v == labels.vec_id)
-                .groupBy("u")
-                .agg(F.min("comp").alias("nbr_comp"))
+            # large-star: for every node u, m = min(Γ(u) ∪ {u}); each
+            # LARGER neighbor v re-points to m. Output stays canonical
+            # (v > u ≥ m). No distinct here — small-star's window min
+            # is duplicate-insensitive and its own distinct cleans up.
+            sym = E.select(
+                F.col("big").alias("u"), F.col("small").alias("v")
+            ).unionByName(
+                E.select(F.col("small").alias("u"), F.col("big").alias("v"))
             )
-            lowered = (
-                labels.join(_b(nbr_min), labels.vec_id == nbr_min.u, "left")
-                .select(
-                    labels.vec_id,
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
+            wu = W.partitionBy("u")
+            ls = (
+                sym.withColumn(
+                    "m", F.least(F.min("v").over(wu), F.col("u"))
                 )
-                # EAGER checkpoint between lowering and jump (r8): the
-                # jump consumes lowered on BOTH join sides, and without
-                # a materialization barrier each side recomputes the
-                # whole lowering subtree — the same double-lineage trap
-                # that sank the r7 double-jump experiment (8 s → 107 s
-                # there; here one eager checkpoint per round measured
-                # faster than the recompute it prevents).
-                .localCheckpoint(eager=True)
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("big"), F.col("m").alias("small"))
             )
-            ptr = lowered.select(
-                F.col("vec_id").alias("p_vec"), F.col("comp").alias("p_comp")
-            )
-            # ONE jump per round. Pointer-doubling (a second jump to
-            # square the pointer, rounds ~log₄) has now been measured
-            # twice: r7 without a barrier between the jumps (8 → 107 s,
-            # double-lineage recompute) and r8 WITH an eager
-            # localCheckpoint between them (6.7 → 39 s warm at sf0.1 —
-            # the extra per-round materialization + broadcast of a
-            # node-sized relation costs far more than the ~5 saved
-            # rounds). Single jump + eager-checkpointed lowering is the
-            # measured optimum; don't retry without new evidence.
-            jumped = (
-                lowered.join(_b(ptr), lowered.comp == ptr.p_vec, "left")
-                .select("vec_id", F.coalesce("p_comp", "comp").alias("comp"))
+            # small-star: per big endpoint, m = min of its (smaller)
+            # neighbors; the node and every neighbor re-point to m
+            wb = W.partitionBy("big")
+            with_m = ls.withColumn("m", F.min("small").over(wb))
+            ss = (
+                with_m.select(
+                    F.col("small").alias("big"), F.col("m").alias("small")
+                )
+                .unionByName(
+                    with_m.select("big", F.col("m").alias("small"))
+                )
+                .filter(F.col("big") != F.col("small"))
+                .distinct()
                 .localCheckpoint(eager=False)
             )
-            new_sum = jumped.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).first().s
-            labels = jumped
-            if new_sum == prev_sum:
+            row = _checksum(ss)
+            E = ss
+            if row.s == prev_sum:
                 break
-            prev_sum = new_sum
-    edges.unpersist()
+            prev_sum = row.s
+    # fixpoint: E is (member, root) stars; roots never appear as big
+    labels = E.select(
+        F.col("big").alias("vec_id"), F.col("small").alias("comp")
+    ).unionByName(
+        E.select(F.col("small").alias("vec_id"), F.col("small").alias("comp"))
+    ).distinct()
     labeled = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id")
