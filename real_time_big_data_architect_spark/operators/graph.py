@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 from real_time_big_data_architect_spark.functions.ranking import (
     quantile_partitioned_rank,
 )
-from real_time_big_data_architect_spark.tables import load_table
+from real_time_big_data_architect_spark.tables import (
+    estimate_rows,
+    load_table,
+)
 
 DAMPING = 0.85
 #: (1 - d) precomputed in Python doubles: Spark constant-folds
@@ -65,7 +68,19 @@ LOOP_ROWS_PER_PARTITION = 200_000
 
 def _loop_shuffle_conf(spark: SparkSession, n_rows: int):
     """Context manager scoping ``spark.sql.shuffle.partitions`` to the
-    data-derived loop sizing; restores the session value on exit."""
+    data-derived loop sizing; restores the session value on exit.
+
+    The conf is SESSION-global: a query running concurrently in the
+    same SparkSession while a loop holds this scope would bind the
+    loop's (small) partition count. The engine's execution contract is
+    one query at a time per session (bench/preflight/driver all run
+    serially; ``batch_insights``' intra-query threads never overlap a
+    loop operator); a harness that wants concurrent loop queries must
+    isolate them with ``spark.newSession()`` per thread, which scopes
+    runtime confs. Per-plan REPARTITION hints were considered and
+    rejected: they pin exact partition counts and defeat AQE's
+    post-shuffle coalescing everywhere else in the plan.
+    """
     from contextlib import contextmanager
 
     conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -100,7 +115,8 @@ def transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank on the transition graph, PR_ITERS rounds."""
-    n_events = load_table(spark, sf_dir, "events").count()
+    # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
+    n_events = estimate_rows(sf_dir, "events")
     with _loop_shuffle_conf(spark, n_events):
 
         edges = _edges(spark, sf_dir).persist()
@@ -270,7 +286,8 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the right physical layout is both sides bucketed by user_id
     (the Pregel partitioning, same note as pagerank above).
     """
-    n_events = load_table(spark, sf_dir, "events").count()
+    # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
+    n_events = estimate_rows(sf_dir, "events")
     with _loop_shuffle_conf(spark, n_events):
 
         edges = _edges(spark, sf_dir).select("src", "dst").persist()
@@ -343,7 +360,8 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried whole per round; the frontier-delta optimization bfs_khop
     documents applies identically when rounds grow.
     """
-    n_events = load_table(spark, sf_dir, "events").count()
+    # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
+    n_events = estimate_rows(sf_dir, "events")
     with _loop_shuffle_conf(spark, n_events):
 
         edges = _edges(spark, sf_dir).select(
@@ -398,7 +416,8 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite-ish structure can oscillate; a fixed round count is the
     standard bound (GraphFrames does the same).
     """
-    n_events = load_table(spark, sf_dir, "events").count()
+    # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
+    n_events = estimate_rows(sf_dir, "events")
     with _loop_shuffle_conf(spark, n_events):
 
         e = _edges(spark, sf_dir)

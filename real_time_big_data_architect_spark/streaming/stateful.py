@@ -88,6 +88,11 @@ def _stream_shuffle_conf(spark: SparkSession, target: int | None = None):
     were paying a 32-task shuffle per tiny delta (r7 verdict item 2 —
     streaming fixed costs). Same knob a production job would size to
     its micro-batch delta volume, not its backfill volume.
+
+    Session-global, like ``graph._loop_shuffle_conf`` (see its
+    docstring): one query at a time per session is the execution
+    contract; concurrent streams belong in ``spark.newSession()``
+    scopes, which isolate runtime confs per stream.
     """
     from contextlib import contextmanager
 

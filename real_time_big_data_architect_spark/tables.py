@@ -177,6 +177,67 @@ def _normalize_date_cols(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+#: row-estimate footer budget: beyond this many files the estimate
+#: reads only this many footers and extrapolates by byte size, so the
+#: driver-side cost stays O(1) no matter how many files a 100 TB
+#: table has
+ROWS_SAMPLE_FOOTERS = 8
+
+_ROWS_CACHE: dict[str, tuple] = {}
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def estimate_rows(sf_dir: str, name: str) -> int:
+    """Row-count estimate from parquet FOOTER statistics — no Spark job.
+
+    Iterative-loop operators (pagerank/bfs/sssp/LPA shuffle sizing)
+    need the input's order of magnitude, not its exact cardinality; a
+    synchronous ``df.count()`` gets it at the cost of an extra job per
+    invocation — cheap on footer-stat parquet locally, but still one
+    serial driver round-trip per query at 100 TB (r8 verdict item 6).
+    Footers carry the exact ``num_rows`` for free; directories beyond
+    ``ROWS_SAMPLE_FOOTERS`` files read that many evenly-spaced footers
+    and extrapolate by total byte size, so the estimate is exact for
+    small tables and O(1)-cost, proportionally-sampled for huge ones.
+    Cached per (path, mtime, size) like the table cache above.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    path = os.path.abspath(table_path(sf_dir, name))
+    sig = _stat_sig(path)
+    hit = _ROWS_CACHE.get(path)
+    if hit is not None and sig is not None and hit[0] == sig:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if not files:
+        n = 0
+    elif len(files) <= ROWS_SAMPLE_FOOTERS:
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    else:
+        stride = max(1, len(files) // ROWS_SAMPLE_FOOTERS)
+        sample = files[::stride][:ROWS_SAMPLE_FOOTERS]
+        s_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in sample)
+        s_bytes = sum(os.path.getsize(f) for f in sample)
+        t_bytes = sum(os.path.getsize(f) for f in files)
+        n = int(s_rows * t_bytes / max(1, s_bytes))
+    _ROWS_CACHE[path] = (sig, n)
+    return n
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a compute-dense stage across all cores.
 

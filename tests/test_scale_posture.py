@@ -174,3 +174,35 @@ def test_phash_guard_bound_at_bench_sf(spark):
     n = sigs.count()
     n_pairs = M.media_phash_dedup(spark, sf_dir).count()
     assert n_pairs <= n * LSH_CHAIN_NEIGHBORS * M.PHASH_BANDS
+
+
+def test_estimate_rows_footer_stats(spark, sf_small, tmp_path_factory):
+    """estimate_rows reads parquet footers only: exact on fixture
+    tables (single file and multi-file), and submits ZERO Spark jobs —
+    the point of replacing the graph loops' per-invocation count()
+    (r8 verdict item 6)."""
+    import shutil
+    import real_time_big_data_architect_spark.tables as T
+
+    for name in ("events", "documents", "embeddings"):
+        assert T.estimate_rows(sf_small, name) == load_table(
+            spark, sf_small, name
+        ).count()
+
+    # multi-file directory table: still exact under the footer budget
+    d = tmp_path_factory.mktemp("est_rows")
+    load_table(spark, sf_small, "events").repartition(4).write.parquet(
+        str(d / "events.parquet")
+    )
+    assert T.estimate_rows(str(d), "events") == load_table(
+        spark, sf_small, "events"
+    ).count()
+
+    # job-free: cold estimate triggers no Spark job
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    T._ROWS_CACHE.clear()
+    T.estimate_rows(sf_small, "events")
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before)
+    shutil.rmtree(str(d), ignore_errors=True)
