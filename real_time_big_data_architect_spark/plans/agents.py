@@ -119,15 +119,20 @@ _PICK_EXPRS: dict[str, str] = {
         " ELSE named_struct('pair', CAST(NULL AS STRING),"
         "                   'rate', CAST(NULL AS DOUBLE)) END"
     ),
+    # ONE first() over a struct, not one per field: independent
+    # first(col) aggregates may each take a DIFFERENT arbitrary row on
+    # a multi-row frame, mixing fields across rows; the struct pick
+    # takes all fields from the same row, like the direct path's
+    # df.first()
     "open_meteo": (
-        "named_struct('temperature_2m', first(temperature_2m),"
-        " 'wind_speed_10m', first(wind_speed_10m))"
+        "first(named_struct('temperature_2m', temperature_2m,"
+        " 'wind_speed_10m', wind_speed_10m))"
     ),
     "iss_now": (
-        "named_struct('lat', first(CAST(latitude AS DOUBLE)),"
-        " 'lon', first(CAST(longitude AS DOUBLE)))"
+        "first(named_struct('lat', CAST(latitude AS DOUBLE),"
+        " 'lon', CAST(longitude AS DOUBLE)))"
     ),
-    "binance": "named_struct('p', first(CAST(price AS DOUBLE)))",
+    "binance": "first(named_struct('p', CAST(price AS DOUBLE)))",
 }
 
 

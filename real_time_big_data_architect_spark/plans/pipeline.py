@@ -181,9 +181,10 @@ def run_poll_all_pipeline(
         # Split the tick: fetch failures degrade immediately (C4, no
         # Spark work), healthy payloads normalize into per-source tidy
         # frames whose insights are computed by agents.batch_insights
-        # as ONE union-aggregate Spark job — the 10-source tick pays a
-        # single job-scheduling latency instead of 1-2 jobs per source
-        # (r7 verdict item 2: measured ~10 s → ~4 s per tick). A
+        # as ONE CONCURRENT WAVE of per-source aggregates (one action
+        # per source on driver threads) — the 10-source tick pays one
+        # wave's scheduling latency instead of 1-2 serial jobs per
+        # source (r7 verdict item 2: measured ~10 s → ~4 s per tick). A
         # per-source failure still degrades only its own row (C2-C5):
         # batch_insights dispatches each source's pick through the
         # shared C3 formatter/fallback.

@@ -143,6 +143,13 @@ def _split_scaled_events(
     from real_time_big_data_architect_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # corpus-derived copy stride (same fix as the phash planted
+    # offsets): a fixed 10M stride would silently collide ids and
+    # misassign the event_id-range chunk filter on a larger fixture
+    stride_row = ev.agg(
+        F.greatest(F.max("event_id"), F.max("user_id")).alias("m")
+    ).first()
+    stride = int(stride_row.m) + 1
     # 90-day copy spacing: far beyond every watermark/session horizon
     # (fixture span 30 days, watermarks ≤ 10 min) so copies are
     # time-disjoint, but small enough that ×16 stays inside pandas'
@@ -150,8 +157,8 @@ def _split_scaled_events(
     # event times through pandas — scalecheck's 20-year spacing
     # overflows it at ×16)
     copies = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(c * 10_000_000))
-        .withColumn("user_id", F.col("user_id") + F.lit(c * 10_000_000))
+        ev.withColumn("event_id", F.col("event_id") + F.lit(c * stride))
+        .withColumn("user_id", F.col("user_id") + F.lit(c * stride))
         .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {c * 90} DAYS"))
         for c in range(mult)
     ]
@@ -163,10 +170,10 @@ def _split_scaled_events(
     per = max(1, mult // n)
     total = 0
     for k in range(n):
-        lo, hi = k * per * 10_000_000, (k + 1) * per * 10_000_000
+        lo, hi = k * per * stride, (k + 1) * per * stride
         chunk = scaled.filter(
             (F.col("event_id") >= lo)
-            & (F.col("event_id") < (hi if k < n - 1 else mult * 10_000_000))
+            & (F.col("event_id") < (hi if k < n - 1 else mult * stride))
         )
         sdir = os.path.join(tmp, f"chunk{k}.dir")
         chunk.coalesce(1).write.mode("overwrite").parquet(sdir)
