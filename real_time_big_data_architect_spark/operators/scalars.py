@@ -171,16 +171,27 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation (the app.py:84-189 analog).
 
     No fan_out: measured at sf0.1, the round-robin exchange of 600 k
-    props strings costs more than the single-split get_json_object pass
-    it parallelizes (0.40 s fanned vs 0.34 s direct, min-of-6 warm). On
+    props strings costs more than the single-split parse pass it
+    parallelizes (0.40 s fanned vs 0.34 s direct, min-of-6 warm). On
     a real lake input splits provide the parallelism and the parse stays
     map-side with zero extra shuffle.
+
+    Parse strategy (r9 drift adjudication): the r7→r8 bench drift
+    (0.26→0.36 s) re-measured isolated min-of-6 as uniform machine
+    drift — but the same pass A/B'd the three Spark 4 parse paths on
+    identical data: get_json_object 0.435 s, from_json(one-field
+    schema) 0.381 s, parse_json→variant 0.355 s. from_json wins among
+    the schema-stable options (Catalyst prunes the parse to the
+    requested field via OptimizeJsonExprs; variant's edge is within
+    noise and its casting semantics are the least SQL-standard), and a
+    declared schema is the right contract at 100 TB anyway — malformed
+    rows become NULL in both engines.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.from_json("props", "k bigint").getField("k").alias("k"),
         )
         .groupBy("event_type")
         .agg(
