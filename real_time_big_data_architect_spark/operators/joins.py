@@ -523,9 +523,23 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fact side appends a deterministic salt (``xxhash64(event_id)
     mod 8``); the dim side replicates 8× (one row per salt); the join
     key becomes ``(event_type, salt)``, spreading each hot key over 8
-    reducers. This is the manual pattern for when the dim is too large
-    to broadcast and AQE's skew split isn't available; the oracle is
-    the plain unsalted join — salting must not change semantics.
+    reducers. The oracle is the plain unsalted join — salting must not
+    change semantics.
+
+    WHEN to salt (decision rule, measured in SCALING.md "Skew posture"
+    r9): salting costs ~1.5× when skew is absent, so it is the THIRD
+    resort, applied only when the ``skew_stats`` diagnostic reports a
+    hot key whose partition would exceed
+    ``skewedPartitionThresholdInBytes`` (skew_ratio ≫ the
+    skewedPartitionFactor, bytes above threshold) AND one of:
+    (1) the dim cannot broadcast; (2) the plan shape disables AQE's
+    splitter — a downstream operator reusing the join's partitioning,
+    or a dim whose own partitioning already satisfies the join (both
+    measured blockers, SCALING.md); (3) the consumer NEEDS the join's
+    partitioning (split would break it, so AQE correctly won't).
+    Otherwise leave it to AQE: the probe shows the splitter halving
+    the skewed join's wall (0.84 → 0.40 s at ×16) exactly when the
+    partition crosses the threshold.
     """
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy("event_type").agg(F.count("*").alias("n_type_events"))
