@@ -626,73 +626,42 @@ MAX_CC_ROUNDS = 16  # backstop only; alternating star contraction
 _CC_SUM_STRIDE = 4294967311
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the embedding-
-    cosine near-dup pair graph, labeling the whole corpus (NS6a).
+def star_contract(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair relation via
+    ALTERNATING LARGE-STAR / SMALL-STAR CONTRACTION (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
 
-    Pairs alone under-deduplicate: if A≈B and B≈C, all three are one
-    duplicate group even when A-C scores below threshold. This operator
-    closes the pair relation into components and emits, per vector, its
-    component id (min member id), the cluster size, and the survivor
-    flag — i.e. the actual "keep one per group" decision a curation
-    pipeline applies before training.
-
-    Distributed algorithm: ALTERNATING LARGE-STAR / SMALL-STAR
-    CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14). State is the edge relation alone — no label
-    table, no self-join, so the double-lineage recompute trap that
-    sank two pointer-doubling attempts (r7: 107 s; r8: 39 s) cannot
-    occur. Per alternation: large-star re-points every node's larger
-    neighbors at its minimum neighbor (one window shuffle on the
-    symmetrized src), then small-star re-points every node and its
-    smaller neighbors at the group minimum (one window shuffle on the
-    canonical big endpoint). Both operations are plain keyed shuffles
-    off ONE relation; at fixpoint every component is a star rooted at
-    its minimum id. Replaced the r8 min-propagation + pointer-jump
-    loop: 11 rounds / 2 actions each → 6 alternations / 1 action each
-    on the same fixture (warm sf0.1 5.6 → ~3.5 s), identical labels.
-
-    Fixpoint detection is EXACT and costs one agg per alternation:
-    each star only ever lowers an edge's partner (never raises), and
-    duplicate-merges remove strictly-positive terms, so
-    Σ(big·STRIDE + small) over the distinct edge set is strictly
-    decreasing on ANY change — "sum unchanged across one full
-    alternation" ⟺ both stars were no-ops. The agg doubles as the
-    action materializing the round's (lazy) ``localCheckpoint``, which
-    truncates lineage (checkpointed scans hide stats, so the loop
-    sizes its own shuffles via ``_loop_shuffle_conf``). At 100 TB the
-    edge list is the (small) LSH/IVF candidate output, not the corpus,
-    and the windows shuffle-partition by node id — no node-sized
-    broadcast anywhere.
-
-    Oracle: DuckDB recursive CTE computes min-reachable-id per node over
-    the same (deterministic, oracle-exact) pair set.
+    ``pairs``: DataFrame with two integer id columns (any names, first
+    two columns used), one row per undirected edge; self-loops and
+    duplicates tolerated. Returns ``(vec_id, comp)`` for every node
+    that appears in an edge, where ``comp`` is the component's minimum
+    member id. See :func:`dedup_clusters` for the algorithm and the
+    exactness argument of the Σ(big·STRIDE + small) fixpoint checksum.
     """
-    from real_time_big_data_architect_spark.operators import similarity
     from pyspark.sql import Window as W
 
     from real_time_big_data_architect_spark.operators.graph import (
         _loop_shuffle_conf,
     )
 
-    pairs = similarity.dedup_embedding_cosine(spark, sf_dir).select(
-        "vec_id_a", "vec_id_b"
-    )
-    # canonical orientation big > small; near-dup pairs are unique but
-    # distinct() keeps the contraction's dedup invariant independent of
-    # the upstream's contract
+    a, b = pairs.columns[0], pairs.columns[1]
+    # canonical orientation big > small; distinct keeps the
+    # contraction's dedup invariant independent of the upstream, and
+    # the big != small filter drops self-loops
     E = (
         pairs.select(
-            F.greatest("vec_id_a", "vec_id_b").alias("big"),
-            F.least("vec_id_a", "vec_id_b").alias("small"),
+            F.greatest(F.col(a), F.col(b)).alias("big"),
+            F.least(F.col(a), F.col(b)).alias("small"),
         )
+        .filter(F.col("big") != F.col("small"))
         .distinct()
         .localCheckpoint(eager=False)
     )
 
     def _checksum(df: DataFrame):
-        # strictly decreasing on any edge change (see docstring); also
-        # the single action that materializes df's lazy checkpoint
+        # strictly decreasing on any edge change (see dedup_clusters
+        # docstring); also the single action that materializes df's
+        # lazy checkpoint
         return df.agg(
             F.sum(
                 F.col("big").cast("decimal(38,0)") * _CC_SUM_STRIDE
@@ -743,11 +712,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             prev_sum = row.s
     # fixpoint: E is (member, root) stars; roots never appear as big
-    labels = E.select(
+    return E.select(
         F.col("big").alias("vec_id"), F.col("small").alias("comp")
     ).unionByName(
         E.select(F.col("small").alias("vec_id"), F.col("small").alias("comp"))
     ).distinct()
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the embedding-
+    cosine near-dup pair graph, labeling the whole corpus (NS6a).
+
+    Pairs alone under-deduplicate: if A≈B and B≈C, all three are one
+    duplicate group even when A-C scores below threshold. This operator
+    closes the pair relation into components and emits, per vector, its
+    component id (min member id), the cluster size, and the survivor
+    flag — i.e. the actual "keep one per group" decision a curation
+    pipeline applies before training.
+
+    Distributed algorithm: ALTERNATING LARGE-STAR / SMALL-STAR
+    CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). State is the edge relation alone — no label
+    table, no self-join, so the double-lineage recompute trap that
+    sank two pointer-doubling attempts (r7: 107 s; r8: 39 s) cannot
+    occur. Per alternation: large-star re-points every node's larger
+    neighbors at its minimum neighbor (one window shuffle on the
+    symmetrized src), then small-star re-points every node and its
+    smaller neighbors at the group minimum (one window shuffle on the
+    canonical big endpoint). Both operations are plain keyed shuffles
+    off ONE relation; at fixpoint every component is a star rooted at
+    its minimum id. Replaced the r8 min-propagation + pointer-jump
+    loop: 11 rounds / 2 actions each → 6 alternations / 1 action each
+    on the same fixture (warm sf0.1 5.6 → ~3.5 s), identical labels.
+
+    Fixpoint detection is EXACT and costs one agg per alternation:
+    each star only ever lowers an edge's partner (never raises), and
+    duplicate-merges remove strictly-positive terms, so
+    Σ(big·STRIDE + small) over the distinct edge set is strictly
+    decreasing on ANY change — "sum unchanged across one full
+    alternation" ⟺ both stars were no-ops. The agg doubles as the
+    action materializing the round's (lazy) ``localCheckpoint``, which
+    truncates lineage (checkpointed scans hide stats, so the loop
+    sizes its own shuffles via ``_loop_shuffle_conf``). At 100 TB the
+    edge list is the (small) LSH/IVF candidate output, not the corpus,
+    and the windows shuffle-partition by node id — no node-sized
+    broadcast anywhere.
+
+    Oracle: DuckDB recursive CTE computes min-reachable-id per node over
+    the same (deterministic, oracle-exact) pair set.
+    """
+    from real_time_big_data_architect_spark.operators import similarity
+    from pyspark.sql import Window as W
+
+    pairs = similarity.dedup_embedding_cosine(spark, sf_dir).select(
+        "vec_id_a", "vec_id_b"
+    )
+    labels = star_contract(spark, pairs)
     labeled = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id")

@@ -445,3 +445,57 @@ def test_simhash_hot_bucket_matches_oracle(spark, tmp_path):
     assert got == want
     hot = [p for p in got if p[0] < 90]
     assert hot and len(hot) <= 90 * dedup.LSH_CHAIN_NEIGHBORS * 2
+
+
+def test_star_contract_worst_case_graphs(spark):
+    """The alternating star contraction (r9) on adversarial shapes: a
+    long path (max-diameter worst case for min-propagation), a big
+    star, a duplicate/self-loop-polluted clique chain, and two disjoint
+    components — labels must equal union-find and converge within the
+    MAX_CC_ROUNDS backstop."""
+    import random
+
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    rng = random.Random(9)
+    edges: list[tuple[int, int]] = []
+    edges += [(i, i + 1) for i in range(100, 356)]          # 257-node path
+    edges += [(1000, 1000 + k) for k in range(1, 64)]       # 64-node star
+    chain = [2000 + k for k in range(24)]                   # cliquey chain
+    edges += [(a, b) for i, a in enumerate(chain) for b in chain[i + 1 : i + 4]]
+    edges += [(5000, 5001), (5001, 5002)]                   # small comp
+    edges += [(e[1], e[0]) for e in edges[:40]]             # reversed dups
+    edges += [(n, n) for n in (100, 1000, 5000)]            # self-loops
+    rng.shuffle(edges)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    df = jvm_local_df(
+        spark, [(a, b) for a, b in edges], "u BIGINT, v BIGINT"
+    )
+    got = {r.vec_id: r.comp for r in dedup.star_contract(spark, df).collect()}
+    nodes = {n for e in edges for n in e}
+    assert set(got) == nodes  # every edge-touched node labeled
+    for n in nodes:
+        assert got[n] == find(n), (n, got[n], find(n))
+
+
+def test_star_contract_empty_and_single_edge(spark):
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    empty = jvm_local_df(spark, [(1, 1)], "u BIGINT, v BIGINT")  # self-loop only
+    assert dedup.star_contract(spark, empty).count() == 0
+    one = jvm_local_df(spark, [(7, 3)], "u BIGINT, v BIGINT")
+    got = {r.vec_id: r.comp for r in dedup.star_contract(spark, one).collect()}
+    assert got == {7: 3, 3: 3}

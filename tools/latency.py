@@ -251,6 +251,43 @@ def main() -> int:
                     (name, f"x{mult}-4chunk", _summarize(merged), wall)
                 )
 
+    # TWS amortization (r8 verdict item 7): the ~1.4 s per-QUERY
+    # Python-worker spawn floor (StreamingPythonRunner, jstack-verified
+    # in ROUND8_NOTES) must be a fixed cost, not a per-tick tax. Drive
+    # N≥10 ticks through ONE long-lived transformWithStateInPandas
+    # query (12 chunk files, maxFilesPerTrigger=1 → 12 micro-batches in
+    # one query) and report batch 1 (carries the spawn) vs the marginal
+    # per-tick latency of batches 2..N.
+    tws_amort: dict | None = None
+    if "stream_transform_with_state" in streamers:
+        with tempfile.TemporaryDirectory() as tmp:
+            _split_events(spark, sf_dir, tmp, n=12)
+            mark = progress.mark()
+            t0 = time.perf_counter()
+            try:
+                streamers["stream_transform_with_state"](spark, tmp).collect()
+                wall = time.perf_counter() - t0
+                durs: list[float] = []
+                for _, events in progress.since(mark):
+                    for e in events:
+                        d = e.get("durationMs", {}) or {}
+                        if "triggerExecution" in d:
+                            durs.append(float(d["triggerExecution"]))
+                if len(durs) >= 10:
+                    tws_amort = {
+                        "ticks": len(durs),
+                        "batch1_ms": durs[0],
+                        "marginal_mean_ms": statistics.fmean(durs[1:]),
+                        "marginal_max_ms": max(durs[1:]),
+                        "wall_s": wall,
+                    }
+                else:
+                    fails.append(
+                        f"tws_amortization: only {len(durs)} ticks observed"
+                    )
+            except Exception as exc:  # noqa: BLE001
+                fails.append(f"tws_amortization: {str(exc)[:150]}")
+
     breaches = [
         (n, s) for n, _, s, _ in rows if s["max_ms"] >= TICK_BUDGET_MS
     ]
@@ -290,6 +327,33 @@ def main() -> int:
                 f" {s['max_ms']:.0f} | {s['mean_ms']:.0f} |"
                 f" {s['state_rows']} | {s['state_mem'] / 1e6:.2f} |"
                 f" {wall:.1f} |\n"
+            )
+        if tws_amort is not None:
+            fh.write(
+                "\n## TWS spawn-floor amortization (one long-lived"
+                " query, 12 ticks)\n\n"
+                "transformWithStateInPandas pays a ~1.4 s per-QUERY"
+                " Python-worker spawn (StreamingPythonRunner,"
+                " ROUND8_NOTES); a production stream pays it once per"
+                " restart, not per tick. Measured on ONE query"
+                " draining 12 chunk files (one micro-batch each):\n\n"
+                f"- ticks: {tws_amort['ticks']}\n"
+                f"- batch 1 (carries session+query spawn):"
+                f" {tws_amort['batch1_ms']:.0f} ms\n"
+                f"- marginal tick (batches 2+): mean"
+                f" {tws_amort['marginal_mean_ms']:.0f} ms, max"
+                f" {tws_amort['marginal_max_ms']:.0f} ms\n"
+                f"- fixed first-batch overhead (batch 1 − marginal"
+                f" mean): {tws_amort['batch1_ms'] - tws_amort['marginal_mean_ms']:.0f} ms"
+                " = spawn + codegen + state-store bring-up, paid ONCE"
+                " per query\n"
+                f"- whole-drain wall: {tws_amort['wall_s']:.1f} s\n\n"
+                "The marginal tick is the honest steady-state number"
+                " at production tick rates (its floor here is the"
+                " per-partition RocksDB open/commit at"
+                " TWS_SHUFFLE_PARTITIONS=16, data-independent at"
+                " fixture scale); the spawn floor is a per-query"
+                " constant, amortized to ~0 across ticks.\n"
             )
         if fails:
             fh.write("\n## failures\n\n")

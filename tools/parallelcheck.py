@@ -18,10 +18,19 @@ executorRunTime exceeds a threshold. One-task stages that are cheap
 one-task stage burning hundreds of ms of executor time is a
 parallelism bug at any scale.
 
+Streaming coverage (r8 verdict item 3): the 20 ``stream_*`` queries
+execute their stateful work and foreachBatch bodies as BATCH jobs
+inside each micro-batch, so the same one-task failure mode can hide
+there — invisible to PLANAUDIT (no static plan) and to LATENCY (wall
+clock only). The streaming section drains every stream query (the
+multi-batch file-source ones over a ×4-scaled 4-chunk corpus, the
+rest over the fixture) and applies the same stage attribution to all
+jobs the drain ran.
+
 Usage::
 
-    python tools/parallelcheck.py             # sf0.1, all batch queries
-    python tools/parallelcheck.py <name> ...  # subset
+    python tools/parallelcheck.py             # batch + streaming audit
+    python tools/parallelcheck.py <name> ...  # subset (batch or stream)
 """
 
 from __future__ import annotations
@@ -59,6 +68,15 @@ ALLOW: dict[str, str] = {
 }
 
 
+#: multi-batch streaming drains run over this ×-scaled 4-chunk corpus
+#: (the LATENCY ×4 shape) so per-batch stages carry real work
+STREAM_SCALE_MULT = 4
+
+#: streaming allowlist — one-task stages verified to be fixture scan
+#: IO or bounded driver-facing finalization, not serialized compute
+STREAM_ALLOW: dict[str, str] = {}
+
+
 def _stages(url: str, appid: str) -> dict:
     rows = []
     for status in ("complete", "skipped"):
@@ -67,6 +85,57 @@ def _stages(url: str, appid: str) -> dict:
         ) as r:
             rows.extend(json.load(r))
     return {(s["stageId"], s["attemptId"]): s for s in rows}
+
+
+def _attribute(name: str, before: dict, after: dict, allow: dict,
+               flags: list, worst_serial: dict) -> None:
+    new = [s for k, s in after.items() if k not in before]
+    worst = 0
+    worst_any = 0
+    for s in new:
+        run_ms = int(s.get("executorRunTime", 0) or 0)
+        if int(s.get("numTasks", 0) or 0) == 1:
+            worst_any = max(worst_any, run_ms)
+            if run_ms >= SERIAL_MS and name not in allow:
+                flags.append((name, s["stageId"], run_ms, 1))
+                worst = max(worst, run_ms)
+    worst_serial[name] = worst_any
+    status = f"FLAG serial stage {worst} ms" if worst else (
+        "ok (allowlisted)" if name in allow else "ok"
+    )
+    print(f"{name:32s} {status}", flush=True)
+
+
+def _audit_streaming(spark, url: str, appid: str, subset: list[str],
+                     flags: list, worst_serial: dict) -> None:
+    """Drain every stream query and attribute its micro-batch stages.
+
+    Multi-batch file-source queries drain the LATENCY ×4 4-chunk
+    corpus (real per-batch work + watermark movement); the rest (CDC /
+    poll / single-file) drain their usual fixture inputs.
+    """
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from latency import MULTI_BATCH, _split_scaled_events
+
+    queries = entrymod.queries()
+    streamers = {k: v for k, v in queries.items() if k.startswith("stream_")}
+    wanted = [n for n in (subset or list(streamers)) if n in streamers]
+    if not wanted:
+        return
+    with tempfile.TemporaryDirectory() as tmp:
+        _split_scaled_events(spark, SF_DIR, tmp, STREAM_SCALE_MULT, n=4)
+        for name in wanted:
+            src = tmp if name in MULTI_BATCH else SF_DIR
+            before = _stages(url, appid)
+            try:
+                streamers[name](spark, src).collect()
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERROR {name}: {exc}")
+                continue
+            after = _stages(url, appid)
+            _attribute(name, before, after, STREAM_ALLOW, flags, worst_serial)
 
 
 def main() -> int:
@@ -83,6 +152,8 @@ def main() -> int:
     flags: list[tuple[str, int, int, int]] = []
     worst_serial: dict[str, int] = {}
     for name in wanted:
+        if name.startswith("stream_"):
+            continue  # audited by the streaming section below
         fn = queries[name]
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -92,36 +163,33 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
             continue
-        new = [s for k, s in after.items() if k not in before]
-        worst = 0
-        worst_any = 0
-        for s in new:
-            run_ms = int(s.get("executorRunTime", 0) or 0)
-            if int(s.get("numTasks", 0) or 0) == 1:
-                worst_any = max(worst_any, run_ms)
-                if run_ms >= SERIAL_MS and name not in ALLOW:
-                    flags.append((name, s["stageId"], run_ms, 1))
-                    worst = max(worst, run_ms)
-        worst_serial[name] = worst_any
-        status = f"FLAG serial stage {worst} ms" if worst else (
-            "ok (allowlisted scan)" if name in ALLOW else "ok"
+        _attribute(name, before, after, ALLOW, flags, worst_serial)
+    # streaming section: full runs always; subsets only when they name
+    # stream queries
+    stream_flags: list[tuple[str, int, int, int]] = []
+    stream_worst: dict[str, int] = {}
+    stream_subset = [n for n in subset if n.startswith("stream_")]
+    if not subset or stream_subset:
+        _audit_streaming(
+            spark, url, appid, stream_subset, stream_flags, stream_worst
         )
-        print(f"{name:32s} {status}")
+    all_flags = flags + stream_flags
     print()
-    if flags:
-        print(f"{len(flags)} serial-stage flags:")
-        for name, sid, ms, _ in sorted(flags, key=lambda t: -t[2]):
+    if all_flags:
+        print(f"{len(all_flags)} serial-stage flags:")
+        for name, sid, ms, _ in sorted(all_flags, key=lambda t: -t[2]):
             print(f"  {name:32s} stage {sid:5d} {ms:6d} ms in 1 task")
     else:
         print("0 serial-stage flags")
     if not subset:  # full run: write the committed artifact
-        _write_md(worst_serial, flags)
+        _write_md(worst_serial, flags, stream_worst, stream_flags)
         print("wrote PARALLEL.md")
     spark.stop()
-    return 1 if flags else 0
+    return 1 if all_flags else 0
 
 
-def _write_md(worst_serial: dict[str, int], flags: list) -> None:
+def _write_md(worst_serial: dict[str, int], flags: list,
+              stream_worst: dict[str, int], stream_flags: list) -> None:
     lines = [
         "# PARALLEL — serial-stage audit (tools/parallelcheck.py)",
         "",
@@ -144,6 +212,31 @@ def _write_md(worst_serial: dict[str, int], flags: list) -> None:
     top = sorted(worst_serial.items(), key=lambda kv: -kv[1])[:20]
     for name, ms in top:
         note = " (allowlisted scan)" if name in ALLOW and ms >= SERIAL_MS else ""
+        lines.append(f"| {name}{note} | {ms} |")
+    lines += [
+        "",
+        "## Streaming (r8 verdict item 3)",
+        "",
+        "Same attribution over every `stream_*` drain's jobs — the"
+        " stateful work and foreachBatch bodies run as batch jobs per"
+        " micro-batch, where the one-task failure mode could hide from"
+        " both PLANAUDIT (no static plan) and LATENCY (wall only)."
+        f" Multi-batch file-source queries drain the ×{STREAM_SCALE_MULT}"
+        " 4-chunk corpus (the LATENCY ×4 shape); CDC/poll/single-file"
+        " queries drain their usual inputs.",
+        "",
+        f"Result: **{len(stream_flags)} flags** over"
+        f" {len(stream_worst)} streaming queries. Worst one-task stage"
+        " per query, top 10:",
+        "",
+        "| query | worst 1-task stage ms |",
+        "|---|---:|",
+    ]
+    for name, ms in sorted(stream_worst.items(), key=lambda kv: -kv[1])[:10]:
+        note = (
+            " (allowlisted)" if name in STREAM_ALLOW and ms >= SERIAL_MS
+            else ""
+        )
         lines.append(f"| {name}{note} | {ms} |")
     lines.append("")
     with open(
