@@ -235,6 +235,66 @@ def x64_probe() -> None:
     spark.stop()
 
 
+def x64graph_probe() -> None:
+    """r9 follow-on: extend the ×64 spot-checks to the GRAPH family —
+    the remaining heavy-shuffle queries without a ×64 row (pagerank's
+    3 power rounds, triangle_count's oriented wedge join, bfs_khop's
+    4-round frontier relaxation). Copies are disjoint subgraphs
+    (user+ts offsets), so the workload is mult× replicas and per-row
+    cost must stay flat-or-falling from ×16 to ×64. These operators
+    materialize stages during construction (persist/localCheckpoint),
+    so each is timed END-TO-END with the cache cleared, exactly like
+    the main probe's e2e section. Run:
+    ``python tools/scalecheck.py x64graph``.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import graph as graph_ops
+
+    spark = get_spark("scalecheck-x64graph")
+    ev_base = load_table(spark, SF_DIR, "events")
+    n_ev = ev_base.count()
+    results = []
+    root = tempfile.mkdtemp(prefix="scale64g_")
+    try:
+        for mult in (16, 64):
+            d = f"{root}/x{mult}"
+            _offset_event_copies(ev_base, mult).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/events.parquet")
+
+            def _timed_e2e(label: str, mk) -> dict:
+                n_rows = n_ev * mult
+                spark.catalog.clearCache()
+                mk().write.format("noop").mode("overwrite").save()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                mk().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                rate = n_rows / dt / 1e6
+                print(
+                    f"{label:16s} x{mult:<3d} {n_rows/1e6:8.2f} Mrows "
+                    f"{dt:7.2f}s  {rate:7.2f} Mrows/s",
+                    flush=True,
+                )
+                return {"op": label, "mult": mult, "rows": n_rows,
+                        "sec": round(dt, 2), "mrows_per_s": round(rate, 2)}
+
+            results.append(_timed_e2e(
+                "pagerank", lambda: graph_ops.pagerank(spark, d)))
+            results.append(_timed_e2e(
+                "triangle_count", lambda: graph_ops.triangle_count(spark, d)))
+            results.append(_timed_e2e(
+                "bfs_khop", lambda: graph_ops.bfs_khop(spark, d)))
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+    spark.stop()
+
+
 def r6_probe() -> None:
     """Scale rows for the round-6 additions that carry real shuffles:
     pq_topk (codebook train + map-side ADC + per-query top-k window),
@@ -733,6 +793,8 @@ if __name__ == "__main__":
         hot_bucket_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "x64":
         x64_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "x64graph":
+        x64graph_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "r6":
         r6_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "r7":
