@@ -491,6 +491,52 @@ def test_star_contract_worst_case_graphs(spark):
         assert got[n] == find(n), (n, got[n], find(n))
 
 
+def test_star_contract_random_graphs_match_union_find(spark):
+    """Property test for the r9 star contraction: on RANDOM edge lists
+    (dense ids → collision-heavy merges, self-loops and duplicate edges
+    included by construction) every node's label equals path-compressed
+    union-find. The fixed adversarial-shape test above locks the known
+    worst cases; this one guards the shapes nobody thought of."""
+    from hypothesis import given, settings, strategies as st
+
+    from real_time_big_data_architect_spark.tables import jvm_local_df
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    )
+    graphs = st.lists(edge, min_size=1, max_size=50)
+
+    @settings(max_examples=10, deadline=None)
+    @given(graphs)
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_, b_ in edges:
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        df = jvm_local_df(spark, edges, "u BIGINT, v BIGINT")
+        got = {
+            r.vec_id: r.comp for r in dedup.star_contract(spark, df).collect()
+        }
+        # every node on a NON-self-loop edge is labeled; pure self-loop
+        # nodes are (documented) absent from the output
+        nodes = {n for a_, b_ in edges if a_ != b_ for n in (a_, b_)}
+        assert set(got) == nodes
+        for n in nodes:
+            assert got[n] == find(n), (n, got[n], find(n))
+
+    check()
+
+
 def test_star_contract_empty_and_single_edge(spark):
     from real_time_big_data_architect_spark.tables import jvm_local_df
 

@@ -198,6 +198,18 @@ def test_estimate_rows_footer_stats(spark, sf_small, tmp_path_factory):
         spark, sf_small, "events"
     ).count()
 
+    # sampled branch (> ROWS_SAMPLE_FOOTERS files): byte-extrapolated
+    # estimate must land within a few percent on near-uniform splits —
+    # loop sizing needs the order of magnitude, not exactness
+    d32 = tmp_path_factory.mktemp("est_rows_sampled")
+    ev = load_table(spark, sf_small, "events")
+    exact = ev.count()
+    ev.repartition(4 * T.ROWS_SAMPLE_FOOTERS).write.parquet(
+        str(d32 / "events.parquet")
+    )
+    est = T.estimate_rows(str(d32), "events")
+    assert abs(est - exact) <= max(1, exact // 10), (est, exact)
+
     # job-free: cold estimate triggers no Spark job
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None) or []
@@ -206,3 +218,4 @@ def test_estimate_rows_footer_stats(spark, sf_small, tmp_path_factory):
     after = tracker.getJobIdsForGroup(None) or []
     assert len(after) == len(before)
     shutil.rmtree(str(d), ignore_errors=True)
+    shutil.rmtree(str(d32), ignore_errors=True)
