@@ -162,6 +162,32 @@ def audit(name: str, df) -> list[str]:
         problems.append("unpartitioned window over data-sized input")
     if "BatchEvalPython" in plan:
         problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    # r8 finding, frozen as an invariant: createDataFrame(<driver list>)
+    # plants a `Scan ExistingRDD` whose RDD lineage crosses the Python
+    # worker (ParallelCollectionRDD → PythonRDD → applySchemaToPythonRDD)
+    # and is re-serialized on EVERY action; it also hides size stats
+    # from AQE. Driver-built relations must go through
+    # tables.jvm_local_df (a JVM LocalTableScan). `localCheckpoint`
+    # leaves print as the same `Scan ExistingRDD` node but their RDD is
+    # a pure-JVM LocalCheckpointRDD — benign, so the check inspects the
+    # leaf RDD's lineage, not the plan text.
+    if "Scan ExistingRDD" in plan:
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            node = it.next()
+            if node.getClass().getSimpleName() != "RDDScanExec":
+                continue
+            dbg = node.rdd().toDebugString()
+            if (
+                "PythonRDD" in dbg
+                or "applySchemaToPythonRDD" in dbg
+                or "ParallelCollectionRDD" in dbg
+            ):
+                problems.append(
+                    "Python-RDD leaf (createDataFrame from driver list)"
+                )
+                break
     del simple
     return problems
 
@@ -192,13 +218,17 @@ def main() -> None:
         "# PLANAUDIT — full-surface physical-plan invariants",
         "",
         "`tools/planaudit.py` compiles every declared batch query at",
-        "sf0.001 and rejects the three plan shapes that do not survive a",
+        "sf0.001 and rejects the four plan shapes that do not survive a",
         "100× scale-up: Cartesian/nested-loop joins between data-sized",
         "relations (dimension-sized scalar broadcasts are allowlisted",
         "with per-query justifications in the tool), unpartitioned",
         "windows over data-sized inputs (dimension-sized aggregates",
-        "allowlisted), and row-at-a-time Python UDFs (every Python",
-        "crossing must be Arrow-batched). Streaming queries are skipped",
+        "allowlisted), row-at-a-time Python UDFs (every Python",
+        "crossing must be Arrow-batched), and Python-RDD leaves from",
+        "`createDataFrame(<driver list>)` (re-serialized through the",
+        "Python worker on every action; driver-built relations must use",
+        "`tables.jvm_local_df` — benign JVM `localCheckpoint` leaves are",
+        "distinguished by RDD lineage). Streaming queries are skipped",
         "here — their plans only exist inside a running query and are",
         "covered by the streaming semantics tests.",
         "",
