@@ -1,0 +1,66 @@
+"""Full-surface SPLIT-INVARIANCE differential (r9 continuation).
+
+Correctness at 100 TB requires results that do not depend on the
+accidents of partitioning: cluster shuffle-partition counts are never
+what they are locally, scans split wherever file/row-group boundaries
+fall, and Arrow transfers batch wherever maxRecordsPerBatch lands.
+Any operator whose result shifts under those knobs (order-dependent
+float accumulation, per-batch instead of per-group kernel state,
+first()/limit without a defined order leaking into a RESULT value) is
+wrong at scale even though the default-config differential passes.
+
+This tool re-runs the ENTIRE declared surface through the same
+DuckDB-oracle hash differential as ``tools/preflight.py``, but on a
+session with adversarially perturbed execution geometry:
+
+- ``spark.sql.shuffle.partitions = 7``  (vs the shipped 32; odd, so
+  hash partitioning regroups every key)
+- ``spark.sql.files.maxPartitionBytes = 32k`` + ``openCostInBytes = 0``
+  (single-file fixtures scan as many splits instead of one)
+- ``spark.sql.execution.arrow.maxRecordsPerBatch = 777`` (every
+  pandas/Arrow kernel sees different batch boundaries — a kernel that
+  accumulates per-frame instead of per-iterator/per-group diverges)
+
+Pass criterion is identical to preflight: every oracle-backed query
+hash-matches DuckDB, rows-only queries run clean. A query green under
+BOTH geometries is measured split-invariant.
+
+Usage::
+
+    python tools/splitcheck.py                  # all queries
+    python tools/splitcheck.py tpch_q5 ...      # a subset
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_big_data_architect_spark.session import get_spark  # noqa: E402
+
+PERTURBED_SHUFFLE = 7
+PERTURBED_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "777",
+}
+
+
+def main() -> int:
+    from tools import preflight
+
+    # preflight.main() builds its session through this hook; rebind it
+    # so the differential runs on the perturbed geometry. getOrCreate
+    # would otherwise re-apply the default shuffle-partition count.
+    preflight.get_spark = lambda name="splitcheck", **kw: get_spark(
+        name,
+        shuffle_partitions=PERTURBED_SHUFFLE,
+        extra_conf=PERTURBED_CONF,
+    )
+    return preflight.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
