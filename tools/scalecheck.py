@@ -245,7 +245,9 @@ def x64graph_probe() -> None:
     materialize stages during construction (persist/localCheckpoint),
     so each is timed END-TO-END with the cache cleared, exactly like
     the main probe's e2e section. Run:
-    ``python tools/scalecheck.py x64graph``.
+    ``python tools/scalecheck.py x64graph [op ...]`` (default: all
+    five graph operators; name a subset to extend the table without
+    re-measuring the rest).
     """
     import json
     import shutil
@@ -253,6 +255,7 @@ def x64graph_probe() -> None:
 
     from real_time_big_data_architect_spark.operators import graph as graph_ops
 
+    only = set(sys.argv[2:])
     spark = get_spark("scalecheck-x64graph")
     ev_base = load_table(spark, SF_DIR, "events")
     n_ev = ev_base.count()
@@ -282,12 +285,18 @@ def x64graph_probe() -> None:
                 return {"op": label, "mult": mult, "rows": n_rows,
                         "sec": round(dt, 2), "mrows_per_s": round(rate, 2)}
 
-            results.append(_timed_e2e(
-                "pagerank", lambda: graph_ops.pagerank(spark, d)))
-            results.append(_timed_e2e(
-                "triangle_count", lambda: graph_ops.triangle_count(spark, d)))
-            results.append(_timed_e2e(
-                "bfs_khop", lambda: graph_ops.bfs_khop(spark, d)))
+            ops = (
+                ("pagerank", graph_ops.pagerank),
+                ("triangle_count", graph_ops.triangle_count),
+                ("bfs_khop", graph_ops.bfs_khop),
+                ("sssp_weighted", graph_ops.sssp_weighted),
+                ("label_propagation", graph_ops.label_propagation),
+            )
+            for op_name, op_fn in ops:
+                if only and op_name not in only:
+                    continue
+                results.append(_timed_e2e(
+                    op_name, lambda f=op_fn: f(spark, d)))
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(root, ignore_errors=True)
