@@ -29,6 +29,9 @@ Usage::
 
     python tools/splitcheck.py                  # all queries
     python tools/splitcheck.py tpch_q5 ...      # a subset
+    python tools/splitcheck.py --conf spark.sql.adaptive.enabled=false \
+        --conf spark.sql.shuffle.partitions=13   # extra geometry axes
+        # (--conf overrides stack on top of the default perturbation)
 """
 
 from __future__ import annotations
@@ -51,13 +54,26 @@ PERTURBED_CONF = {
 def main() -> int:
     from tools import preflight
 
+    conf = dict(PERTURBED_CONF)
+    shuffle = PERTURBED_SHUFFLE
+    # --conf k=v overrides stack on the default perturbation (repeated
+    # flag); consumed here so preflight.main sees only query names
+    while "--conf" in sys.argv:
+        i = sys.argv.index("--conf")
+        k, _, v = sys.argv[i + 1].partition("=")
+        if k == "spark.sql.shuffle.partitions":
+            shuffle = int(v)
+        else:
+            conf[k] = v
+        del sys.argv[i : i + 2]
+
     # preflight.main() builds its session through this hook; rebind it
     # so the differential runs on the perturbed geometry. getOrCreate
     # would otherwise re-apply the default shuffle-partition count.
     preflight.get_spark = lambda name="splitcheck", **kw: get_spark(
         name,
-        shuffle_partitions=PERTURBED_SHUFFLE,
-        extra_conf=PERTURBED_CONF,
+        shuffle_partitions=shuffle,
+        extra_conf=conf,
     )
     return preflight.main()
 
