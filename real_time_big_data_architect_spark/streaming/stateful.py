@@ -938,11 +938,15 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                 for ts_val, eid, etype in zip(
                     pdf["ts"], pdf["event_id"], pdf["event_type"]
                 ):
-                    # FLOOR to ms, matching Spark's own watermark
-                    # arithmetic (event-time µs // 1000): a rounded-up
-                    # ts_ms would exceed the final watermark and the
-                    # stream's last events would never drain
-                    ts_ms = int(ts_val.timestamp() * 1000)
+                    # FLOOR to ms via integer nanoseconds, matching
+                    # Spark's own watermark arithmetic (event-time
+                    # µs // 1000) EXACTLY. The float path
+                    # int(timestamp() * 1000) can floor one ms low when
+                    # the fractional second is not binary-representable
+                    # (float64 eps ≈ 0.4 ms at epoch magnitude), which
+                    # would disagree with the watermark by 1 ms at
+                    # sub-ms timestamps; pd.Timestamp.value is exact.
+                    ts_ms = ts_val.value // 1_000_000
                     if ts_ms <= drained:
                         continue  # late: its prefix was already consumed
                     new.append((ts_ms, int(eid), str(etype)))
