@@ -245,9 +245,12 @@ def x64graph_probe() -> None:
     materialize stages during construction (persist/localCheckpoint),
     so each is timed END-TO-END with the cache cleared, exactly like
     the main probe's e2e section. Run:
-    ``python tools/scalecheck.py x64graph [op ...]`` (default: all
-    five graph operators; name a subset to extend the table without
-    re-measuring the rest).
+    ``python tools/scalecheck.py x64graph [op ...] [mult ...]``
+    (default: all five graph operators at ×16/×64; name a subset to
+    extend the table without re-measuring the rest; bare integers in
+    the argument list override the multiplier steps — e.g.
+    ``x64graph pagerank bfs_khop 64 256`` reproduces the ×256
+    spot-check).
     """
     import json
     import shutil
@@ -255,14 +258,16 @@ def x64graph_probe() -> None:
 
     from real_time_big_data_architect_spark.operators import graph as graph_ops
 
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    mults = tuple(int(a) for a in args if a.isdigit()) or (16, 64)
+    only = {a for a in args if not a.isdigit()}
     spark = get_spark("scalecheck-x64graph")
     ev_base = load_table(spark, SF_DIR, "events")
     n_ev = ev_base.count()
     results = []
     root = tempfile.mkdtemp(prefix="scale64g_")
     try:
-        for mult in (16, 64):
+        for mult in mults:
             d = f"{root}/x{mult}"
             _offset_event_copies(ev_base, mult).write.mode(
                 "overwrite"
