@@ -77,8 +77,28 @@ HEADLINE = [
 ]
 
 
+#: pass-start loadavg above this marks the recorded composite as
+#: contention-tainted (r9 verdict item 3: the committed BENCH_r09 was
+#: recorded at loadavg 8-12 and read 18% worse than r8 purely from
+#: machine noise — the artifact, not just the diagnostics, must say so)
+CONTENTION_LOADAVG = 2.0
+
+
+def _await_idle(max_wait_s: float = 90.0) -> None:
+    """Bounded wait for the 1-minute loadavg to fall under the
+    contention threshold before timing starts. Best-effort: after
+    ``max_wait_s`` the bench proceeds anyway (the per-pass loadavg
+    record + ``contended`` marker then tell the reader what happened)."""
+    deadline = time.monotonic() + max_wait_s
+    while os.getloadavg()[0] > CONTENTION_LOADAVG:
+        if time.monotonic() >= deadline:
+            return
+        time.sleep(5.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _await_idle()
     spark = get_spark("bench")
     qs = workload.build_queries()
 
@@ -186,7 +206,13 @@ def main() -> None:
         # comparison against single-pass baselines
         "timing": "sum_of_min_of_3_interleaved_passes",
         "pass_totals": pass_totals,
+        "loadavg_per_pass": pass_loadavg,
     }
+    if any(la > CONTENTION_LOADAVG for la in pass_loadavg):
+        # loud taint marker IN THE PRIMARY ARTIFACT: numbers below were
+        # recorded on a busy machine and must not be read as a code
+        # regression (r9: uniform ~1.18x inflation at loadavg 8-12)
+        out["contended"] = True
     diagnostics = dict(out)
     if prev:
         # regression ratios use the adjudicated (isolated min-of-3)

@@ -435,12 +435,17 @@ def mv_committed(work: str) -> tuple[int, str] | None:
         return None
 
 
-def make_mv_merge(work: str):
+def make_mv_merge(work: str, fault=None):
     """foreachBatch body maintaining a versioned materialized view.
 
     See :func:`stream_foreachbatch_mv` for the protocol. Factored out
     so the replay-idempotence and crash-safety properties are unit-
     testable without driving a streaming query.
+
+    ``fault(point, batch_id)`` — test-only crash injector, called at
+    the three protocol points (``pre_write`` / ``pre_commit`` /
+    ``post_commit``); raising from it simulates a process death there.
+    Production callers pass ``None`` (a no-op).
     """
     import os
     import shutil
@@ -450,6 +455,8 @@ def make_mv_merge(work: str):
         committed = mv_committed(work)
         if committed is not None and committed[0] >= batch_id:
             return  # replayed batch: already merged, skip (idempotence)
+        if fault is not None:
+            fault("pre_write", batch_id)
         delta = batch_df.groupBy("event_type").agg(
             F.sum(F.col("value").cast("decimal(30,4)")).alias("sum_value"),
             F.count("*").alias("n_events"),
@@ -468,10 +475,14 @@ def make_mv_merge(work: str):
             )
         out_dir = f"{work}/mv_v{batch_id}"
         merged.write.mode("overwrite").parquet(out_dir)
+        if fault is not None:
+            fault("pre_commit", batch_id)
         tmp = f"{work}/LATEST.tmp.{batch_id}"
         with open(tmp, "w") as fh:
             fh.write(f"{batch_id}\n{out_dir}\n")
         os.replace(tmp, f"{work}/LATEST")  # atomic commit point
+        if fault is not None:
+            fault("post_commit", batch_id)
         if committed is not None:  # GC the superseded version
             shutil.rmtree(committed[1], ignore_errors=True)
 
@@ -498,38 +509,11 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from real_time_big_data_architect_spark.operators.sketches import (
         hll_estimate,
-        hll_registers,
     )
 
     work = tempfile.mkdtemp(prefix="hll_mv_")
     ckpt = f"{work}/ckpt"
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        s = batch_df.sparkSession
-        committed = mv_committed(work)
-        if committed is not None and committed[0] >= batch_id:
-            return  # replayed batch (at-least-once): already merged
-        delta = hll_registers(batch_df)
-        if committed is None:
-            merged = delta
-        else:
-            current = s.read.parquet(committed[1])
-            merged = (
-                current.unionByName(delta)
-                .groupBy("event_type", "bucket")
-                .agg(F.max("m").cast("int").alias("m"))
-            )
-        out_dir = f"{work}/regs_v{batch_id}"
-        merged.write.mode("overwrite").parquet(out_dir)
-        tmp = f"{work}/LATEST.tmp.{batch_id}"
-        with open(tmp, "w") as fh:
-            fh.write(f"{batch_id}\n{out_dir}\n")
-        os.replace(tmp, f"{work}/LATEST")  # atomic commit point
-        if committed is not None:
-            shutil.rmtree(committed[1], ignore_errors=True)
-
+    _merge = make_hll_merge(work)
     ev = _events_stream(spark, sf_dir)
     try:
         with _stream_shuffle_conf(spark):
@@ -556,6 +540,53 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def make_hll_merge(work: str, fault=None):
+    """foreachBatch body MAX-merging per-batch HLL registers into the
+    committed register table — same versioned-pointer protocol as
+    :func:`make_mv_merge` (replay skip, write-then-swap, GC), same
+    test-only ``fault`` hook. Factored out so crash recovery is
+    drivable from tests.
+    """
+    import os
+    import shutil
+
+    from real_time_big_data_architect_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        committed = mv_committed(work)
+        if committed is not None and committed[0] >= batch_id:
+            return  # replayed batch (at-least-once): already merged
+        if fault is not None:
+            fault("pre_write", batch_id)
+        delta = hll_registers(batch_df)
+        if committed is None:
+            merged = delta
+        else:
+            current = s.read.parquet(committed[1])
+            merged = (
+                current.unionByName(delta)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("m").cast("int").alias("m"))
+            )
+        out_dir = f"{work}/regs_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out_dir)
+        if fault is not None:
+            fault("pre_commit", batch_id)
+        tmp = f"{work}/LATEST.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{out_dir}\n")
+        os.replace(tmp, f"{work}/LATEST")  # atomic commit point
+        if fault is not None:
+            fault("post_commit", batch_id)
+        if committed is not None:
+            shutil.rmtree(committed[1], ignore_errors=True)
+
+    return _merge
+
+
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a CDC change STREAM to a keyed view — the upsert sink
     Spark lacks natively, completing the CDC triad (cdc_diff produces
@@ -573,81 +604,15 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF feeds at any scale. update_preimage rows are verification
     payload and apply as no-ops.
     """
-    import glob
-    import os
     import shutil
     import tempfile
 
-    from real_time_big_data_architect_spark.operators.mutations import (
-        _cdc_feed,
-        _cdc_v1,
-        _cdc_v2,
-    )
-
     work = tempfile.mkdtemp(prefix="cdc_apply_")
-    feed_dir = f"{work}/feed"
-    os.makedirs(feed_dir)
-    v1 = _cdc_v1(spark, sf_dir)
-    feed = _cdc_feed(v1, _cdc_v2(v1))
-    # feed prep + per-batch merges are delta-sized work: run the whole
-    # query under the streaming shuffle sizing (see _stream_shuffle_conf)
-    # instead of paying 32-task shuffles per tiny job
-    with _stream_shuffle_conf(spark):
-        # split the feed by key parity into two single-file batches so
-        # the drain exercises a genuine multi-batch apply (change types
-        # for one key always travel together — parity is a function of
-        # the key); persist the feed so the second parity branch reads
-        # the cached diff instead of recomputing the v1⋈v2 join
-        feed = feed.persist()
-        try:
-            for i in range(2):
-                tmp_out = f"{work}/part{i}"
-                feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(tmp_out)
-                src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
-                shutil.move(src, f"{feed_dir}/feed{i}.parquet")
-        finally:
-            feed.unpersist()
-        # seed the committed view with v1 as version -1
-        seed_dir = f"{work}/view_seed"
-        v1.write.mode("overwrite").parquet(seed_dir)
-        with open(f"{work}/LATEST.tmp", "w") as fh:
-            fh.write(f"-1\n{seed_dir}\n")
-        os.replace(f"{work}/LATEST.tmp", f"{work}/LATEST")
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        committed = mv_committed(work)
-        if committed is not None and committed[0] >= batch_id:
-            return  # replayed batch: already applied
-        view = s.read.parquet(committed[1])
-        touched = (
-            batch_df.filter(
-                F.col("change_type").isin(
-                    "insert", "update_postimage", "delete"
-                )
-            )
-            .select("o_orderkey")
-            .distinct()
-        )
-        images = batch_df.filter(
-            F.col("change_type").isin("insert", "update_postimage")
-        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-        merged = view.join(touched, "o_orderkey", "left_anti").unionByName(
-            images
-        )
-        out_dir = f"{work}/view_v{batch_id}"
-        merged.write.mode("overwrite").parquet(out_dir)
-        tmp = f"{work}/LATEST.tmp.{batch_id}"
-        with open(tmp, "w") as fh:
-            fh.write(f"{batch_id}\n{out_dir}\n")
-        os.replace(tmp, f"{work}/LATEST")
-        if committed is not None and committed[1] != seed_dir:
-            shutil.rmtree(committed[1], ignore_errors=True)
+    feed_schema, feed_dir, seed_dir = stage_cdc_feed(spark, sf_dir, work)
+    _apply = make_cdc_apply(work, seed_dir)
 
     stream = (
-        spark.readStream.schema(feed.schema)
+        spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "feed*.parquet")
         .parquet(feed_dir)
@@ -678,6 +643,108 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stage_cdc_feed(
+    spark: SparkSession, sf_dir: str, work: str
+) -> tuple:
+    """Stage the CDC fixture for a streaming apply under ``work``:
+    write the parity-split 2-file change feed to ``work/feed`` and seed
+    the committed view pointer with v1 as version -1. Returns
+    ``(feed_schema, feed_dir, seed_dir)``. Factored out of
+    :func:`stream_cdc_apply` so crash-recovery tests can stage the same
+    feed and drive the drain with a fault-injected apply body.
+    """
+    import glob
+    import os
+    import shutil
+
+    from real_time_big_data_architect_spark.operators.mutations import (
+        _cdc_feed,
+        _cdc_v1,
+        _cdc_v2,
+    )
+
+    feed_dir = f"{work}/feed"
+    os.makedirs(feed_dir, exist_ok=True)
+    v1 = _cdc_v1(spark, sf_dir)
+    feed = _cdc_feed(v1, _cdc_v2(v1))
+    # feed prep + per-batch merges are delta-sized work: run the whole
+    # staging under the streaming shuffle sizing (see
+    # _stream_shuffle_conf) instead of paying 32-task shuffles per job
+    with _stream_shuffle_conf(spark):
+        # split the feed by key parity into two single-file batches so
+        # the drain exercises a genuine multi-batch apply (change types
+        # for one key always travel together — parity is a function of
+        # the key); persist the feed so the second parity branch reads
+        # the cached diff instead of recomputing the v1⋈v2 join
+        feed = feed.persist()
+        try:
+            for i in range(2):
+                tmp_out = f"{work}/part{i}"
+                feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(tmp_out)
+                src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+                shutil.move(src, f"{feed_dir}/feed{i}.parquet")
+        finally:
+            feed.unpersist()
+        # seed the committed view with v1 as version -1
+        seed_dir = f"{work}/view_seed"
+        v1.write.mode("overwrite").parquet(seed_dir)
+        with open(f"{work}/LATEST.tmp", "w") as fh:
+            fh.write(f"-1\n{seed_dir}\n")
+        os.replace(f"{work}/LATEST.tmp", f"{work}/LATEST")
+    return feed.schema, feed_dir, seed_dir
+
+
+def make_cdc_apply(work: str, seed_dir: str, fault=None):
+    """foreachBatch body upserting a CDC micro-batch into the committed
+    keyed view — LEFT ANTI on touched keys + union of new images, under
+    the same versioned-pointer protocol as :func:`make_mv_merge`
+    (replay skip, write-then-swap, GC of superseded versions; the v1
+    seed at ``seed_dir`` is never GC'd). Same test-only ``fault`` hook.
+    """
+    import os
+    import shutil
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        committed = mv_committed(work)
+        if committed is not None and committed[0] >= batch_id:
+            return  # replayed batch: already applied
+        if fault is not None:
+            fault("pre_write", batch_id)
+        view = s.read.parquet(committed[1])
+        touched = (
+            batch_df.filter(
+                F.col("change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .select("o_orderkey")
+            .distinct()
+        )
+        images = batch_df.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        merged = view.join(touched, "o_orderkey", "left_anti").unionByName(
+            images
+        )
+        out_dir = f"{work}/view_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out_dir)
+        if fault is not None:
+            fault("pre_commit", batch_id)
+        tmp = f"{work}/LATEST.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}\n{out_dir}\n")
+        os.replace(tmp, f"{work}/LATEST")
+        if fault is not None:
+            fault("post_commit", batch_id)
+        if committed is not None and committed[1] != seed_dir:
+            shutil.rmtree(committed[1], ignore_errors=True)
+
+    return _apply
 
 
 def stream_poll_tick(spark: SparkSession, sf_dir: str) -> DataFrame:

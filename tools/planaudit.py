@@ -172,10 +172,7 @@ def audit(name: str, df) -> list[str]:
     # a pure-JVM LocalCheckpointRDD — benign, so the check inspects the
     # leaf RDD's lineage, not the plan text.
     if "Scan ExistingRDD" in plan:
-        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-        it = leaves.iterator()
-        while it.hasNext():
-            node = it.next()
+        for node in _real_leaves(df._jdf.queryExecution().executedPlan()):
             if node.getClass().getSimpleName() != "RDDScanExec":
                 continue
             dbg = node.rdd().toDebugString()
@@ -190,6 +187,29 @@ def audit(name: str, df) -> list[str]:
                 break
     del simple
     return problems
+
+
+def _real_leaves(plan_node) -> list:
+    """Collect the TRUE leaf SparkPlans of an executed plan.
+
+    With AQE on (the engine default), any plan containing a shuffle or
+    subquery is wrapped in ``AdaptiveSparkPlanExec`` — itself a
+    ``LeafExecNode``, so a bare ``collectLeaves()`` returns only the
+    wrapper and never reaches an ``RDDScanExec`` underneath (r9 advice:
+    this made the Python-RDD-leaf invariant a silent no-op on exactly
+    the shuffled plans it targets). Descend through every adaptive
+    wrapper's ``inputPlan()`` until only real leaves remain."""
+    out: list = []
+    stack = [plan_node]
+    while stack:
+        it = stack.pop().collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                stack.append(leaf.inputPlan())
+            else:
+                out.append(leaf)
+    return out
 
 
 def main() -> None:

@@ -261,6 +261,13 @@ def x64graph_probe() -> None:
     args = sys.argv[2:]
     mults = tuple(int(a) for a in args if a.isdigit()) or (16, 64)
     only = {a for a in args if not a.isdigit()}
+    known = {"pagerank", "triangle_count", "bfs_khop", "sssp_weighted",
+             "label_propagation"}
+    unknown = only - known
+    if unknown:
+        print(f"unknown operator(s) {sorted(unknown)}; "
+              f"valid: {sorted(known)}", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark("scalecheck-x64graph")
     ev_base = load_table(spark, SF_DIR, "events")
     n_ev = ev_base.count()

@@ -60,6 +60,10 @@ def main() -> int:
     # flag); consumed here so preflight.main sees only query names
     while "--conf" in sys.argv:
         i = sys.argv.index("--conf")
+        if i + 1 >= len(sys.argv) or "=" not in sys.argv[i + 1]:
+            print("usage: splitcheck.py [--conf key=value ...] [query ...]",
+                  file=sys.stderr)
+            return 2
         k, _, v = sys.argv[i + 1].partition("=")
         if k == "spark.sql.shuffle.partitions":
             shuffle = int(v)
