@@ -91,14 +91,13 @@ def main() -> None:
         f"- Fully-certified modules: {', '.join(full_mods) or '(none)'}",
         "",
         "The registry order (`plans/workload.py:build_queries`) is "
-        "coverage-aware: position 1..24 carries one query per module "
-        "(never-certified member preferred) so the driver's 50-prefix "
-        "sample keeps all-module stratification, and the remainder of "
-        "the prefix is filled with never-certified queries round-robin "
-        "across modules. Ceiling: with "
-        f"{len(full_mods)} modules already fully certified, at most "
-        f"{50 - len(full_mods)} of the 50 sampled rows can be "
-        "first-time certifications in a round.",
+        "coverage-aware: ALL never-certified queries lead, round-robin "
+        "across modules, then the certified ones (the r6/r7 per-module "
+        "stratification was retired in r10 — with most modules fully "
+        "certified it wasted driver sample slots on already-done "
+        "modules). Every slot of the driver's 50-prefix sample is a "
+        "first-time certification candidate while never-certified "
+        "queries remain.",
         "",
         "| query | module | certified in rounds |",
         "|---|---|---|",

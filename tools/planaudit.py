@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from real_time_big_data_architect_spark.session import get_spark  # noqa: E402
+from real_time_big_data_architect_spark.planchecks import (  # noqa: E402
+    has_python_rdd_leaf as _has_python_rdd_leaf,
+    partitionless_windows as _partitionless_windows,
+    real_leaves as _real_leaves,
+)
+from real_time_big_data_architect_spark.streaming import progress  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -120,39 +126,12 @@ GLOBAL_WINDOW_ALLOW = {
 # "and not arrow-node-present" suppression hid exactly that mix).
 
 
-def _partitionless_windows(plan: str) -> int:
-    """Count Window nodes whose spec has an empty partition list.
-
-    Spark prints ``Window [ ... ], [part keys], [order]`` — a global
-    window shows an empty partition bracket or goes straight from the
-    function list to the ordering spec. Parsed conservatively: we look
-    for ``windowspecdefinition(`` with no leading partition expressions
-    (its argument list starts with the order-by column when no
-    partition keys exist, i.e. the spec contains ``specifiedwindowframe``
-    after exactly one comma-separated ordering expression... too
-    format-dependent); instead use the stable EXPLAIN FORMATTED
-    ``Arguments:`` line, which prints partition specs explicitly.
-    """
-    n = 0
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        args = m.group(1)
-        # spec args: [part...,] order..., frame — partitionless specs
-        # start directly with an ordering expression ("col ASC NULLS
-        # FIRST" / "... DESC"); partitioned specs start with a bare
-        # column (no ASC/DESC before the first comma).
-        head = args.split(",")[0].strip()
-        # unpartitioned + ordered: first arg is an ordering expression;
-        # unpartitioned + unordered: first arg is already the frame
-        if " ASC" in head or " DESC" in head or head.startswith(
-            "specifiedwindowframe"
-        ):
-            n += 1
-    return n
-
-
-def audit(name: str, df) -> list[str]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    simple = df._jdf.queryExecution().simpleString()
+def plan_problems(
+    name: str, plan: str, python_rdd_leaf: bool
+) -> list[str]:
+    """The four invariants over a rendered executed plan. Shared by the
+    batch path (plan + lineage walked here) and the streaming path
+    (plan + lineage captured at drain time by ``progress.record``)."""
     problems = []
     if name not in CROSS_ALLOW and (
         "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
@@ -162,6 +141,16 @@ def audit(name: str, df) -> list[str]:
         problems.append("unpartitioned window over data-sized input")
     if "BatchEvalPython" in plan:
         problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if python_rdd_leaf:
+        problems.append(
+            "Python-RDD leaf (createDataFrame from driver list)"
+        )
+    return problems
+
+
+def audit(name: str, df) -> list[str]:
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     # r8 finding, frozen as an invariant: createDataFrame(<driver list>)
     # plants a `Scan ExistingRDD` whose RDD lineage crosses the Python
     # worker (ParallelCollectionRDD → PythonRDD → applySchemaToPythonRDD)
@@ -170,46 +159,33 @@ def audit(name: str, df) -> list[str]:
     # tables.jvm_local_df (a JVM LocalTableScan). `localCheckpoint`
     # leaves print as the same `Scan ExistingRDD` node but their RDD is
     # a pure-JVM LocalCheckpointRDD — benign, so the check inspects the
-    # leaf RDD's lineage, not the plan text.
-    if "Scan ExistingRDD" in plan:
-        for node in _real_leaves(df._jdf.queryExecution().executedPlan()):
-            if node.getClass().getSimpleName() != "RDDScanExec":
-                continue
-            dbg = node.rdd().toDebugString()
-            if (
-                "PythonRDD" in dbg
-                or "applySchemaToPythonRDD" in dbg
-                or "ParallelCollectionRDD" in dbg
-            ):
-                problems.append(
-                    "Python-RDD leaf (createDataFrame from driver list)"
-                )
-                break
-    del simple
+    # leaf RDD's lineage (through any AQE wrapper — planchecks), not
+    # the plan text.
+    leaf = "Scan ExistingRDD" in plan and _has_python_rdd_leaf(
+        qe.executedPlan()
+    )
+    return plan_problems(name, plan, leaf)
+
+
+def audit_streaming(spark, name: str, fn) -> list[str]:
+    """Run a streaming query's drain and apply the four invariants to
+    every last-micro-batch plan it recorded (r9 verdict item 6 —
+    streaming plans only exist inside a running query, so the capture
+    happens in ``progress.record`` while the drain's JVM objects are
+    alive; plan shape is batch-invariant, so the last batch stands for
+    all). A drain that records no plan at all fails the audit — a
+    silent capture gap must read as a gap, not as green."""
+    tok = progress.mark()
+    fn(spark, SF_DIR)  # drains internally; record() captures plans
+    captured = progress.plans_since(tok)
+    if not captured:
+        return ["no streaming plan captured"]
+    problems: list[str] = []
+    for _sink, info in captured:
+        for p in plan_problems(name, info["plan"], info["python_rdd_leaf"]):
+            if p not in problems:
+                problems.append(p)
     return problems
-
-
-def _real_leaves(plan_node) -> list:
-    """Collect the TRUE leaf SparkPlans of an executed plan.
-
-    With AQE on (the engine default), any plan containing a shuffle or
-    subquery is wrapped in ``AdaptiveSparkPlanExec`` — itself a
-    ``LeafExecNode``, so a bare ``collectLeaves()`` returns only the
-    wrapper and never reaches an ``RDDScanExec`` underneath (r9 advice:
-    this made the Python-RDD-leaf invariant a silent no-op on exactly
-    the shuffled plans it targets). Descend through every adaptive
-    wrapper's ``inputPlan()`` until only real leaves remain."""
-    out: list = []
-    stack = [plan_node]
-    while stack:
-        it = stack.pop().collectLeaves().iterator()
-        while it.hasNext():
-            leaf = it.next()
-            if leaf.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-                stack.append(leaf.inputPlan())
-            else:
-                out.append(leaf)
-    return out
 
 
 def main() -> None:
@@ -217,9 +193,10 @@ def main() -> None:
     qs = entrymod.queries()
     rows = []
     failures = 0
+    streaming_items = []
     for name, fn in sorted(qs.items()):
         if name.startswith("stream_"):
-            rows.append((name, "skip (streaming plan)"))
+            streaming_items.append((name, fn))
             continue
         try:
             df = fn(spark, SF_DIR)
@@ -232,6 +209,21 @@ def main() -> None:
             print(f"FAIL {name}: {problems}", flush=True)
         else:
             rows.append((name, "ok"))
+        spark.catalog.clearCache()
+
+    # streaming section after the batch sweep: each drain RUNS (not just
+    # compiles), so keep it off the batch loop's cache discipline
+    for name, fn in streaming_items:
+        try:
+            problems = audit_streaming(spark, name, fn)
+        except Exception as ex:  # noqa: BLE001
+            problems = [f"DRAIN ERROR: {type(ex).__name__}: {ex}"[:120]]
+        if problems:
+            failures += 1
+            rows.append((name, "FAIL: " + "; ".join(problems)))
+            print(f"FAIL {name}: {problems}", flush=True)
+        else:
+            rows.append((name, "ok (streaming drain)"))
         spark.catalog.clearCache()
 
     lines = [
@@ -248,11 +240,17 @@ def main() -> None:
         "`createDataFrame(<driver list>)` (re-serialized through the",
         "Python worker on every action; driver-built relations must use",
         "`tables.jvm_local_df` — benign JVM `localCheckpoint` leaves are",
-        "distinguished by RDD lineage). Streaming queries are skipped",
-        "here — their plans only exist inside a running query and are",
-        "covered by the streaming semantics tests.",
+        "distinguished by RDD lineage, walked through any AQE wrapper).",
+        "Streaming queries are audited by RUNNING each drain: the last",
+        "micro-batch's executed plan is captured at drain time",
+        "(`streaming.progress.record` via `lastExecution`, the only",
+        "moment a streaming plan exists) and passed through the same",
+        "four invariants — plan shape is batch-invariant, so the last",
+        "batch stands for all. foreachBatch merge bodies run as batch",
+        "jobs and are covered by the batch invariants on their operator",
+        "twins plus the crash-recovery suite.",
         "",
-        f"Result: **{sum(1 for _, s in rows if s == 'ok')} ok, "
+        f"Result: **{sum(1 for _, s in rows if s.startswith('ok'))} ok, "
         f"{failures} failures, "
         f"{sum(1 for _, s in rows if s.startswith('skip'))} skipped** "
         f"of {len(rows)} declared queries.",

@@ -809,6 +809,95 @@ def r7_probe() -> None:
     spark.stop()
 
 
+def x256_probe() -> None:
+    """r9 verdict item 5: extend ×256 scaling evidence beyond the graph
+    family to the shuffle-heaviest non-graph queries —
+    ``dedup_minhash_lsh`` (banded bucket join), ``dedup_clusters``
+    (IVF pair generation + star-contraction CC), ``record_linkage``
+    (DIV-span block self-join + best-match window) and
+    ``bigram_lm_score`` (corpus bigram join). Times each end-to-end at
+    ×64 and ×256 scaled fixture dirs with the shared decorrelation
+    discipline (rotated texts / sign-flipped embeddings / key-offset
+    customers, so copies cannot cross-match); per-row cost must be
+    flat-or-falling from ×64 to ×256. Run:
+    ``python tools/scalecheck.py x256 [mult ...]``.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from real_time_big_data_architect_spark.operators import (
+        dedup as dedup_ops,
+        quality as quality_ops,
+    )
+    from real_time_big_data_architect_spark.plans import workload
+
+    mults = tuple(
+        int(a) for a in sys.argv[2:] if a.isdigit()
+    ) or (64, 256)
+    spark = get_spark("scalecheck-x256")
+    qs = workload.build_queries()
+    doc_base = load_table(spark, SF_DIR, "documents")
+    emb_base = load_table(spark, SF_DIR, "embeddings")
+    cust_base = load_table(spark, SF_DIR, "customer")
+    n_doc, n_emb, n_cust = (
+        doc_base.count(), emb_base.count(), cust_base.count()
+    )
+    results = []
+    root = tempfile.mkdtemp(prefix="scale256_")
+    try:
+        for mult in mults:
+            d = f"{root}/x{mult}"
+            _rotated_doc_copies(doc_base, mult).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+            _flipped_emb_copies(emb_base, mult).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/embeddings.parquet")
+            _scaled(cust_base, "c_custkey", mult, 10_000_000).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/customer.parquet")
+
+            def _timed_e2e(label: str, n_rows: int, mk) -> dict:
+                spark.catalog.clearCache()
+                mk().write.format("noop").mode("overwrite").save()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                mk().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                rate = n_rows / dt / 1e6
+                print(
+                    f"{label:20s} x{mult:<4d} {n_rows/1e6:8.2f} Mrows "
+                    f"{dt:7.2f}s  {rate:7.2f} Mrows/s",
+                    flush=True,
+                )
+                return {"op": label, "mult": mult, "rows": n_rows,
+                        "sec": round(dt, 2), "mrows_per_s": round(rate, 2)}
+
+            results.append(_timed_e2e(
+                "dedup_minhash_lsh", n_doc * mult,
+                lambda: dedup_ops.dedup_minhash_lsh(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "dedup_clusters", n_emb * mult,
+                lambda: dedup_ops.dedup_clusters(spark, d),
+            ))
+            results.append(_timed_e2e(
+                "record_linkage", n_cust * mult,
+                lambda: qs["record_linkage"](spark, d),
+            ))
+            results.append(_timed_e2e(
+                "bigram_lm_score", n_doc * mult,
+                lambda: quality_ops.bigram_lm_score(spark, d),
+            ))
+            spark.catalog.clearCache()
+            shutil.rmtree(d, ignore_errors=True)  # bound disk across mults
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hot":
         hot_bucket_probe()
@@ -816,6 +905,8 @@ if __name__ == "__main__":
         x64_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "x64graph":
         x64graph_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "x256":
+        x256_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "r6":
         r6_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "r7":
