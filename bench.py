@@ -99,6 +99,13 @@ def _await_idle(max_wait_s: float = 90.0) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _await_idle()
+    # contention is judged on the PRE-SESSION reading: once the bench
+    # itself runs, its own 32-thread passes push the 1-minute loadavg
+    # to ~2.5-3.2 (measured), so pass-start values cannot distinguish
+    # self-load from external contention — the r9 incident read 8-12 at
+    # pass start, an order above self-load, and THAT is what the
+    # marker must catch. Per-pass values stay recorded as diagnostics.
+    loadavg_start = round(os.getloadavg()[0], 1)
     spark = get_spark("bench")
     qs = workload.build_queries()
 
@@ -206,9 +213,12 @@ def main() -> None:
         # comparison against single-pass baselines
         "timing": "sum_of_min_of_3_interleaved_passes",
         "pass_totals": pass_totals,
+        "loadavg_start": loadavg_start,
         "loadavg_per_pass": pass_loadavg,
     }
-    if any(la > CONTENTION_LOADAVG for la in pass_loadavg):
+    if loadavg_start > CONTENTION_LOADAVG or any(
+        la > 6.0 for la in pass_loadavg  # order above bench self-load
+    ):
         # loud taint marker IN THE PRIMARY ARTIFACT: numbers below were
         # recorded on a busy machine and must not be read as a code
         # regression (r9: uniform ~1.18x inflation at loadavg 8-12)
