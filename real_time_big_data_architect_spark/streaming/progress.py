@@ -41,6 +41,11 @@ RUNS: list[tuple[int, str, list[dict[str, Any]]]] = []
 PLANS: list[tuple[int, str, dict[str, Any]]] = []
 
 _RUNS_CAP = 4096
+#: plan strings run tens of KB each (vs ~1 KB progress events), so the
+#: plan ledger keeps far fewer entries — 512 × ~30 KB bounds it at
+#: ~15 MB; the audit consumes entries immediately after each drain, so
+#: depth beyond one audit sweep is never needed.
+_PLANS_CAP = 512
 _next_seq = 0
 
 
@@ -105,8 +110,8 @@ def record(q: Any) -> None:
                         },
                     )
                 )
-                if len(PLANS) > _RUNS_CAP:
-                    del PLANS[: len(PLANS) - _RUNS_CAP]
+                if len(PLANS) > _PLANS_CAP:
+                    del PLANS[: len(PLANS) - _PLANS_CAP]
         except Exception:  # noqa: BLE001 — plan capture is best-effort
             pass
         _next_seq += 1

@@ -157,6 +157,93 @@ def test_hll_crash_recovery(spark, events_corpus, tmp_path, point):
     assert got == want
 
 
+def test_stateful_agg_state_rollback_on_replay(
+    spark, events_corpus, tmp_path
+):
+    """The STATE-STORE half of exactly-once (the foreachBatch tests
+    above cover the sink half): kill a stateful streaming aggregation
+    AFTER its micro-batch has executed — so the state stores have
+    committed version N — but before Spark's commit log records the
+    batch. On restart the batch replays; the state stores must load
+    version N-1 (not the half-committed N), or the replayed batch
+    double-counts every row it re-aggregates.
+
+    update-mode emissions are captured per batch; the final per-key
+    value (latest batch wins) must equal the batch-side counts over
+    the whole corpus, and the replayed batch must emit counts
+    IDENTICAL to the killed attempt's state — both only hold under
+    correct state-version rollback."""
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[int, list]] = []
+
+    def sink(crash_at: int | None):
+        fired = {"done": False}
+
+        def _sink(batch_df, batch_id: int) -> None:
+            rows = batch_df.collect()  # full execution: state commits
+            emitted.append((batch_id, rows))
+            if (
+                crash_at is not None
+                and batch_id == crash_at
+                and not fired["done"]
+            ):
+                fired["done"] = True
+                raise RuntimeError("injected crash after state commit")
+
+        return _sink
+
+    def drain(crash_at: int | None) -> None:
+        counts = (
+            stateful._events_stream(spark, events_corpus)
+            .groupBy("event_type")
+            .count()
+        )
+        with stateful._stream_shuffle_conf(spark):
+            q = (
+                counts.writeStream.outputMode("update")
+                .foreachBatch(sink(crash_at))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        drain(crash_at=1)
+    killed_attempt = {
+        r["event_type"]: r["count"] for b, rows in emitted if b == 1
+        for r in rows
+    }
+    drain(crash_at=None)
+
+    replay_attempt = {
+        r["event_type"]: r["count"]
+        for b, rows in emitted[len(emitted) // 2:] if b == 1
+        for r in rows
+    }
+    # the replay re-aggregated from version 0 state, not from the
+    # killed attempt's committed version 1 — identical emissions
+    assert replay_attempt == killed_attempt
+
+    final: dict[str, int] = {}
+    for _b, rows in emitted[2:]:  # post-restart drain only
+        for r in rows:
+            final[r["event_type"]] = r["count"]
+    # seed with pre-crash batch-0 emissions for keys the restart never
+    # re-emitted (their counts did not change after batch 0)
+    for _b, rows in emitted[:1]:
+        for r in rows:
+            final.setdefault(r["event_type"], r["count"])
+    want = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(f"{events_corpus}/events*.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert final == want
+
+
 @pytest.mark.parametrize("point", POINTS)
 def test_cdc_crash_recovery(spark, sf_small, tmp_path, point):
     work = str(tmp_path / "cdc")
