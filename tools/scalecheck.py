@@ -836,6 +836,7 @@ def x256_probe() -> None:
     from real_time_big_data_architect_spark.operators import (
         dedup as dedup_ops,
         quality as quality_ops,
+        similarity as sim_ops,
     )
     from real_time_big_data_architect_spark.plans import workload
 
