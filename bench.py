@@ -248,7 +248,6 @@ def main() -> None:
         if regressed:
             out["regressed_over_1.2x"] = regressed
             diagnostics["regressed_over_1.2x"] = regressed
-    diagnostics["loadavg_per_pass"] = pass_loadavg
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(diagnostics, fh, indent=1, sort_keys=True)

@@ -940,6 +940,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the corpus. Content-fingerprint keyed exactly like
 #: ``_CENTROID_CACHE``, so a regenerated fixture invalidates the stage.
 _PAIR_STAGE: dict[tuple, str] = {}
+_PAIR_STAGE_ATEXIT = False
 
 
 def staged_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +958,12 @@ def staged_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    global _PAIR_STAGE_ATEXIT
+    if not _PAIR_STAGE_ATEXIT:  # last stage dirs die with the process
+        import atexit
+
+        atexit.register(clear_pair_stage)
+        _PAIR_STAGE_ATEXIT = True
     app_id = spark.sparkContext.applicationId
     src_sig = _stat_sig(os.path.join(sf_dir, "embeddings.parquet"))
     key = (app_id, sf_dir, src_sig)

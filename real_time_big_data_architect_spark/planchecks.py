@@ -63,18 +63,40 @@ def partitionless_windows(plan: str) -> int:
 
     Spark prints ``Window [ ... ], [part keys], [order]`` — a global
     window shows an empty partition bracket or goes straight from the
-    function list to the ordering spec. Parsed conservatively from the
-    stable ``windowspecdefinition(...)`` argument shape: partitionless
-    specs start directly with an ordering expression ("col ASC NULLS
-    FIRST" / "... DESC") or with the frame itself; partitioned specs
-    start with a bare column (no ASC/DESC before the first comma).
+    function list to the ordering spec. Parsed from the stable
+    ``windowspecdefinition(...)`` argument shape: partitionless specs
+    start directly with an ordering expression ("col ASC NULLS FIRST"
+    / "... DESC") or with the frame itself; partitioned specs start
+    with a bare expression (no ASC/DESC before the first TOP-LEVEL
+    comma). The first argument is extracted with a paren-aware scan —
+    a naive ``[^)]*`` capture stops at the first ')' inside an
+    expression like ``cast(ts AS bigint) ASC``, silently missing
+    exactly the global windows over computed order keys (r10 review
+    finding).
     """
     n = 0
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        args = m.group(1)
-        head = args.split(",")[0].strip()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        head = _first_top_level_arg(plan, m.end())
         if " ASC" in head or " DESC" in head or head.startswith(
             "specifiedwindowframe"
         ):
             n += 1
     return n
+
+
+def _first_top_level_arg(s: str, start: int) -> str:
+    """The first comma-separated argument of a call whose open paren
+    was just consumed at ``start`` — scanned with paren depth, so
+    nested calls inside the argument do not truncate it."""
+    depth = 0
+    for i in range(start, len(s)):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[start:i].strip()  # single-argument call
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[start:i].strip()
+    return s[start:].strip()

@@ -631,6 +631,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = (
             "o_orderkey bigint, o_orderstatus string, o_totalprice double"
         )
+        if committed is None:  # pointer missing/corrupt: degrade clean
+            return spark.createDataFrame([], schema)
         view = spark.read.parquet(committed[1]).select(
             F.col("o_orderkey").cast("bigint"),
             "o_orderstatus",

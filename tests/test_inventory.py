@@ -39,7 +39,12 @@ def test_registry_order_coverage_aware():
     import os
 
     order = list(workload.build_queries())
-    assert len(order) == len(set(order))
+    declared = set()
+    for mod in workload._MODULES:
+        declared |= mod.QUERIES.keys()
+    # reordering must be a permutation of the declared surface — no
+    # query dropped or invented by the coverage-aware interleave
+    assert set(order) == declared and len(order) == len(declared)
 
     if not os.path.exists("COVERAGE.json"):
         return

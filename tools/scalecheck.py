@@ -840,9 +840,12 @@ def x256_probe() -> None:
     )
     from real_time_big_data_architect_spark.plans import workload
 
-    mults = tuple(
-        int(a) for a in sys.argv[2:] if a.isdigit()
-    ) or (64, 256)
+    bad = [a for a in sys.argv[2:] if not a.isdigit()]
+    if bad:  # no operator filter here — only multiplier overrides
+        print(f"x256 takes only integer multipliers, got {bad}",
+              file=sys.stderr)
+        sys.exit(2)
+    mults = tuple(int(a) for a in sys.argv[2:]) or (64, 256)
     spark = get_spark("scalecheck-x256")
     qs = workload.build_queries()
     doc_base = load_table(spark, SF_DIR, "documents")
