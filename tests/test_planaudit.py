@@ -66,6 +66,31 @@ def test_jvm_local_df_shuffle_passes(spark):
     assert problems == []
 
 
+def test_partitionless_window_parse_is_paren_aware():
+    """r10 review finding: the old [^)]* capture stopped at the first
+    ')' inside the order expression, silently passing global windows
+    over computed keys like cast(ts as bigint)."""
+    from real_time_big_data_architect_spark.planchecks import (
+        partitionless_windows,
+    )
+
+    frame = "specifiedwindowframe(RowFrame, a$(), b$())"
+    cases = [
+        # partitioned, plain order key
+        (f"windowspecdefinition(event_type#12, ts#5 ASC NULLS FIRST, {frame})", 0),
+        # partitioned on a cast key
+        (f"windowspecdefinition(cast(k#1 as bigint), ts#5 ASC NULLS FIRST, {frame})", 0),
+        # partitionless ordered, plain column
+        (f"windowspecdefinition(ts#5 ASC NULLS FIRST, {frame})", 1),
+        # partitionless ordered, parenthesized cast (the regression)
+        (f"windowspecdefinition(cast(ts#5L as bigint) ASC NULLS FIRST, {frame})", 1),
+        # partitionless unordered: frame is the first argument
+        (f"windowspecdefinition({frame})", 1),
+    ]
+    for plan, want in cases:
+        assert partitionless_windows(plan) == want, plan
+
+
 def test_real_leaves_descends_into_adaptive_wrapper(spark, driver_df):
     shuffled = driver_df.groupBy("k").count()
     leaves = _real_leaves(shuffled._jdf.queryExecution().executedPlan())

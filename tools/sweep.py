@@ -132,6 +132,11 @@ def main() -> int:
             "flagged_ratio": r,
             "isolated_min3": best,
             "final_ratio": final,
+            # the re-run happens inside the sweep session, whose own
+            # churn (GC, shuffle cleanup) can inflate it — r10 measured
+            # two in-sweep "survivors" melting to 1.1x on a quiet
+            # machine. Record the loadavg so a reader can tell.
+            "loadavg": round(os.getloadavg()[0], 1),
         }
         timings[name] = min(timings[name], best)
         if final > 1.5:
