@@ -39,9 +39,13 @@ def compact_parquet(
         for p in glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(in_dir).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    # recursiveFileLookup matches the recursive glob above: a plain
+    # parquet read does NOT descend into non-hive subdirectories (the
+    # typical streaming-ingest date layout), so sizing would count
+    # files the read then failed to load (r10 review finding)
+    spark.read.option("recursiveFileLookup", "true").parquet(
+        in_dir
+    ).repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
 
 
@@ -93,6 +97,66 @@ def ingest_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_digest():
+    """Order-insensitive per-row digest over ALL five events columns,
+    engine-portable by construction (r10 review findings):
+
+    - every field is ``coalesce``d to the literal 'null' BEFORE the
+      join, so NULLs hash identically on both engines (bare
+      ``concat_ws`` skips NULL fields — '(a, NULL)' collided with
+      '(a)' and disagreed with the oracle's NULL-propagating ``||``);
+    - ``value`` rides as ``FLOOR(value * 10000)`` — integer
+      fixed-point computed on the IEEE double, bit-identical across
+      engines (a DECIMAL(18,4) cast is not: Spark HALF_UPs the
+      shortest decimal repr while DuckDB rounds the binary double —
+      0.77165 → '0.7717' vs '0.7716');
+    - ``ts`` rides as epoch-µs so timestamp encoding is part of any
+      roundtrip proof.
+    """
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(
+                        F.col("event_id").cast("string"), F.lit("null")
+                    ),
+                    F.coalesce(
+                        F.col("user_id").cast("string"), F.lit("null")
+                    ),
+                    F.coalesce(F.col("event_type"), F.lit("null")),
+                    F.coalesce(
+                        F.unix_micros(F.col("ts")).cast("string"),
+                        F.lit("null"),
+                    ),
+                    F.coalesce(
+                        F.floor(F.col("value") * 10000)
+                        .cast("bigint")
+                        .cast("string"),
+                        F.lit("null"),
+                    ),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+#: DuckDB twin of :func:`_events_digest` — every oracle using the
+#: digest embeds this exact expression.
+_EVENTS_DIGEST_SQL = """CAST(('0x' || substr(md5(
+                     COALESCE(CAST(event_id AS VARCHAR), 'null') || '|' ||
+                     COALESCE(CAST(user_id AS VARCHAR), 'null') || '|' ||
+                     COALESCE(event_type, 'null') || '|' ||
+                     COALESCE(CAST(epoch_us(ts) AS VARCHAR), 'null') || '|' ||
+                     COALESCE(CAST(CAST(FLOOR(CAST(value AS DOUBLE) * 10000)
+                                        AS BIGINT) AS VARCHAR), 'null')
+                   ), 1, 8)) AS BIGINT)"""
+
+
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: small-file compaction preserves content exactly.
 
@@ -100,8 +164,11 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulation), compacts them to target-sized files, and emits the
     compacted copy's row count + order-insensitive digest-sum checksum.
     The oracle computes the same over the ORIGINAL table — equality
-    proves the rewrite moved bytes, not data. This is the verification
-    step every production compaction job should ship with.
+    proves the rewrite moved bytes, not data. The digest covers ALL
+    five columns (r10: it previously skipped ts/value, so a rewrite
+    mangling timestamps or zeroing values would still have passed).
+    This is the verification step every production compaction job
+    should ship with.
     """
     import shutil
     import tempfile
@@ -114,22 +181,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(16).write.mode("overwrite").parquet(f"{work}/frag")
         compact_parquet(spark, f"{work}/frag", f"{work}/compact")
         out = spark.read.parquet(f"{work}/compact")
-        digest = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("event_id").cast("string"),
-                        F.col("user_id").cast("string"),
-                        F.col("event_type"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        digest = _events_digest()
         result = out.agg(
             F.count("*").alias("n_rows"),
             F.sum(digest).alias("content_checksum"),
@@ -166,28 +218,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         ev.write.mode("overwrite").orc(f"{work}/orc")
         out = spark.read.orc(f"{work}/orc")
-        digest = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("event_id").cast("string"),
-                        F.col("user_id").cast("string"),
-                        F.col("event_type"),
-                        F.unix_micros(F.col("ts")).cast("string"),
-                        F.coalesce(
-                            F.col("value").cast("decimal(18,4)")
-                            .cast("string"),
-                            F.lit("null"),
-                        ),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        digest = _events_digest()
         result = out.agg(
             F.count("*").alias("n_rows"),
             F.sum(digest).alias("content_checksum"),
@@ -420,7 +451,14 @@ try:  # Spark 4 Python DataSource WRITE path (the reader twin is
         def abort(self, messages):
             import os
 
+            # PySpark 4.x passes None in place of the commit message
+            # for every FAILED task (abort only runs when one did) —
+            # dereferencing m.path unguarded raised AttributeError,
+            # killed the abort callback, and leaked every temp file
+            # exactly when cleanup mattered (r10 review finding).
             for m in messages:
+                if m is None:
+                    continue
                 try:
                     os.remove(m.path)
                 except OSError:
@@ -539,25 +577,15 @@ ORACLE = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
-    "orc_roundtrip": """
+    "orc_roundtrip": f"""
         SELECT COUNT(*) AS n_rows,
-               CAST(SUM(CAST(('0x' || substr(md5(
-                     CAST(event_id AS VARCHAR) || '|' ||
-                     CAST(user_id AS VARCHAR) || '|' ||
-                     event_type || '|' ||
-                     CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-                     COALESCE(CAST(CAST(round(CAST(value AS DOUBLE), 4)
-                                        AS DECIMAL(18,4)) AS VARCHAR),
-                              'null')), 1, 8)) AS BIGINT)) AS BIGINT)
+               CAST(SUM({_EVENTS_DIGEST_SQL}) AS BIGINT)
                  AS content_checksum
         FROM events
     """,
-    "compaction_roundtrip": """
+    "compaction_roundtrip": f"""
         SELECT COUNT(*) AS n_rows,
-               CAST(SUM(CAST(('0x' || substr(md5(
-                     CAST(event_id AS VARCHAR) || '|' ||
-                     CAST(user_id AS VARCHAR) || '|' ||
-                     event_type), 1, 8)) AS BIGINT)) AS BIGINT)
+               CAST(SUM({_EVENTS_DIGEST_SQL}) AS BIGINT)
                  AS content_checksum
         FROM events
     """,

@@ -3,8 +3,15 @@
 All three run on the batch events table here (Spark's ``window`` and
 ``session_window`` are batch-capable since 3.2) — identical expressions
 drive the streaming variants in ``stateful.py``. Tumbling and session
-shapes are SQL-expressible, so they get DuckDB oracles; sliding
-(overlapping assignment) is declared rows-only.
+shapes are SQL-expressible, so they get DuckDB oracles; sliding's
+overlapping assignment is oracled with a range() cross-join expansion.
+
+Null-ts rows: Spark's ``window``/``session_window`` grouping silently
+DROPS rows whose event-time is NULL (the TimeWindowing rule filters
+them), so every oracle filters ``ts IS NOT NULL`` explicitly — without
+it a null-bearing vintage would keep a NULL-keyed group on the oracle
+side only and fail the differential with a false 'operator wrong'
+signal (r10 review finding; fixtures carry no NULL ts today).
 
 Scale notes: a tumbling agg is an ordinary hash agg on (window, keys) —
 one shuffle; sliding multiplies rows by windows/slide; session windows
@@ -110,6 +117,7 @@ ORACLE = {
                                  - r.range*900) SECOND AS window_start,
                    event_type
             FROM events CROSS JOIN range(4) r
+            WHERE ts IS NOT NULL
         )
         GROUP BY 1, 2, 3
     """,
@@ -119,6 +127,7 @@ ORACLE = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     "session_window_agg": """
@@ -129,6 +138,7 @@ ORACLE = {
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
         ),
         sessions AS (
             SELECT user_id, ts, value,
