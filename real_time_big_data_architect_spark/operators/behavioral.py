@@ -150,31 +150,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event_type — the candlestick rollup.
 
-    open/close are `first_value`/`last_value` over a fully-ordered
-    window (ts, event_id tiebreak) so they are deterministic; high/low
-    are plain min/max. Raw double values pass through un-accumulated,
-    so every output cell is bit-identical to the oracle. The window and
-    the groupBy share the (event_type, hour) key — one shuffle total.
+    open/close are `min_by`/`max_by` over the unique (ts, event_id)
+    key so they are deterministic; high/low are plain min/max. Raw
+    double values pass through un-accumulated, so every output cell is
+    bit-identical to the oracle. The whole bar is ONE hash aggregate
+    on (event_type, hour) — partial map-side combine, no window sort.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ev = ev.withColumn("hour", F.date_trunc("hour", "ts"))
-    w = (
-        W.partitionBy("event_type", "hour")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    framed = ev.select(
-        "event_type",
-        "hour",
-        "value",
-        F.first("value").over(w).alias("open_v"),
-        F.last("value").over(w).alias("close_v"),
-    )
-    return framed.groupBy("event_type", "hour").agg(
-        F.min("open_v").alias("open"),
+    # open/close via min_by/max_by over the unique (ts, event_id) key:
+    # ONE hash aggregate, partial-aggregating map-side — the old
+    # full-frame window pass materialized open_v/close_v on every row
+    # and forced a per-partition sort before the same groupBy (r10
+    # review finding); values are identical because the key is unique.
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("event_type", "hour").agg(
+        F.min_by("value", key).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.min("close_v").alias("close"),
+        F.max_by("value", key).alias("close"),
         F.count("*").alias("n_events"),
     )
 
@@ -236,7 +230,12 @@ def batch_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest exact sequential-pattern plan there is — no self-joins,
     no window chains, and the regex generalizes to any fixed pattern.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # event-time CEP has no position for a row without event time, and
+    # the engines would disagree on one anyway (sort_array sorts NULL
+    # structs FIRST, the oracle's ORDER BY ts defaults NULLS LAST) —
+    # exclude them on both sides (r10 review finding; latent, the
+    # fixtures carry no NULL ts)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     seq = F.array_join(
         F.transform(
             F.sort_array(
@@ -268,6 +267,33 @@ ATTR_WINDOW_S = 7 * 24 * 3600
 ATTR_CHANNELS = ("view", "click", "signup")
 
 
+def _with_prior_touch(ev: DataFrame) -> DataFrame:
+    """Attach each event's most recent PRIOR qualifying touch (type +
+    epoch-seconds) via two last-ignorenulls expressions over ONE
+    user_id window sort — the shared lookback machinery behind
+    attribution_last_touch AND time_to_convert (single source of
+    truth: a one-sided edit to the window frame, channel set, or epoch
+    granularity cannot de-sync the two reports — r10 review finding).
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    return ev.withColumn(
+        "prior_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(
+            w
+        ),
+    ).withColumn(
+        "prior_epoch",
+        F.last(
+            F.when(is_touch, F.unix_timestamp("ts")), ignorenulls=True
+        ).over(w),
+    )
+
+
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: credit each purchase to the
     user's most recent qualifying touch (view/click/signup) within a
@@ -282,22 +308,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
-    prior_type = F.last(
-        F.when(is_touch, F.col("event_type")), ignorenulls=True
-    ).over(w)
-    prior_epoch = F.last(
-        F.when(is_touch, F.unix_timestamp("ts")), ignorenulls=True
-    ).over(w)
-    purchases = (
-        ev.withColumn("prior_type", prior_type)
-        .withColumn("prior_epoch", prior_epoch)
-        .filter(F.col("event_type") == "purchase")
+    purchases = _with_prior_touch(ev).filter(
+        F.col("event_type") == "purchase"
     )
     channel = F.when(
         F.col("prior_type").isNull()
@@ -329,21 +341,8 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both engines interpolate quantiles at (n−1)·p).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
-    prior_type = F.last(
-        F.when(is_touch, F.col("event_type")), ignorenulls=True
-    ).over(w)
-    prior_epoch = F.last(
-        F.when(is_touch, F.unix_timestamp("ts")), ignorenulls=True
-    ).over(w)
     purchases = (
-        ev.withColumn("prior_type", prior_type)
-        .withColumn("prior_epoch", prior_epoch)
+        _with_prior_touch(ev)
         .withColumn("gap_s", F.unix_timestamp("ts") - F.col("prior_epoch"))
         .filter(
             (F.col("event_type") == "purchase")
@@ -359,10 +358,11 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-completeness audit: holes in the global event_id sequence —
-    the ingest check that catches dropped batches (ids are
-    producer-assigned and dense, so every jump > 1 is missing data).
+def detect_id_gaps(ids: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """The PRODUCTION data-completeness detector: holes in a dense
+    producer-assigned id sequence — every jump > 1 is missing data.
+    Run this directly on a real ingest stream; it emits each gap's
+    bounds and width, and nothing when the sequence is dense.
 
     The global successor comes from the sketch-bounded two-pass
     key-lead (functions/ranking.py) — per-partition ``lead`` inside a
@@ -370,29 +370,40 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     via partition minima; deterministic with nothing persisted — NOT
     from ``lead().over(Window.orderBy(id))``, whose single
     unpartitioned window task would serialize the entire id stream at
-    100 TB. Emits each gap's bounds and width, nothing when dense.
+    100 TB.
     """
-    # the fixture's id sequence is dense, so holes are PLANTED (drop
-    # every 101st id — the oracle drops the same ones) and the detector
-    # must recover exactly those
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") % 101 != 0
-    )
-    # fan_out BEFORE the two-pass lead: the fixture scans as one task,
-    # so both the percentile-bounds pass and the pid case-chain
-    # evaluated serially (~1.3 s each at sf0.1, caught by
+    # fan_out BEFORE the two-pass lead: a single-file scan is one task,
+    # so both the percentile-bounds pass and the pid case-chain would
+    # evaluate serially (~1.3 s each at sf0.1, caught by
     # tools/parallelcheck.py); the id column is a few MB to reshuffle
     return (
         range_partitioned_key_lead(
-            fan_out(ev.select("event_id")), "event_id", "next_id"
+            fan_out(ids.select(id_col)), id_col, "next_id"
         )
-        .filter(F.col("next_id") - F.col("event_id") > 1)
+        .filter(F.col("next_id") - F.col(id_col) > 1)
         .select(
-            F.col("event_id").alias("gap_after"),
+            F.col(id_col).alias("gap_after"),
             F.col("next_id").alias("resumes_at"),
-            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+            (F.col("next_id") - F.col(id_col) - 1).alias("n_missing"),
         )
     )
+
+
+def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared DEMO of :func:`detect_id_gaps`: the fixture's id
+    sequence is dense (a real detector run would emit zero rows and
+    verify nothing), so this query SIMULATES dropped batches first —
+    every 101st id is removed, the oracle removes the same ones, and
+    the detector must recover exactly those holes. The simulation
+    lives HERE, in the declared fixture-facing query — the detector
+    itself (above) takes the stream as-is and is what production ingest
+    runs (r10 review: the planting must not be part of the operator, or
+    the audit fabricates gaps on real data).
+    """
+    planted = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 101 != 0
+    )
+    return detect_id_gaps(planted)
 
 
 #: fixed RFM scoring thresholds (days / purchase count / value total).
@@ -593,7 +604,7 @@ ORACLE = {
             SELECT user_id,
                    string_agg(substr(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS seq
-            FROM events GROUP BY user_id
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id
         )
         SELECT user_id,
                CAST(length(seq) AS BIGINT) AS n_events,

@@ -134,6 +134,35 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_spine_filled(ev: DataFrame, with_counts: bool) -> DataFrame:
+    """Per-type hourly aggregate LEFT-joined onto its dense hour spine
+    (``sequence(min_hour, max_hour, 1 hour)`` exploded off a 5-row
+    bounds table) — the shared skeleton behind gapfill_locf AND
+    gapfill_interp (single source of truth for spine granularity and
+    decimal width — r10 review finding). The spine is dimension-sized
+    (groups × hours), never corpus-sized."""
+    aggs = [
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_value")
+    ]
+    if with_counts:
+        aggs.insert(0, F.count("*").alias("n"))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(*aggs)
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        ),
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left")
+
+
 def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timeseries gap-fill + LOCF — the hypertable interpolation pair.
 
@@ -146,22 +175,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on the group key.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"),
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("lo"), F.max("hour").alias("hi")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("hour"),
-    )
-    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    filled = _hourly_spine_filled(ev, with_counts=True)
     w = W.partitionBy("event_type").orderBy("hour")
     return filled.select(
         "event_type",
@@ -288,21 +302,7 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly).
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value")
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("lo"), F.max("hour").alias("hi")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
-            "hour"
-        ),
-    )
-    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    filled = _hourly_spine_filled(ev, with_counts=False)
     base = W.partitionBy("event_type").orderBy("hour")
     wp = base.rowsBetween(W.unboundedPreceding, 0)
     wn = base.rowsBetween(0, W.unboundedFollowing)
@@ -345,7 +345,16 @@ def running_count_distinct_frame(ev: DataFrame) -> DataFrame:
         "event_type",
         "user_id",
         "ts",
-        F.when(F.row_number().over(w_first) == 1, 1)
+        # NULL user_id must not count as a distinct user: the oracle's
+        # COUNT(DISTINCT user_id) OVER excludes NULLs, and the two-
+        # window rewrite would otherwise flag the NULL partition's
+        # first row and run permanently +1 (r10 review finding —
+        # latent, the fixtures carry no NULL user_id)
+        F.when(
+            F.col("user_id").isNotNull()
+            & (F.row_number().over(w_first) == 1),
+            1,
+        )
         .otherwise(0)
         .alias("is_first"),
     )
