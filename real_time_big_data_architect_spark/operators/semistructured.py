@@ -36,8 +36,9 @@ def explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_entries_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map → rows pivot: dynamic JSON keys become rows (N4/N9 analog).
 
-    ``from_json`` to ``MapType`` then ``explode(map_entries(...))`` —
-    the coingecko '{asset: {usd: …}}' pattern on the events.props column.
+    ``from_json`` to ``MapType`` then ``explode`` of the map itself
+    (which yields the two-column key/value shape directly) — the
+    coingecko '{asset: {usd: …}}' pattern on the events.props column.
     """
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
@@ -224,10 +225,10 @@ def corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     kills the job on the first bad byte and silent drops lose data;
     production ingest quarantines with a reason, exactly this shape.
     The oracle replays the classification with ``json_valid`` +
-    ``TRY_CAST`` over the identical generated feed. Map-heavy pass —
-    fan_out spreads the per-row build+parse across cores (serial in
-    the one-task fixture scan otherwise); the only other shuffle is
-    the tiny per-status rollup.
+    ``TRY_CAST`` over the identical generated feed. Pure map pass
+    emitting per-record (o_orderkey, status) rows — the only shuffle
+    is the fan_out repartition spreading the per-row build+parse
+    across cores (serial in the one-task fixture scan otherwise).
     """
     o = fan_out(
         load_table(spark, sf_dir, "orders").select(
@@ -236,15 +237,16 @@ def corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.col("o_orderkey").cast("string")
     c = F.col("o_custkey").cast("string")
+    # ONE definition of the well-formed record; both the untruncated
+    # and the truncated variants derive from it, so the record shape
+    # cannot silently drift between them (r10 review finding)
     good = F.concat(F.lit('{"k":'), k, F.lit(',"c":'), c, F.lit("}"))
     bad_type = F.concat(
         F.lit('{"k":'), k, F.lit(',"c":"x'), c, F.lit('"}')
     )
+    truncated = F.substring(good, 1, F.length(good) - 2)
     raw = (
-        F.when(F.col("o_orderkey") % 7 == 3,
-               F.expr("substring({g}, 1, length({g}) - 2)".format(
-                   g="""concat('{"k":', cast(o_orderkey as string),
-                        ',"c":', cast(o_custkey as string), '}')""")))
+        F.when(F.col("o_orderkey") % 7 == 3, truncated)
         .when(F.col("o_orderkey") % 11 == 5, bad_type)
         .otherwise(good)
     )
@@ -309,13 +311,13 @@ ORACLE = {
     "variant_json": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS n_with_k,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
-               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS min_k,
-               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS max_k
         FROM events GROUP BY event_type
     """,

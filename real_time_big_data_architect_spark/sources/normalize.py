@@ -34,7 +34,16 @@ GITHUB_CLIENT_CAP = 30  # raw[:30], app.py:144
 
 
 def _parsed(df: DataFrame, schema) -> DataFrame:
-    return df.select(F.from_json("payload", schema).alias("p"))
+    """Parse + drop unparseable payloads: ``from_json`` yields NULL for
+    a null or non-JSON payload (an HTML error page from a 200, a
+    truncated body), and without this filter the SCALAR-projection
+    branches emitted one all-NULL phantom row the dashboards then
+    "reported" (r10 review finding — explode branches were immune only
+    because exploding NULL yields no rows). The N1 contract is the
+    same for every branch: unparseable → ZERO rows."""
+    return df.select(F.from_json("payload", schema).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
 
 
 def normalize_openaq(df: DataFrame) -> DataFrame:
@@ -131,7 +140,11 @@ def normalize_fx_rates(df: DataFrame) -> DataFrame:
         _parsed(df, S.FX_RATES)
         .select("p.base", "p.date", F.explode("p.rates").alias("ccy", "rate"))
         .select(
-            F.concat_ws("/", F.col("base"), F.col("ccy")).alias("pair"),
+            # F.concat, not concat_ws: a payload missing 'base' must
+            # surface as a NULL pair, not silently render as the bare
+            # currency code (concat_ws skips NULL fields AND the
+            # separator — r10 review finding)
+            F.concat(F.col("base"), F.lit("/"), F.col("ccy")).alias("pair"),
             "rate",
             "date",
         )
@@ -167,27 +180,17 @@ _BRANCHES = {
     "binance": normalize_binance,
 }
 
-#: tidy output schemas (FIXTURES.md §B), for empty-DF fallbacks
-OUTPUT_SCHEMAS = {
-    "openaq": "city string, parameter string, value double, unit string, updated string",
-    "open_meteo": "temperature_2m double, wind_speed_10m double, time string",
-    "coingecko": "asset string, usd double",
-    "usgs_quakes": "time string, mag double, place string, type string",
-    "spacex": "name string, date_utc string, success boolean, flight_number long",
-    "github_events": "type string, repo string, actor string, created_at string",
-    "nws_alerts": "event string, area string, severity string, sent string",
-    "fx_rates": "pair string, rate double, date string",
-    "iss_now": "latitude string, longitude string, timestamp long",
-    "binance": "symbol string, price string",
-}
-
-
 def empty_result(spark, source: str) -> DataFrame:
-    """N1/N12: null payload or unknown source → empty table with schema."""
-    schema = OUTPUT_SCHEMAS.get(source)
-    if schema is None:
+    """N1/N12: null payload or unknown source → empty table with the
+    branch's EXACT output schema — derived by running the branch over
+    an empty payload relation, so it can never drift from the real
+    projection (r10 review finding: the former hand-maintained DDL
+    table had no parity enforcement; tidy schemas are documented in
+    FIXTURES.md §B)."""
+    branch = _BRANCHES.get(source)
+    if branch is None:
         return spark.createDataFrame([], T.StructType([]))
-    return spark.createDataFrame([], schema)
+    return branch(spark.createDataFrame([], "payload string"))
 
 
 def normalize(df: DataFrame, source: str) -> DataFrame:
