@@ -277,7 +277,12 @@ def test_minhash_kernel_matches_pure_python_reference():
     @given(texts)
     def check(t):
         got = D._minhash_text.func(pd.Series([t]))[0]
-        if not t.strip():
+        # blank guard uses the kernel's ASCII-6 definition (_ASCII_WS,
+        # mirroring the DuckDB oracle's trim set) — full-Unicode
+        # str.strip() would wrongly expect None for texts made of
+        # exotic whitespace like '\x1f', which the kernel (and oracle)
+        # deliberately treat as words
+        if not t.strip(D._ASCII_WS):
             assert got is None
             return
         words = t.split(" ")
@@ -319,7 +324,7 @@ def test_simhash_kernel_matches_pure_python_reference():
     @given(texts)
     def check(t):
         got = D._simhash_text.func(pd.Series([t]))[0]
-        if not t.strip():
+        if not t.strip(D._ASCII_WS):  # ASCII-6 guard — see minhash twin
             assert got is None
             return
         words = t.split(" ")
