@@ -177,7 +177,11 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = d.select("doc_id", perm.alias("shuffle_key")).withColumn(
         "shard", F.pmod("shuffle_key", F.lit(N_SHARDS)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    # doc_id tiebreak: shuffle_key collides whenever two doc_ids agree
+    # mod SHARD_MOD (2^20) — unreachable on the fixture but guaranteed
+    # on scaled corpora with offset ids; without the tiebreak shard_pos
+    # was arrival-order nondeterministic there (r10 review finding)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return sharded.select(
         "doc_id", "shard", "shuffle_key", F.row_number().over(w).alias("shard_pos")
     )
@@ -531,11 +535,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized output, corpus-independent. survival_rate divides
     exact longs into a double, so the hash is bit-stable.
     """
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     dg = F.coalesce(F.md5("text"), F.lit("<NULL>"))
-    w = W.partitionBy(dg).orderBy("doc_id")
+    w = Window.partitionBy(dg).orderBy("doc_id")
     flags = d.select(
         F.col("text").isNotNull().alias("g1"),
         (F.col("n_chars") >= 100).alias("g2"),
@@ -767,7 +769,7 @@ ORACLE = {
     "shuffle_shards": f"""
         SELECT doc_id, shard, shuffle_key,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY shard ORDER BY shuffle_key
+                   PARTITION BY shard ORDER BY shuffle_key, doc_id
                ) AS INT) AS shard_pos
         FROM (
           SELECT doc_id,

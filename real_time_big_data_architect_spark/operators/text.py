@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from real_time_big_data_architect_spark.tables import fan_out, load_table
+from real_time_big_data_architect_spark.tables import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -55,6 +55,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _n_words() -> "F.Column":
+    """Whitespace word count — shared by every text gate."""
+    return F.size(F.split("text", " "))
+
+
+def _mean_word_len(n_words) -> "F.Column":
+    """(chars - spaces) / words as exact-int-into-double — the shared
+    gate formula (single source of truth across text_quality and
+    curate_corpus; the oracles mirror this exact expression)."""
+    return (
+        (F.length("text") - n_words + 1).cast("double")
+        / n_words.cast("double")
+    )
+
+
+def _est_bpe_tokens() -> "F.Column":
+    """ceil(chars/4) — the public BPE rule-of-thumb, exact-integer in
+    both engines; shared by token_count and curate_corpus."""
+    return ((F.col("n_chars") + 3) / 4).cast("bigint")
+
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per doc: whitespace words + a BPE-ish estimate.
 
@@ -65,8 +87,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_words"),
-        ((F.col("n_chars") + 3) / 4).cast("bigint").alias("est_bpe_tokens"),
+        _n_words().alias("n_words"),
+        _est_bpe_tokens().alias("est_bpe_tokens"),
     )
 
 
@@ -78,16 +100,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n_words = F.size(words)
+    n_words = _n_words()
     n_stop = F.size(F.filter(words, lambda wd: wd.isin(*STOPWORDS)))
     return d.select(
         "doc_id",
         "n_chars",
         n_words.alias("n_words"),
         (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
-        (
-            (F.length("text") - n_words + 1).cast("double") / n_words.cast("double")
-        ).alias("mean_word_len"),
+        _mean_word_len(n_words).alias("mean_word_len"),
         (F.col("n_chars") >= 100).alias("len_ok"),
     )
 
@@ -194,14 +214,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     map at 100 TB. This is the shape a pretraining-data curation job
     actually runs.
     """
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    mean_wl = (F.length("text") - n_words + 1).cast("double") / n_words.cast(
-        "double"
-    )
+    n_words = _n_words()
+    mean_wl = _mean_word_len(n_words)
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -217,7 +232,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             n_words.alias("n_words"),
-            ((F.col("n_chars") + 3) / 4).cast("bigint").alias("est_bpe_tokens"),
+            _est_bpe_tokens().alias("est_bpe_tokens"),
         )
     )
 
