@@ -172,8 +172,11 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MAD outlier multiplier (≈ 4.45σ for normal data at MAD·3; the
-#: conventional robust-filter setting)
+#: MAD outlier multiplier. For normal data MAD ≈ 0.6745σ, so 3·MAD
+#: flags at ≈ 2.02σ (~4.3% of a normal tail) — a deliberately
+#: AGGRESSIVE filter; the conventional Iglewicz-Hoaglin 3σ-equivalent
+#: would be MAD_K ≈ 4.45 (the old comment had the equivalence
+#: inverted — r10 review finding)
 MAD_K = 3.0
 
 
@@ -230,8 +233,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with over two slices — no Python, no per-word shuffle rows
     until the explode). The model is two grouped counts over the
     corpus; P(w₂|w₁) = c(w₁w₂)/c(w₁·) joins back per instance, rounds
-    HALF_UP into decimal(16,12) (order-free summation), and the final
-    mean divides as double. At 100 TB the model tables shard on the
+    into decimal(16,12) (order-free summation), and the final mean
+    divides as double. Caveat on the rounding step: Spark HALF_UPs the
+    shortest decimal repr while DuckDB rounds the binary double — the
+    two can disagree when a quotient's 13th digit sits exactly on a
+    half boundary; no fixture quotient does (measured green across
+    both splitcheck geometries), but it is the same latent libm-class
+    fragility documented on source_entropy. At 100 TB the model tables shard on the
     bigram hash; everything is joins and counts.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -443,7 +451,14 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect into a lang-SORTED array and fold in that order
     (``aggregate`` left fold), which the oracle replays with
     ``list(... ORDER BY lang)`` + ``list_reduce``. Counts are exact
-    ints; every division/log is IEEE-identical cross-engine.
+    ints and divisions are IEEE-identical; ``ln`` itself is the one
+    residual libm dependency (IEEE 754 does not require correctly-
+    rounded log, so JVM Math.log and DuckDB ln agreeing to the last
+    ULP is an empirical property of this platform pair — measured
+    green across every fixture and both splitcheck geometries, but a
+    glibc/JVM change could perturb it; the HLL path precomputes its
+    ln table for exactly this reason, which is impossible here because
+    the ratio domain is unbounded).
 
     Scale: (source, lang) cardinality aggregation (tiny), then one
     row per source. The collect_list is bounded by the number of
@@ -487,7 +502,12 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Output is 2·N rows — constant whatever the corpus.
     """
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()  # one scalar action — the profiled table's size
+    # relational scalar total (1-row broadcast cross join, the oracle's
+    # own CTE shape) — the old eager ev.count() ran a full table scan
+    # as a side effect of merely BUILDING the plan, so plan-only
+    # consumers (planaudit, explain) paid a scan per compile, and the
+    # table was scanned again by each branch (r10 review finding)
+    total_rel = F.broadcast(ev.agg(F.count("*").alias("__total")))
 
     def top_for(col: str) -> DataFrame:
         # NULL keys fold to a sentinel BEFORE the sort: Spark ascending
@@ -502,13 +522,15 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), "key_value")
             .limit(SKEW_TOP_N)
+            .crossJoin(total_rel)
             .select(
                 F.lit(col).alias("column_name"),
                 "key_value",
                 "cnt",
-                (F.col("cnt").cast("double") / F.lit(float(total))).alias(
-                    "share"
-                ),
+                (
+                    F.col("cnt").cast("double")
+                    / F.col("__total").cast("double")
+                ).alias("share"),
             )
         )
 

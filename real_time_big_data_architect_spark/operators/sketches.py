@@ -32,6 +32,17 @@ CMS_WIDTH = 1024  # counters per row
 CMS_TOPK = 20  # heavy hitters to estimate
 
 
+def _md5_prefix_bigint(col, ndigits: int):
+    """First ``ndigits`` hex digits of md5 as a bigint — the module's
+    portable-hash convention, defined ONCE (r10 review: three hand
+    copies had to stay in lockstep with the DuckDB mirror idiom
+    ``('0x' || substr(md5(..), 1, n))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, ndigits), 16, 10).cast(
+        "bigint"
+    )
+
+
+
 def _cms_bucket(word, seed: int):
     """Portable bucket hash: first 8 md5 hex digits mod width.
 
@@ -40,9 +51,7 @@ def _cms_bucket(word, seed: int):
     more than xxhash64 but buys a cross-engine-exact sketch; swap in
     xxhash64 at production scale where the oracle isn't replaying.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), word)), 1, 8), 16, 10
-    ).cast("bigint")
+    h = _md5_prefix_bigint(F.concat_ws(":", F.lit(str(seed)), word), 8)
     return F.pmod(h, F.lit(CMS_WIDTH))
 
 
@@ -125,11 +134,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in _CHECKSUM_COLS
     ]
-    row_digest = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
+    row_digest = _md5_prefix_bigint(F.concat_ws("|", *parts), 8)
     return o.agg(
         F.count("*").alias("n_rows"),
         F.sum(row_digest).alias("content_checksum"),
@@ -171,7 +176,13 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift the hash).
     """
     ev = load_table(spark, sf_dir, "events")
-    cutoff = "2024-06-01 00:00:00"
+    # cutoff INSIDE the fixture's data range (events span 2024-01-01 →
+    # 2024-01-30): the old 2024-06-01 cutoff put 100% of rows in base
+    # and made the delta leg empty on every fixture — the oracle then
+    # certified the merge vacuously (r10 review finding). With ~1/3 of
+    # rows in the delta, the full-outer coalesce-sum actually executes
+    # under the incremental ≡ full-recompute differential.
+    cutoff = "2024-01-20 00:00:00"
     dec = lambda c: F.sum(F.col(c).cast("decimal(30,4)"))  # noqa: E731
     base = (
         ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
@@ -233,9 +244,11 @@ HLL_RAW_CUTOFF = 2.5 * HLL_M
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch built RELATIONALLY — the
     mergeable cardinality summary, next to the exact count so the
-    estimate is auditable (raw HLL, no small-range correction: the
-    correction branch needs ln(), and libm would break the cross-engine
-    hash gate).
+    estimate is auditable. The small-range linear-counting correction
+    IS applied (raw ≤ 2.5·m with zero registers): its ln() values are
+    precomputed in Python over the ≤256 possible integer inputs and
+    emitted as literals on both sides (``HLL_LINEAR``), so libm never
+    runs inside either engine and the hash gate holds.
 
     Everything is integer/bit arithmetic until one final division:
     register rank = 53 − length(bin(w)) (binary-string length, not
@@ -261,9 +274,7 @@ def hll_registers(ev: DataFrame) -> DataFrame:
     """(event_type, bucket, m) HLL registers for an events relation —
     the mergeable state: registers from any partition/batch split
     max-merge to the global ones."""
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    h = _md5_prefix_bigint(F.col("user_id").cast("string"), 15)
     parts = ev.select("event_type", h.alias("h")).select(
         "event_type",
         (F.col("h") % HLL_M).cast("int").alias("bucket"),

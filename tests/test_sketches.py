@@ -107,6 +107,49 @@ def test_mv_incremental_equals_full_recompute(spark, sf_small):
     assert inc == full
 
 
+def test_mv_incremental_one_sided_types(spark, tmp_path):
+    """The full-outer merge's one-sided branches, exercised for real
+    (r10 review: the old cutoff put every fixture row in base, so the
+    delta leg — and both absent-side branches — were certified
+    vacuously): one event_type exists only BEFORE the cutoff (delta
+    side NULL), one only AFTER (base side NULL, the branch that would
+    silently drop a brand-new type), one spans it."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    before = dt.datetime(2024, 1, 5)
+    after = dt.datetime(2024, 1, 25)  # cutoff is 2024-01-20
+    rows = [
+        (1, before, 1, "legacy", 1.5, "{}"),
+        (2, before, 2, "legacy", 2.5, "{}"),
+        (3, after, 3, "brand_new", 10.0, "{}"),
+        (4, before, 4, "spanning", 1.0, "{}"),
+        (5, after, 5, "spanning", 2.0, "{}"),
+        (6, after, 6, "null_val", None, "{}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/stage")
+    shutil.move(
+        glob.glob(f"{d}/stage/part-*.parquet")[0], f"{d}/events.parquet"
+    )
+    shutil.rmtree(f"{d}/stage")
+    got = {
+        r.event_type: (r.sum_value, r.n_events)
+        for r in sketches.mv_incremental_refresh(spark, d).collect()
+    }
+    assert got == {
+        "legacy": (4.0, 2),
+        "brand_new": (10.0, 1),
+        "spanning": (3.0, 2),
+        "null_val": (None, 1),  # all-NULL group stays NULL, not 0.0
+    }
+
+
 def test_hll_distinct_replay_and_mergeability(spark, sf_small):
     """Spark's HLL registers/estimate match a bit-exact Python replay;
     registers built on disjoint halves max-merge to the global ones."""

@@ -63,6 +63,8 @@ CROSS_ALLOW = {
     "curation_score",        # corpus size scalar (1 row)
     "cms_heavy_hitters",     # total-count scalar (1 row)
     "skew_stats",            # moment scalars (1 row)
+    "skew_report",           # table-total scalar (1-row broadcast; was
+                             # an eager driver count() before r10)
     "zscore_outliers",       # per-type moment stats (|types| rows)
     "anomaly_mad",           # median/MAD stats (|types| rows)
     "rate_anomaly",          # per-type stats (|types| rows)
