@@ -156,7 +156,14 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle. The whole bar is ONE hash aggregate
     on (event_type, hour) — partial map-side combine, no window sort.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts IS NOT NULL on both sides (r10 advice): min_by/max_by over
+    # struct(ts, event_id) sorts a NULL ts FIRST, while the oracle's
+    # ORDER BY ts, event_id defaults NULLS LAST — a NULL-ts row would
+    # silently flip open/close (same class batch_cep_pattern and
+    # time_windows fixed in r10; fixtures carry no NULL ts today).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev.withColumn("hour", F.date_trunc("hour", "ts"))
     # open/close via min_by/max_by over the unique (ts, event_id) key:
     # ONE hash aggregate, partial-aggregating map-side — the old
@@ -712,7 +719,7 @@ ORACLE = {
                    FIRST_VALUE(value) OVER w AS open_v,
                    LAST_VALUE(value) OVER w AS close_v
             FROM events
-            WHERE value IS NOT NULL
+            WHERE value IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (
                 PARTITION BY event_type, date_trunc('hour', ts)
                 ORDER BY ts, event_id

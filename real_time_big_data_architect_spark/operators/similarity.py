@@ -363,13 +363,16 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
     src_sig = _stat_sig(os.path.join(sf_dir, "embeddings.parquet"))
     key = (app_id, sf_dir, src_sig)
     if key not in _CENTROID_CACHE:
-        # evict dead-session entries AND same-dir entries whose fixture
-        # was since regenerated (stale mtime) — the cache stays at one
-        # live entry per (app, corpus dir)
+        # evict VERIFIED-dead-session entries AND this session's
+        # same-dir entries whose fixture was since regenerated (stale
+        # sig) — the cache stays at one live entry per (app, corpus
+        # dir); a foreign app's entries are never touched while its
+        # context could still be live (r10 advice)
         for stale in [
             k
             for k in _CENTROID_CACHE
-            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_sig)
+            if (k[0] != app_id and _app_gone(k[0]))
+            or (k[0] == app_id and k[1] == sf_dir and k[2] != src_sig)
         ]:
             del _CENTROID_CACHE[stale]
         rows = _centroid_table(spark, sf_dir).collect()
@@ -383,6 +386,25 @@ def _centroid_params(spark: SparkSession, sf_dir: str) -> list:
 #: corpus) and reused by every IVF consumer — exactly how an inverted
 #: -file index is trained offline and then served.
 _CENTROID_CACHE: dict = {}
+
+
+def _app_gone(app_id: str) -> bool:
+    """True iff ``app_id``'s SparkContext is provably dead in THIS
+    process. Classic PySpark allows exactly one active context per
+    process, so an app id that differs from the active context's is
+    gone — but VERIFY rather than assume (r10 advice): if a harness
+    ever holds two live sessions, one must not evict (or rmtree) the
+    other's cache entries out from under a concurrent read.
+    """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    try:
+        return sc is None or sc.applicationId != app_id
+    except Exception:
+        # context mid-shutdown: treat as live; the entry is evicted on
+        # a later call once liveness is decidable
+        return False
 
 
 def _cell_structs_sql(cents: list, emb: str = "embedding") -> str:
@@ -622,10 +644,12 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
     src_sig = _stat_sig(os.path.join(sf_dir, "embeddings.parquet"))
     key = (app_id, sf_dir, src_sig)
     if key not in _PQ_CACHE:
+        # same verified-dead / own-stale discipline as _CENTROID_CACHE
         for stale in [
             k
             for k in _PQ_CACHE
-            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_sig)
+            if (k[0] != app_id and _app_gone(k[0]))
+            or (k[0] == app_id and k[1] == sf_dir and k[2] != src_sig)
         ]:
             del _PQ_CACHE[stale]
         emb = load_table(spark, sf_dir, "embeddings")
@@ -972,10 +996,15 @@ def staged_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):  # staging dir swept externally: rebuild instead of failing
         del _PAIR_STAGE[key]
     if key not in _PAIR_STAGE:
+        # rmtree is destructive for a concurrent reader, so a foreign
+        # app's staged dir is deleted ONLY when its context is verified
+        # gone; this session's own stage is content-invalidated on a
+        # regenerated fixture exactly like the model caches (r10 advice)
         for stale in [
             k
             for k in _PAIR_STAGE
-            if k[0] != app_id or (k[1] == sf_dir and k[2] != src_sig)
+            if (k[0] != app_id and _app_gone(k[0]))
+            or (k[0] == app_id and k[1] == sf_dir and k[2] != src_sig)
         ]:
             shutil.rmtree(_PAIR_STAGE.pop(stale), ignore_errors=True)
         d = tempfile.mkdtemp(prefix="pair_stage_")

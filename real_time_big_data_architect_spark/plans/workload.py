@@ -80,61 +80,81 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        the ledger of every ``hash_match`` the driver has ever recorded,
        regenerated per round by ``tools/coverage.py``), round-robin
        across modules so no single big module monopolizes the sample.
-    2. Then: all already-certified queries, round-robin across modules.
+    2. Then: all already-certified queries in LEAST-RECENTLY-certified
+       order (r10 verdict item 2, the post-closure policy): ascending by
+       the round of each query's most recent driver certification, so
+       once all 258 are certified the 50-prefix sample continuously
+       re-certifies the stalest queries and every query's external
+       certification refreshes on a ~258/50 ≈ 5-round cycle instead of
+       freezing at its first pass. This is self-rotating: the ~50
+       queries the driver samples this round become the MOST recently
+       certified and sink to the back of next round's order.
 
-    The r6/r7 all-module stratification (one lead query per module) is
-    retired: 14/24 modules are fully certified, so reserving a prefix
-    slot per module wastes ~14 of the driver's 50 sample slots on
-    already-done modules, capping first-time certifications at ~36/50.
-    Packing never-certified first makes all 50 slots productive.
+    The r6/r7 all-module stratification (one lead query per module) was
+    retired in r10: with most modules fully certified, reserving a
+    prefix slot per module wasted driver sample slots on already-done
+    modules. Packing never-certified first makes all 50 slots
+    productive while any remain.
 
-    Within each (module, certified?) partition the declared order is
-    rotated by the round number, so repeat picks differ round over
-    round. Stable WITHIN a round: COVERAGE.json and PROGRESS.jsonl are
-    committed artifacts, so the driver's sample and the committed
-    preflight see the same order."""
+    Within the uncertified tier (per module) and within each
+    equal-last-round cohort of the certified tier, the order is rotated
+    by the round number so repeat picks differ round over round even if
+    a driver artifact fails to land. Stable WITHIN a round:
+    COVERAGE.json and PROGRESS.jsonl are committed artifacts, so the
+    driver's sample and the committed preflight see the same order."""
     rot = _round_number()
-    certified = _certified_queries()
+    last_cert = _certification_last_round()
     seen: set[str] = set()
     uncert_tiers: list[list[tuple[str, Callable[[SparkSession, str], DataFrame]]]] = []
-    cert_tiers: list[list[tuple[str, Callable[[SparkSession, str], DataFrame]]]] = []
+    certified: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = []
     for mod in _MODULES:
         overlap = seen & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         seen |= mod.QUERIES.keys()
-        unc = [kv for kv in mod.QUERIES.items() if kv[0] not in certified]
-        cer = [kv for kv in mod.QUERIES.items() if kv[0] in certified]
+        unc = [kv for kv in mod.QUERIES.items() if kv[0] not in last_cert]
+        certified.extend(kv for kv in mod.QUERIES.items() if kv[0] in last_cert)
         if unc:
             k = rot % len(unc)
             unc = unc[k:] + unc[:k]
-        if cer:
-            k = rot % len(cer)
-            cer = cer[k:] + cer[:k]
         uncert_tiers.append(unc)
-        cert_tiers.append(cer)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for tiers in (uncert_tiers, cert_tiers):
-        for tier in zip_longest(*tiers):
-            for item in tier:
-                if item is not None:
-                    out[item[0]] = item[1]
+    for tier in zip_longest(*uncert_tiers):
+        for item in tier:
+            if item is not None:
+                out[item[0]] = item[1]
+    # Certified tier: LRU cohorts (same last-certified round), each
+    # name-sorted then rotated by the round number.
+    cohorts: dict[int, list[tuple[str, Callable[[SparkSession, str], DataFrame]]]] = {}
+    for kv in certified:
+        cohorts.setdefault(last_cert[kv[0]], []).append(kv)
+    for rnd in sorted(cohorts):
+        cohort = sorted(cohorts[rnd], key=lambda kv: kv[0])
+        k = rot % len(cohort)
+        for key, fn in cohort[k:] + cohort[:k]:
+            out[key] = fn
     return out
 
 
-def _certified_queries() -> frozenset[str]:
-    """Queries the driver has EVER hash-certified (COVERAGE.json, the
-    committed ledger regenerated by ``tools/coverage.py`` from every
-    ``CORRECTNESS_r*.json``). Empty set when absent (bare clone) —
-    the order then degrades to the plain stratified round-robin."""
+def _certification_last_round() -> dict[str, int]:
+    """Per-query MOST RECENT driver-certification round (COVERAGE.json,
+    the committed ``{query: [rounds hash-certified]}`` ledger regenerated
+    by ``tools/coverage.py`` from every ``CORRECTNESS_r*.json``). Empty
+    dict when absent (bare clone) — the order then degrades to the plain
+    per-module round-robin of the uncertified tier."""
     import json
     import os
 
     path = os.path.join(_repo_root(), "COVERAGE.json")
     try:
-        return frozenset(json.load(open(path)))
-    except (OSError, ValueError, TypeError):
-        return frozenset()
+        ledger = json.load(open(path))
+        return {
+            q: max(rounds)
+            for q, rounds in ledger.items()
+            if isinstance(rounds, list) and rounds
+        }
+    except (OSError, ValueError, TypeError, AttributeError):
+        return {}
 
 
 def _repo_root() -> str:

@@ -29,12 +29,15 @@ def test_inventory_matches_registry():
 
 
 def test_registry_order_coverage_aware():
-    """r9 verdict item 1: the driver samples the first ~50 registry
-    keys, so EVERY never-externally-certified query (COVERAGE.json)
-    must precede every certified one — no sample slot may be spent on
-    an already-certified query while uncertified ones remain (the r6/r7
-    per-module stratification that reserved one lead slot per module
-    was retired in r10 once most modules were fully certified)."""
+    """r9 verdict item 1 + r10 verdict item 2: the driver samples the
+    first ~50 registry keys, so (a) EVERY never-externally-certified
+    query (COVERAGE.json) must precede every certified one — no sample
+    slot may be spent on an already-certified query while uncertified
+    ones remain — and (b) the certified tier must be in
+    LEAST-RECENTLY-certified order (non-decreasing last-certified
+    round), so after full closure the sample continuously re-certifies
+    the stalest queries on a ~5-round cycle instead of freezing each
+    query at its first pass."""
     import json
     import os
 
@@ -48,12 +51,12 @@ def test_registry_order_coverage_aware():
 
     if not os.path.exists("COVERAGE.json"):
         return
-    certified = set(json.load(open("COVERAGE.json")))
-    never = [q for q in order if q not in certified]
+    ledger = json.load(open("COVERAGE.json"))
+    never = [q for q in order if q not in ledger]
     if never:
         last_never = max(order.index(q) for q in never)
         first_cert = min(
-            (order.index(q) for q in order if q in certified),
+            (order.index(q) for q in order if q in ledger),
             default=len(order),
         )
         assert last_never < first_cert, (
@@ -61,3 +64,8 @@ def test_registry_order_coverage_aware():
             f"first certified at {first_cert}, "
             f"last never-certified at {last_never}"
         )
+    cert_rounds = [max(ledger[q]) for q in order if q in ledger]
+    assert cert_rounds == sorted(cert_rounds), (
+        "certified tier is not least-recently-certified order: "
+        "last-certified rounds must be non-decreasing along the registry"
+    )

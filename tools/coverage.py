@@ -92,12 +92,13 @@ def main() -> None:
         "",
         "The registry order (`plans/workload.py:build_queries`) is "
         "coverage-aware: ALL never-certified queries lead, round-robin "
-        "across modules, then the certified ones (the r6/r7 per-module "
-        "stratification was retired in r10 — with most modules fully "
-        "certified it wasted driver sample slots on already-done "
-        "modules). Every slot of the driver's 50-prefix sample is a "
-        "first-time certification candidate while never-certified "
-        "queries remain.",
+        "across modules, then the certified ones in LEAST-RECENTLY-"
+        "certified order (ascending last-certified round — the r10 "
+        "verdict's post-closure policy). Every slot of the driver's "
+        "50-prefix sample is a first-time certification candidate while "
+        "never-certified queries remain; once all are certified, the "
+        "sample continuously re-freshens the stalest certifications on "
+        "a ~258/50 ≈ 5-round cycle.",
         "",
         "| query | module | certified in rounds |",
         "|---|---|---|",
