@@ -83,17 +83,49 @@ HEADLINE = [
 #: machine noise — the artifact, not just the diagnostics, must say so)
 CONTENTION_LOADAVG = 2.0
 
+#: per-pass loadavg ceiling: the bench's own 32-thread passes push the
+#: 1-minute loadavg to ~2.5-3.2 (measured), so a pass-start reading an
+#: order above that is EXTERNAL contention, not self-load
+PASS_LOADAVG_CEILING = 6.0
 
-def _await_idle(max_wait_s: float = 90.0) -> None:
+
+def _await_idle(max_wait_s: float = 270.0) -> None:
     """Bounded wait for the 1-minute loadavg to fall under the
     contention threshold before timing starts. Best-effort: after
     ``max_wait_s`` the bench proceeds anyway (the per-pass loadavg
-    record + ``contended`` marker then tell the reader what happened)."""
+    record + ``contended`` marker then tell the reader what happened).
+    The budget was 90 s through r10; the r10 driver artifact recorded
+    loadavg_start 3.5 on a machine that DID quiet later in the session,
+    so the primary artifact carried a contaminated number while the
+    clean re-run lived one file over — waiting a few minutes longer is
+    the cheaper fix (r10 verdict item 3)."""
     deadline = time.monotonic() + max_wait_s
     while os.getloadavg()[0] > CONTENTION_LOADAVG:
         if time.monotonic() >= deadline:
             return
         time.sleep(5.0)
+
+
+def _await_pass_window(attempts_left: list[int]) -> float:
+    """Sleep-and-retry at a PASS boundary when the 1-minute loadavg
+    exceeds the per-pass ceiling (r10 verdict item 3): instead of only
+    marking the artifact ``contended``, idle-wait (bounded — shared
+    budget of 3 waits × 120 s across the whole run) for the external
+    load to depart before timing the pass, so the PRIMARY round JSON is
+    clean whenever the machine quiets within the session. Self-load
+    decays too while sleeping (nothing runs during the wait), so a
+    reading that stays above the ceiling is genuinely external.
+    Returns the loadavg the pass actually starts at."""
+    la = os.getloadavg()[0]
+    while la > PASS_LOADAVG_CEILING and attempts_left[0] > 0:
+        attempts_left[0] -= 1
+        deadline = time.monotonic() + 120.0
+        while time.monotonic() < deadline:
+            time.sleep(10.0)
+            la = os.getloadavg()[0]
+            if la <= PASS_LOADAVG_CEILING:
+                break
+    return la
 
 
 def main() -> None:
@@ -132,8 +164,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
     pass_loadavg: list[float] = []  # cold-start/contention marker per pass
+    idle_retries = [3]  # bounded sleep-and-retry budget, shared across passes
     for _pass in range(3):
-        pass_loadavg.append(round(os.getloadavg()[0], 1))
+        pass_loadavg.append(round(_await_pass_window(idle_retries), 1))
         # drop the previous pass's dead persisted relations: each
         # qs[name]() call builds NEW DataFrames, so earlier passes'
         # persist()s are unreachable yet still occupy storage memory —
@@ -216,8 +249,13 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_per_pass": pass_loadavg,
     }
+    if idle_retries[0] < 3:
+        # the retry machinery acted: record how many bounded idle-waits
+        # were spent so the reader can tell a quieted machine (clean
+        # numbers after waiting) from a never-contended one
+        out["idle_retries"] = 3 - idle_retries[0]
     if loadavg_start > CONTENTION_LOADAVG or any(
-        la > 6.0 for la in pass_loadavg  # order above bench self-load
+        la > PASS_LOADAVG_CEILING for la in pass_loadavg
     ):
         # loud taint marker IN THE PRIMARY ARTIFACT: numbers below were
         # recorded on a busy machine and must not be read as a code
