@@ -41,7 +41,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle pipeline.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     flagged = ev.withColumn(
         "is_new",
@@ -284,7 +284,7 @@ def _with_prior_touch(ev: DataFrame) -> DataFrame:
     """
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, -1)
     )
     is_touch = F.col("event_type").isin(*ATTR_CHANNELS)

@@ -99,7 +99,15 @@ def _loop_shuffle_conf(spark: SparkSession, n_rows: int):
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # NULLS LAST explicitly (r11 review): Spark ASC defaults NULLS
+    # FIRST while the oracles' ORDER BY ts defaults NULLS LAST in
+    # DuckDB — a NULL-ts event would shift the whole LEAD sequence and
+    # silently change the edge list for every graph query (same latent
+    # class as the r10 batch_cep_pattern/ohlc_bars fixes; fixtures
+    # carry no NULL ts today, so hashes are unchanged)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     hops = ev.select(
         "user_id", F.lead("user_id").over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
@@ -219,7 +227,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    return count_triangles(und)
+    # count_triangles materializes its 1-row result before returning,
+    # so the edge cache can release immediately (r11 review: this used
+    # to leak two persisted relations per invocation — the same cache
+    # hygiene bfs_khop/pagerank adopted in r8)
+    result = count_triangles(und)
+    und.unpersist()
+    return result
 
 
 def count_triangles(und: DataFrame) -> DataFrame:
@@ -258,7 +272,14 @@ def count_triangles(und: DataFrame) -> DataFrame:
     )
     n_edges = und.agg(F.count("*").alias("n_edges"))
     n_tri = closed.agg(F.count("*").alias("n_triangles"))
-    return n_edges.crossJoin(n_tri)
+    # materialize the 1-row result, then release the wedge cache: the
+    # returned (persisted) relation serves later consumption from the
+    # cache instead of re-running the degree joins without their
+    # shuffle-reuse (bfs_khop cache-hygiene convention)
+    out = n_edges.crossJoin(n_tri).persist()
+    out.count()
+    oriented.unpersist()
+    return out
 
 
 #: BFS seed rule and hop bound: every 97th user seeds the frontier,

@@ -140,7 +140,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("kind").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = tagged.withColumn(
@@ -227,7 +227,7 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("view_event_id"),
         )
     )
-    base = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("kind").asc())
+    base = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("kind").asc())
     wb = base.rowsBetween(W.unboundedPreceding, 0)
     wf = base.rowsBetween(0, W.unboundedFollowing)
     view_ts = F.when(F.col("kind") == 0, F.col("ts"))

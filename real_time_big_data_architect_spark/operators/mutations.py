@@ -83,12 +83,12 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole build is one shuffle + two in-stage sorts.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     flagged = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
     )
-    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     return flagged.select(
         "user_id",
         "event_type",

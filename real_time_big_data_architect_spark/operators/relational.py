@@ -213,13 +213,19 @@ ORACLE = {
     "topk_order_limit": """
         SELECT event_id, ts, event_type, value
         FROM events
-        ORDER BY ts DESC, event_id DESC
+        -- DESC NULLS LAST explicitly (r11 review): Spark's DESC sorts
+        -- NULLs LAST while DuckDB's DESC defaults NULLS FIRST - a
+        -- NULL-ts event must not outrank every real one as "latest"
+        ORDER BY ts DESC NULLS LAST, event_id DESC
         LIMIT 1
     """,
     "lastk_tail": """
         SELECT event_id, ts, value
         FROM events
-        ORDER BY ts DESC, event_id DESC
+        -- DESC NULLS LAST explicitly (r11 review): Spark's DESC sorts
+        -- NULLs LAST while DuckDB's DESC defaults NULLS FIRST - a
+        -- NULL-ts event must not outrank every real one as "latest"
+        ORDER BY ts DESC NULLS LAST, event_id DESC
         LIMIT 30
     """,
 }

@@ -189,8 +189,16 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(dec("value").alias("sum_value"), F.count("*").alias("n_events"))
     )
+    # NULL ts routes to the delta leg explicitly (r11 adversarial
+    # finding): ts only PARTITIONS rows between the legs — the view's
+    # key is event_type — and a bare >= leaves NULL-ts rows in NEITHER
+    # leg, silently breaking the incremental ≡ full-recompute invariant
+    # the oracle certifies
     delta = (
-        ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        ev.filter(
+            (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+            | F.col("ts").isNull()
+        )
         .groupBy("event_type")
         .agg(dec("value").alias("d_sum_value"), F.count("*").alias("d_n_events"))
     )

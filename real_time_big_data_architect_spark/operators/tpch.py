@@ -753,8 +753,12 @@ ORACLE = {
         WHERE p_brand <> 'Brand#1'
           AND p_type <> 'PROMO'
           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0)
+          -- NOT EXISTS, not NOT IN (r11 review): the engine plans a
+          -- left-anti join, whose NULL semantics match NOT EXISTS; a
+          -- NULL s_suppkey in the subquery would make NOT IN reject
+          -- every row while the anti join keeps them
+          AND NOT EXISTS (SELECT 1 FROM supplier
+                          WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
     """,
     "tpch_q17": """

@@ -164,8 +164,12 @@ def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _ols_kernel); fully oracle-checked because the kernel avoids
     float accumulation entirely (as does weighted_mean_agg since r5).
     """
+    # ts IS NOT NULL too (r11 adversarial finding): a NaT reaching the
+    # kernel's epoch-µs astype("int64") crashes the whole group, and a
+    # timeless point contributes nothing to a time regression anyway —
+    # mirrored in the oracle's WHERE
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     return ev.groupBy("event_type").applyInPandas(
         _ols_kernel,
@@ -282,7 +286,7 @@ ORACLE = {
             SELECT event_type,
                    epoch_us(ts) - {_OLS_X0_US} AS x,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y4
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
         ),
         s AS (
             SELECT event_type,

@@ -37,7 +37,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return ev.select(
@@ -54,7 +54,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead + inter-event gap per user (NS3)."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     return ev.select(
         "user_id",
         "event_id",
@@ -208,7 +208,7 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides, so every fp op is IEEE-identical.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     num = F.lit(_EWMA_W[0]) * F.col("value")
     den = F.lit(_EWMA_W[0])
     for i in range(1, EWMA_LAGS):
@@ -261,7 +261,11 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange: the island key is user_id-prefixed). Timestamps and
     integer counts only — bit-exact vs the oracle.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL on both sides (r11 adversarial finding): a NULL
+    # ts claims no interval — and the engines would otherwise disagree
+    # on where the NULL island lands (Spark sorts it first as its own
+    # island, DuckDB sorts it last and absorbs it into the final one)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = ev.select(
         "user_id",
         "event_id",
@@ -333,11 +337,11 @@ def running_count_distinct_frame(ev: DataFrame) -> DataFrame:
     probe (tools/scalecheck.py), so SCALING.md always measures the
     plan that actually ships."""
     w_first = W.partitionBy("event_type", "user_id").orderBy(
-        "ts", "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     w_run = (
         W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     flagged = ev.select(
@@ -452,7 +456,7 @@ ORACLE = {
         WITH iv AS (
             SELECT user_id, event_id, ts AS start,
                    ts + INTERVAL {MERGE_GAP_MINUTES} MINUTE AS stop
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         flag AS (
             SELECT user_id, event_id, start, stop,

@@ -1620,7 +1620,11 @@ ORACLE: dict[str, str] = {
                              > INTERVAL 30 MINUTE
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- ts IS NOT NULL (r11 adversarial finding): a NULL event
+            -- time never enters a session_window in Spark (event-time
+            -- semantics), while the LAG replay would absorb the row
+            -- into the user's last session under DuckDB's NULLS LAST
+            FROM events WHERE ts IS NOT NULL
         ),
         sessions AS (
             SELECT user_id, ts,

@@ -224,6 +224,13 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (13, _ts(6), 5, "view", 1.0, '{"k": 1}'),
         (14, _ts(6, 30), 5, "view", 1.0, '{"k": 1}'),
         (15, _ts(7, 0, 0, 1), 5, "view", 1.0, '{"k": 1}'),
+        # user 7: a NULL event-time next to a real one — pins the
+        # engine-vs-oracle null-ordering contract (Spark ASC defaults
+        # NULLS FIRST, DuckDB NULLS LAST; r11 aligned every ts window
+        # to NULLS LAST explicitly) and NULL propagation through
+        # date_trunc/unix_micros/gap arithmetic
+        (16, _ts(8), 7, "view", 2.0, '{"k": 6}'),
+        (17, None, 7, "click", 4.0, '{"k": 6}'),
     ]
     # user 8: timestamps straddling the US spring-forward DST boundary
     # (2024-03-10 06:59/07:01 UTC = 01:59 EST / 03:01 EDT) and the
