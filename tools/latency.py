@@ -112,10 +112,12 @@ MULTI_BATCH = (
 #: the scalecheck convention) must show peak state rows SUBLINEAR in
 #: input (state tracks the watermark horizon, not corpus volume) and
 #: max batch duration still ≪ the 60 s tick. ×16 runs the stateful
-#: core; the three stream-stream joins are ×4-only (their buffered-
-#: pair state is itself watermark-bounded, shown at ×4, and ×16 wall
-#: adds minutes without new information — noted in the artifact).
-SCALED_MULTS = (4, 16)
+#: core; the stream-stream joins run ×4 plus ONE ×64 row for
+#: stream_stream_join (r10 verdict item 6: the pair-buffer state bound
+#: is exactly the claim a 100 TB deployment lives or dies on — one
+#: far-scale point closes the family's asymptotic-evidence gap; the
+#: two outer variants share the identical buffer/eviction machinery).
+SCALED_MULTS = (4, 16, 64)
 SCALED_X16 = (
     "stream_tumbling_watermark",
     "stream_session_watermark",
@@ -125,6 +127,7 @@ SCALED_X16 = (
     "stream_stateful_final",
     "stream_topk_complete",
 )
+SCALED_X64 = ("stream_stream_join",)
 
 
 def _split_scaled_events(
@@ -230,7 +233,11 @@ def main() -> int:
     # scaled multi-batch passes: state-boundedness MEASURED as input
     # grows (r7 verdict item 3) — see SCALED_MULTS/SCALED_X16 notes
     for mult in SCALED_MULTS:
-        names = MULTI_BATCH if mult == 4 else SCALED_X16
+        names = (
+            MULTI_BATCH
+            if mult == 4
+            else (SCALED_X16 if mult == 16 else SCALED_X64)
+        )
         with tempfile.TemporaryDirectory() as tmp:
             _split_scaled_events(spark, sf_dir, tmp, mult, n=4)
             for name in names:
@@ -314,9 +321,12 @@ def main() -> int:
             " key-disjoint corpus shows them linear in copies while"
             " every watermarked operator stays at horizon size. Max"
             " batch duration must stay ≪ budget throughout. The three"
-            " stream-stream joins run the scaled pass at x4 only"
-            " (their pair-buffer state is watermark-bounded the same"
-            " way; x16 adds wall minutes, not information).\n\n"
+            " stream-stream joins run the scaled pass at x4, plus one"
+            " x64 row for stream_stream_join: its peak pair-buffer"
+            " state must sit at the watermark horizon (one chunk's"
+            " join-key population) even at 64x the corpus — the outer"
+            " variants share the identical buffer/eviction machinery,"
+            " so one far-scale point covers the family.\n\n"
             "| query | corpus | batches | max batch ms | mean ms |"
             " peak state rows | peak state MB | wall s |\n"
             "|---|---|---:|---:|---:|---:|---:|---:|\n"

@@ -99,6 +99,17 @@ def main() -> int:
         for n in timings
         if n in prev and prev[n] > 0
     }
+    # uniform host-drift estimator (r10 verdict item 7): two rounds in
+    # a row attributed BENCH_full sum movement to session-long uniform
+    # host drift by hand — the median per-query ratio vs the previous
+    # round IS that factor (robust to the few genuine movers), so the
+    # artifact carries it and future rounds compare drift-corrected
+    # sums instead of re-litigating the same explanation
+    drift = None
+    if len(vs_prev) >= 20:
+        import statistics
+
+        drift = round(statistics.median(vs_prev.values()), 3)
     flagged = {
         n: r for n, r in vs_prev.items()
         # single-pass noise floor: flag only meaningful slowdowns on
@@ -157,6 +168,10 @@ def main() -> int:
         "session_warmup_sec": warmup_sec,
         "session_warmup_detail": warmup_detail,
         "queries": timings,
+        "drift_vs_prev_median": drift,
+        "drift_corrected_total_sec": (
+            round(total / drift, 1) if drift else None
+        ),
         "adjudicated_flags": adjudicated,
         "regressed_over_1.5x_vs_prev": regressed,
         "failures": dict(fails),
