@@ -262,8 +262,12 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities and asserts TRUE — a hash match proves the sketch met
     its contract on this fixture.
     """
+    # event_type IS NOT NULL too (r11 adversarial finding): a per-type
+    # sketch needs a type — and the certify join below is an equi-join
+    # that silently drops the NULL-type group on the engine side while
+    # the oracle's GROUP BY keeps it
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     sk = ev.groupBy("event_type").agg(
         F.approx_percentile(
@@ -794,7 +798,9 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_values,
                TRUE AS p50_rank_ok,
                TRUE AS p95_rank_ok
-        FROM events WHERE value IS NOT NULL GROUP BY event_type
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type
     """,
     "weighted_median": """
         WITH cum AS (

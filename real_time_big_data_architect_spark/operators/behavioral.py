@@ -241,8 +241,13 @@ def batch_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the engines would disagree on one anyway (sort_array sorts NULL
     # structs FIRST, the oracle's ORDER BY ts defaults NULLS LAST) —
     # exclude them on both sides (r10 review finding; latent, the
-    # fixtures carry no NULL ts)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # fixtures carry no NULL ts). A NULL event_type has no initial
+    # either: excluded on both sides (r11 adversarial finding — an
+    # all-NULL-type user otherwise yields seq '' here but NULL in the
+    # oracle's null-skipping string_agg)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     seq = F.array_join(
         F.transform(
             F.sort_array(
@@ -611,7 +616,9 @@ ORACLE = {
             SELECT user_id,
                    string_agg(substr(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS seq
-            FROM events WHERE ts IS NOT NULL GROUP BY user_id
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id
         )
         SELECT user_id,
                CAST(length(seq) AS BIGINT) AS n_events,

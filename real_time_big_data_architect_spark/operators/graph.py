@@ -130,8 +130,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = _edges(spark, sf_dir).persist()
         outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
         ew = edges.join(outw, "src").persist()
+        # a NULL user_id is no node (r11 adversarial finding): edges
+        # already exclude it (NULL never equals/differs), and the final
+        # rank's user_id tie-break would otherwise place the NULL row
+        # differently per engine (Spark ASC NULLS FIRST vs DuckDB LAST)
         nodes = (
             load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
             .select("user_id")
             .distinct()
             .persist()
@@ -449,8 +454,15 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("w").alias("w"))
             .persist()
         )
+        # NULL user_id excluded explicitly (it already vanished on both
+        # engines via the inner label joins — this states the intent
+        # and keeps the node set identical to pagerank's)
         nodes = (
-            load_table(spark, sf_dir, "events").select("user_id").distinct().persist()
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id")
+            .distinct()
+            .persist()
         )
         labels = nodes.select("user_id", F.col("user_id").alias("label"))
         for _ in range(LPA_ROUNDS):
@@ -521,7 +533,8 @@ def _lpa_oracle() -> str:
                 SELECT dst AS src, src AS dst, w FROM edges
             ) GROUP BY src, dst
         ),
-        nodes AS (SELECT DISTINCT user_id FROM events),
+        nodes AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
         l0 AS (SELECT user_id, user_id AS label FROM nodes),{chain}
         SELECT user_id, label FROM {prev}
     """
@@ -648,7 +661,8 @@ def _pagerank_oracle() -> str:
         """outw AS (
             SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src
         )""",
-        """nodes AS (SELECT DISTINCT user_id FROM events)""",
+        """nodes AS (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL)""",
         """n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
         """pr0 AS (
             SELECT user_id, 1.0 / n.n AS pr FROM nodes, n

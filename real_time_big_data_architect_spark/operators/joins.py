@@ -643,7 +643,11 @@ GEO_RADIUS = 15.0
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic (x, y) point per distinct user."""
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
+    # a NULL user_id is no entity and gets no point (r11 adversarial
+    # finding: the oracle's null-skipping concat('0x', md5(NULL))
+    # would crash the BIGINT cast; Spark's conv(NULL) row would carry
+    # NULL coordinates into the grid join)
+    users = ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
     hx = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
@@ -825,7 +829,8 @@ _GEO_PTS_CTE = f"""
                CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
                                              9, 8)) AS BIGINT)
                     % {GEO_SPAN} AS DOUBLE) / 10.0 AS y
-        FROM (SELECT DISTINCT user_id FROM events)
+        FROM (SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL)
     )
 """
 

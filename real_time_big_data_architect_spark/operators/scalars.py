@@ -500,7 +500,12 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     "string_concat": """
-        SELECT event_id, event_type || '/' || CAST(user_id AS VARCHAR) AS pair
+        -- concat_ws, not ||: the engine's concat_ws SKIPS null parts
+        -- (a NULL event_type still yields the bare user id) while ||
+        -- null-propagates — DuckDB's concat_ws matches Spark's
+        -- semantics exactly (r11 adversarial finding)
+        SELECT event_id,
+               concat_ws('/', event_type, CAST(user_id AS VARCHAR)) AS pair
         FROM events
     """,
     "string_fns": """

@@ -281,9 +281,17 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_registers(ev: DataFrame) -> DataFrame:
     """(event_type, bucket, m) HLL registers for an events relation —
     the mergeable state: registers from any partition/batch split
-    max-merge to the global ones."""
+    max-merge to the global ones.
+
+    NULL user_id never enters the sketch (r11 adversarial finding): it
+    isn't a distinct user — COUNT(DISTINCT) excludes it on both sides —
+    and the engines disagree on a NULL hash anyway (Spark concat is
+    null-in/null-out; DuckDB concat SKIPS nulls, so the oracle's
+    '0x'||md5(NULL) would crash the BIGINT cast)."""
     h = _md5_prefix_bigint(F.col("user_id").cast("string"), 15)
-    parts = ev.select("event_type", h.alias("h")).select(
+    parts = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_type", h.alias("h")
+    ).select(
         "event_type",
         (F.col("h") % HLL_M).cast("int").alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("w"),
@@ -512,7 +520,10 @@ ORACLE = {
                    CAST(concat('0x',
                         substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                         AS BIGINT) AS h
-            FROM events
+            -- user_id IS NOT NULL: see hll_registers — NULL is not a
+            -- distinct user, and DuckDB's null-skipping concat would
+            -- otherwise fail the '0x' cast
+            FROM events WHERE user_id IS NOT NULL
         ),
         parts AS (
             SELECT event_type, CAST(h % {HLL_M} AS INT) AS bucket,

@@ -69,13 +69,16 @@ def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
     # corruption this engine refuses. floor(x + 0.5) = half-UP, the
     # same tie rule the SQL oracle states; null values drop out of the
     # numerator while their weights still count in the denominator
-    # (mean over the full weighted population).
-    den = sum(int(x) for x in w.to_numpy()) * WMEAN_SCALE
+    # (mean over the full weighted population). NULL WEIGHTS drop out
+    # of both sums — SQL's SUM(user_id) and SUM(...*user_id) skip the
+    # row entirely, and int(NaN) would crash the kernel (r11
+    # adversarial finding on a NULL user_id row).
+    den = sum(int(x) for x in w.to_numpy() if x == x) * WMEAN_SCALE
     if den == 0:
         return 0.0
     num = 0
     for val, wt in zip(v.to_numpy(), w.to_numpy()):
-        if val == val:  # not NaN
+        if val == val and wt == wt:  # not NaN
             num += math.floor(float(val) * WMEAN_SCALE + 0.5) * int(wt)
     return float(num) / float(den)
 

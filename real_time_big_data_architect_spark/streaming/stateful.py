@@ -1392,7 +1392,10 @@ def _stream_hll_oracle() -> str:
                    CAST(concat('0x',
                         substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                         AS BIGINT) AS h
-            FROM events
+            -- user_id IS NOT NULL: mirrors hll_registers (NULL is not
+            -- a distinct user; DuckDB's null-skipping concat would
+            -- otherwise fail the '0x' cast)
+            FROM events WHERE user_id IS NOT NULL
         ),
         parts AS (
             SELECT event_type, CAST(h % {HLL_M} AS INT) AS bucket,

@@ -231,6 +231,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # date_trunc/unix_micros/gap arithmetic
         (16, _ts(8), 7, "view", 2.0, '{"k": 6}'),
         (17, None, 7, "click", 4.0, '{"k": 6}'),
+        # NULL user_id and NULL event_type rows: per-user windows and
+        # partitioned aggregations must agree on the NULL partition
+        # (COUNT DISTINCT excludes it, GROUP BY keeps it — r10 found
+        # window_count_distinct running permanently +1 on exactly this;
+        # nothing pinned the class until now), and NULL-key groupBys /
+        # string functions must propagate identically
+        (18, _ts(9), None, "view", 6.0, '{"k": 2}'),
+        (19, _ts(9, 5), None, "click", 8.0, '{"k": 2}'),
+        (20, _ts(9, 10), 6, None, 12.0, '{"k": 3}'),
     ]
     # user 8: timestamps straddling the US spring-forward DST boundary
     # (2024-03-10 06:59/07:01 UTC = 01:59 EST / 03:01 EDT) and the
