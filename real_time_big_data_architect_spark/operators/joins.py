@@ -113,8 +113,14 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·m) per user and melts at 100 TB). Views are deduped to one row
     per (user, ts) with max(event_id) so the match is deterministic.
     Oracle: DuckDB's native ASOF LEFT JOIN.
+
+    ts IS NOT NULL on both sides (r11 review): a timeless event has no
+    as-of position — and the engines would disagree on one (the window
+    replay sorts a NULL-ts purchase LAST and matches it to the user's
+    latest view, while DuckDB's ASOF ``v.ts <= p.ts`` never matches a
+    NULL; latent, the fixtures carry no NULL ts).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", "ts")
@@ -201,9 +207,10 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-before, first view at-or-after) and a final min-by-gap pick
     with a deterministic backward tiebreak. No inequality join, no
     per-purchase scan; the oracle replays the identical two-frame
-    construction.
+    construction. ts IS NOT NULL on both sides — a timeless event has
+    no nearest neighbor (the asof_join convention).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", "ts")
@@ -620,7 +627,7 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pruned = bloom_prune(o, "o_custkey", dim, "c_custkey")
-    return (
+    out = (
         pruned.join(dim, pruned.o_custkey == dim.c_custkey)  # exact: drops FPs
         .groupBy("o_orderpriority")
         .agg(
@@ -629,7 +636,14 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+        # materialize the priority-sized result, then release the dim
+        # cache (r11 review: this leaked one persisted relation per
+        # invocation — the triangle_count/bfs cache-hygiene convention)
+        .persist()
     )
+    out.count()
+    dim.unpersist()
+    return out
 
 
 #: spatial geometry: points live on a [0,1000)² plane at 0.1 resolution
@@ -856,11 +870,12 @@ ORACLE = {
     "asof_nearest": """
         WITH views AS (
             SELECT user_id, ts, MAX(event_id) AS view_event_id
-            FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+            GROUP BY user_id, ts
         ),
         purchases AS (
             SELECT event_id, user_id, ts FROM events
-            WHERE event_type = 'purchase'
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
         ),
         tagged AS (
             SELECT user_id, ts, 0 AS kind,
@@ -980,7 +995,7 @@ ORACLE = {
           AND o_orderdate < TIMESTAMP '1995-03-15'
           AND l_shipdate > TIMESTAMP '1995-03-15'
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, o_orderkey
+        ORDER BY revenue DESC NULLS LAST, o_orderkey
         LIMIT 10
     """,
     "range_join_banded": """
@@ -1026,7 +1041,7 @@ ORACLE = {
               AND c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, c_acctbal, n_name
         )
-        ORDER BY revenue DESC, c_custkey
+        ORDER BY revenue DESC NULLS LAST, c_custkey
         LIMIT 20
     """,
     "tpch_q18": """
@@ -1041,7 +1056,7 @@ ORACLE = {
           AND c_custkey = o_custkey
           AND o_orderkey = l_orderkey
         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-        ORDER BY o_totalprice DESC, o_orderkey
+        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
         LIMIT 100
     """,
     "join_skew_salted": """
@@ -1054,12 +1069,12 @@ ORACLE = {
     "asof_join": """
         WITH v AS (
             SELECT user_id, ts, MAX(event_id) AS view_event_id
-            FROM events WHERE event_type = 'view'
+            FROM events WHERE event_type = 'view' AND ts IS NOT NULL
             GROUP BY user_id, ts
         ),
         p AS (
             SELECT event_id, user_id, ts
-            FROM events WHERE event_type = 'purchase'
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         )
         SELECT p.event_id, p.user_id, p.ts,
                v.view_event_id, v.ts AS view_ts,
