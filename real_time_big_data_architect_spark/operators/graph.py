@@ -37,6 +37,7 @@ from real_time_big_data_architect_spark.functions.ranking import (
 )
 from real_time_big_data_architect_spark.tables import (
     estimate_rows,
+    jvm_local_df,
     load_table,
 )
 
@@ -277,14 +278,19 @@ def count_triangles(und: DataFrame) -> DataFrame:
     )
     n_edges = und.agg(F.count("*").alias("n_edges"))
     n_tri = closed.agg(F.count("*").alias("n_triangles"))
-    # materialize the 1-row result, then release the wedge cache: the
-    # returned (persisted) relation serves later consumption from the
-    # cache instead of re-running the degree joins without their
-    # shuffle-reuse (bfs_khop cache-hygiene convention)
-    out = n_edges.crossJoin(n_tri).persist()
-    out.count()
+    # materialize the 1-row result via collect, then release the wedge
+    # cache and return a JVM-side literal relation: no persisted
+    # relation escapes the call (r11 advisor: the returned .persist()
+    # was never unpersisted by any caller, so each invocation pinned a
+    # storage entry for the life of the session). jvm_local_df keeps
+    # the literal JVM-side — no Python-RDD leaf on re-consumption.
+    row = n_edges.crossJoin(n_tri).collect()[0]
     oriented.unpersist()
-    return out
+    return jvm_local_df(
+        und.sparkSession,
+        [(row["n_edges"], row["n_triangles"])],
+        "n_edges bigint, n_triangles bigint",
+    )
 
 
 #: BFS seed rule and hop bound: every 97th user seeds the frontier,

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from real_time_big_data_architect_spark.tables import fan_out, load_table
+from real_time_big_data_architect_spark.tables import (
+    fan_out,
+    jvm_local_df,
+    load_table,
+)
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +631,7 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pruned = bloom_prune(o, "o_custkey", dim, "c_custkey")
-    out = (
+    agg = (
         pruned.join(dim, pruned.o_custkey == dim.c_custkey)  # exact: drops FPs
         .groupBy("o_orderpriority")
         .agg(
@@ -636,14 +640,20 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        # materialize the priority-sized result, then release the dim
-        # cache (r11 review: this leaked one persisted relation per
-        # invocation — the triangle_count/bfs cache-hygiene convention)
-        .persist()
     )
-    out.count()
+    # materialize the priority-sized (≤5-row) result via collect, then
+    # release the dim cache and return a JVM-side literal relation: no
+    # persisted relation escapes the call (r11 advisor: the returned
+    # .persist() was never unpersisted by any caller, pinning one
+    # storage entry per invocation for the life of the session)
+    rows = [
+        (r["o_orderpriority"], r["n_orders"], r["revenue"])
+        for r in agg.collect()
+    ]
     dim.unpersist()
-    return out
+    return jvm_local_df(
+        spark, rows, "o_orderpriority string, n_orders bigint, revenue double"
+    )
 
 
 #: spatial geometry: points live on a [0,1000)² plane at 0.1 resolution

@@ -213,18 +213,26 @@ ORACLE = {
     "topk_order_limit": """
         SELECT event_id, ts, event_type, value
         FROM events
-        -- DESC NULLS LAST explicitly (r11 review): Spark's DESC sorts
-        -- NULLs LAST while DuckDB's DESC defaults NULLS FIRST - a
-        -- NULL-ts event must not outrank every real one as "latest"
+        -- DESC NULLS LAST pinned explicitly (r11 review, reworded r12):
+        -- DuckDB's default_null_order is a CONFIGURABLE setting (the
+        -- 1.0 build in use ships nulls_last, so DESC already matches
+        -- Spark's DESC = NULLS LAST today); the pin makes the oracle
+        -- independent of that setting - a NULL-ts event must never
+        -- outrank every real one as "latest". The real live divergence
+        -- is on ASC (Spark NULLS FIRST vs DuckDB NULLS LAST).
         ORDER BY ts DESC NULLS LAST, event_id DESC
         LIMIT 1
     """,
     "lastk_tail": """
         SELECT event_id, ts, value
         FROM events
-        -- DESC NULLS LAST explicitly (r11 review): Spark's DESC sorts
-        -- NULLs LAST while DuckDB's DESC defaults NULLS FIRST - a
-        -- NULL-ts event must not outrank every real one as "latest"
+        -- DESC NULLS LAST pinned explicitly (r11 review, reworded r12):
+        -- DuckDB's default_null_order is a CONFIGURABLE setting (the
+        -- 1.0 build in use ships nulls_last, so DESC already matches
+        -- Spark's DESC = NULLS LAST today); the pin makes the oracle
+        -- independent of that setting - a NULL-ts event must never
+        -- outrank every real one as "latest". The real live divergence
+        -- is on ASC (Spark NULLS FIRST vs DuckDB NULLS LAST).
         ORDER BY ts DESC NULLS LAST, event_id DESC
         LIMIT 30
     """,

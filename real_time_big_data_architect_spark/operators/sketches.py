@@ -213,10 +213,20 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sum_value"), zero)
         + F.coalesce(F.col("d_sum_value"), zero)
     )
+    # Null-safe merge key (r11 advisor finding): a USING/equi full-outer
+    # never matches NULL event_type keys, so a NULL-type group present
+    # on BOTH sides of the cutoff would emit two NULL rows where the
+    # full recompute's single GROUP BY emits one — breaking the
+    # incremental ≡ full invariant. eqNullSafe (<=>) treats NULL as a
+    # joinable key value; the output key coalesces the two sides.
+    b = base.alias("b")
+    d = delta.alias("d")
     return (
-        base.join(delta, "event_type", "full_outer")
+        b.join(d, F.col("b.event_type").eqNullSafe(F.col("d.event_type")), "full_outer")
         .select(
-            "event_type",
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
             merged_sum.cast("double").alias("sum_value"),
             (
                 F.coalesce(F.col("n_events"), F.lit(0))

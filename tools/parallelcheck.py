@@ -201,6 +201,7 @@ def main() -> int:
             orig_ms = max(ms for (n, _sid, ms, _) in flags if n == name)
             iso_best: int | None = None
             iso_rows: list[tuple[str, int, int, int]] = []
+            iso_err: str | None = None
             for _ in range(2):
                 fl2: list[tuple[str, int, int, int]] = []
                 ws2: dict[str, int] = {}
@@ -216,6 +217,7 @@ def main() -> int:
                     after = _stages(url, appid)
                 except Exception as exc:  # noqa: BLE001
                     print(f"ERROR adjudicating {name}: {exc}")
+                    iso_err = str(exc)
                     break
                 _attribute(name, before, after, ALLOW, fl2, ws2)
                 run_ms = ws2.get(name, 0)
@@ -223,6 +225,23 @@ def main() -> int:
                 iso_rows = fl2
                 if not fl2:
                     break
+            if iso_err is not None:
+                # An audit that ERRORED is not a pass: keep the original
+                # flags (mirrors the streaming path) and record the error
+                # so the artifact shows an adjudication failure, not noise.
+                surviving.extend(f for f in flags if f[0] == name)
+                adjudicated[name] = {
+                    "flagged_ms": orig_ms,
+                    "isolated_ms": iso_best,
+                    "survived": True,
+                    "error": iso_err,
+                }
+                print(
+                    f"adjudicated {name}: flagged {orig_ms} ms ->"
+                    f" re-measure ERRORED (flag kept)",
+                    flush=True,
+                )
+                continue
             survived = bool(iso_rows) and (iso_best or 0) >= SERIAL_MS
             adjudicated[name] = {
                 "flagged_ms": orig_ms,
