@@ -594,7 +594,15 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _proj_array,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # a row with no label is not an eval example and a row with no
+    # embedding has no score: both are excluded BEFORE ranking (r12
+    # adversarial plant — a NULL score would rank NULLS-FIRST in Spark
+    # but NULLS-LAST in DuckDB, shifting every positive's rank, and a
+    # NULL pos falls to the negative count in the oracle's CASE but out
+    # of the engine's sum). Mirrored in _auc_oracle's WHERE.
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     score = _dot(F.col("embedding"), _proj_array())
     scored = emb.select(
         "vec_id",
@@ -722,6 +730,8 @@ def _auc_oracle() -> str:
                        i -> CAST(embedding[i] AS DOUBLE) * ([{coefs}])[i]),
                        (x, y) -> x + y) AS score
             FROM embeddings
+            -- mirrors the engine's not-null eval-example contract
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
         ),
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rnk

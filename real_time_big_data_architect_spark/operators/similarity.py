@@ -274,8 +274,15 @@ def knn_count_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n_label, "vec_id")
         .groupBy("query_id", "query_label")
         .agg(
+            # when/otherwise, not a bare boolean cast: a NULL neighbor
+            # label compares to NULL, which SUM would SKIP while the
+            # oracle's CASE counts it as 0 — equal sums until every
+            # neighbor of a query is unlabeled (then NULL vs 0). The
+            # explicit 0 mirrors the oracle's CASE exactly (r12 review).
             F.sum(
-                (F.col("neighbor_label") == F.col("query_label")).cast("int")
+                F.when(
+                    F.col("neighbor_label") == F.col("query_label"), 1
+                ).otherwise(0)
             ).alias("n_same_label")
         )
     )
@@ -328,6 +335,13 @@ def _centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (
         label_centroids(spark, sf_dir)
+        # a NULL label is an UNLABELED vector, not a trainable cell:
+        # excluded from the centroid model (r12 adversarial plant —
+        # a NULL c_label crashed _centroid_params' sort and would
+        # render as `None AS c_label` in the literal argmin SQL).
+        # Mirrored by `label IS NOT NULL` in _IVF_CTE / ivf_assign's
+        # oracle cents. Unlabeled vectors still get ASSIGNED to cells.
+        .filter(F.col("label").isNotNull())
         .groupBy("label")
         .agg(
             F.transform(
@@ -455,7 +469,15 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side pass over the corpus.
     """
     cents = _centroid_params(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # a NULL embedding has no distance to any centroid: excluded BY
+    # DESIGN rather than by tie-break coincidence (array_min over
+    # all-NULL dist2 structs and DuckDB's ROW_NUMBER over all-NULL d2
+    # happen to agree today, but that is two engines' NULL-ordering
+    # conventions lining up, not a contract — r12 adversarial plant).
+    # Mirrored by `e.embedding IS NOT NULL` in the oracle's scored CTE.
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull()
+    )
     best = F.expr(f"array_min({_cell_structs_sql(cents)})")
     return e.select(
         "vec_id",
@@ -603,7 +625,14 @@ _PQ_CACHE: dict = {}
 def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, sub): each vector split into PQ_M subvectors —
     a map-side explode, 4 narrow rows per vector, no shuffle."""
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # a NULL embedding cannot be split or encoded: the PQ family
+    # excludes it end-to-end (engine here, oracle in _pq_ctes' subs
+    # CTE) — without the filter, slice(NULL) = NULL subvectors flow
+    # into the argmin where only the two engines' NULL conventions
+    # decide the code (r12 adversarial plant)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull()
+    )
     return e.select(
         "vec_id",
         F.expr(f"explode(sequence(0, {PQ_M - 1}))").alias("m"),
@@ -653,8 +682,13 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
         ]:
             del _PQ_CACHE[stale]
         emb = load_table(spark, sf_dir, "embeddings")
+        # embedding isNotNull: a NULL seed vector would crash the
+        # Python slice below; the oracle's cb0 draws from the
+        # NULL-filtered subs CTE, so the model stays aligned
         seed = (
-            emb.filter(F.col("vec_id") < PQ_K)
+            emb.filter(
+                (F.col("vec_id") < PQ_K) & F.col("embedding").isNotNull()
+            )
             .select("vec_id", "embedding")
             .collect()
         )
@@ -692,7 +726,10 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
         # Q×64 doubles) so pq_topk's build skips a per-invocation collect
         queries = sorted(
             (int(r.vec_id), [float(x) for x in r.embedding])
-            for r in emb.filter(F.col("vec_id") < N_QUERIES)
+            for r in emb.filter(
+                (F.col("vec_id") < N_QUERIES)
+                & F.col("embedding").isNotNull()
+            )
             .select("vec_id", "embedding")
             .collect()
         )
@@ -1087,8 +1124,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     table per round to cap plan depth (the MLlib pattern); at ITERS=2
     the unrolled plan is cheaper than eager per-round jobs (measured).
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+    # NULL embeddings carry no distance: excluded from assignment and
+    # seeding by design (see ivf_assign; oracle mirror in _kmeans_oracle)
+    e = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
     )
     cents = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("c_id"),
@@ -1419,6 +1460,8 @@ def _pq_ctes() -> str:
                    list_transform(range(1, {sd + 1}),
                        i -> CAST(embedding[mm.m * {sd} + i] AS DOUBLE)) AS sub
             FROM embeddings, (SELECT unnest(range({PQ_M})) AS m) mm
+            -- NULL embedding cannot be encoded (mirrors _pq_subs)
+            WHERE embedding IS NOT NULL
         ),
         cb0 AS (
             SELECT m, CAST(vec_id AS INT) AS code, sub AS cvec
@@ -1520,7 +1563,9 @@ def _kmeans_oracle() -> str:
         f"""c0 AS (
             SELECT CAST(vec_id AS INT) AS c_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-            FROM embeddings WHERE vec_id < {KMEANS_K}
+            FROM embeddings
+            -- NULL embedding: no seed, no assignment (engine mirror)
+            WHERE vec_id < {KMEANS_K} AND embedding IS NOT NULL
         )"""
     ]
     for i in range(1, KMEANS_ITERS + 2):
@@ -1528,6 +1573,7 @@ def _kmeans_oracle() -> str:
             f"""s{i} AS (
             SELECT e.vec_id, c.c_id, {dist} AS dist2
             FROM embeddings e CROSS JOIN c{i - 1} c
+            WHERE e.embedding IS NOT NULL
         )"""
         )
         parts.append(
@@ -1576,7 +1622,10 @@ _IVF_CTE = """
                        / COUNT(component) AS centroid_component
             FROM (SELECT label, unnest(embedding) AS component,
                          generate_subscripts(embedding, 1) AS gs
-                  FROM embeddings)
+                  FROM embeddings
+                  -- NULL label = unlabeled, not a trainable cell
+                  -- (mirrors _centroid_table's isNotNull filter)
+                  WHERE label IS NOT NULL)
             GROUP BY label, dim
         )
         GROUP BY label
@@ -1773,7 +1822,9 @@ ORACLE = {
                            / COUNT(component) AS centroid_component
                 FROM (SELECT label, unnest(embedding) AS component,
                              generate_subscripts(embedding, 1) AS gs
-                      FROM embeddings)
+                      FROM embeddings
+                      -- NULL label = unlabeled, not a trainable cell
+                      WHERE label IS NOT NULL)
                 GROUP BY label, dim
             )
             GROUP BY label
@@ -1786,6 +1837,9 @@ ORACLE = {
                                 * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
                        (x, y) -> x + y) AS dist2
             FROM embeddings e CROSS JOIN cents c
+            -- NULL embedding has no distance (mirrors the engine's
+            -- isNotNull filter; see ivf_assign docstring)
+            WHERE e.embedding IS NOT NULL
         )
         SELECT vec_id, label AS true_label, assigned_label, dist2
         FROM (

@@ -248,6 +248,19 @@ def adv_dir(spark, tmp_path_factory) -> str:
     rows.append((91, dt.datetime(2024, 3, 10, 7, 1), 8, "click", 1.0, '{"k": 1}'))
     rows.append((92, dt.datetime(2024, 11, 3, 5, 30), 8, "view", 1.0, '{"k": 1}'))
     rows.append((93, dt.datetime(2024, 11, 3, 6, 30), 8, "purchase", 1.0, '{"k": 1}'))
+    # NULL event_type on BOTH sides of mv_incremental_refresh's
+    # 2024-01-20 cutoff (r11 advisor finding): the incremental merge
+    # joins base and delta on event_type, and an equi full-outer never
+    # matches NULL keys — with NULL-type groups on both legs a non-null-
+    # safe join emits two NULL rows where the full recompute's GROUP BY
+    # emits one. Row 20 (2024-03-01) already sits in the delta; row 94
+    # plants the base-side NULL-type group that pins the eqNullSafe fix.
+    # User 10 is UNIQUE to this row: stream_dedup_watermark's oracle
+    # relies on arrival order ≡ (ts, event_id) order per dedup key, and
+    # this row arrives last with the corpus-minimal ts — sharing a
+    # (user_id, event_type) key with row 20 made the engine (arrival
+    # order) and oracle (ts order) pick different survivors.
+    rows.append((94, dt.datetime(2024, 1, 5, 12, 0), 10, None, 5.0, '{"k": 4}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
@@ -335,6 +348,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
             # tiny-magnitude vector (denormal-adjacent dot products)
             vec = [1e-6 * float((i + j) % 7) for j in range(64)]
         embs.append((i, vec, i % 10))
+    # NULL embedding and NULL label plants (r11 verdict item 2): a
+    # whole-NULL vector must be excluded/propagated IDENTICALLY by the
+    # engine and every oracle (the ts/user_id/event_type plants of r11
+    # surfaced 11 latent defects this way), and a NULL label exercises
+    # the centroid family's NULL-group contract. vec_id 26/27 keep the
+    # label cells 0-9 populated from rows 0-25, so the input contracts
+    # (>= KMEANS_K seeds, all label cells) still hold.
+    embs.append((26, None, 3))
+    embs.append((27, [float(x) for x in v1], None))
     spark.createDataFrame(
         embs, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(
