@@ -901,8 +901,14 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
             st = self._st.get()
             stage, started = st if st is not None else (0, 0.0)
             # chunks of one micro-batch arrive unordered: sort by event
-            # time (event_id tiebreak) before running the machine
+            # time (event_id tiebreak) before running the machine.
+            # NULL event times drop first: a timeless event cannot
+            # participate in a time-windowed pattern, and NaT.timestamp()
+            # raises — a single NULL-ts row would kill the whole query
+            # (r12 review; the event-time twin and the oracle's
+            # `ts IS NOT NULL` apply the same exclusion).
             pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            pdf = pdf[pdf["ts"].notna()]
             matches = []
             for ts_val, etype in zip(pdf["ts"], pdf["event_type"]):
                 stage, started, m = _cep_advance(
@@ -1015,6 +1021,12 @@ try:  # Spark 4 arbitrary-state API (transformWithStateInPandas).
                     # (float64 eps ≈ 0.4 ms at epoch magnitude), which
                     # would disagree with the watermark by 1 ms at
                     # sub-ms timestamps; pd.Timestamp.value is exact.
+                    if ts_val is pd.NaT:
+                        # timeless event: no place in event-time order
+                        # (was skipped only by the NaT sentinel's value
+                        # falling below `drained` — make it a contract,
+                        # not a coincidence; oracle: `ts IS NOT NULL`)
+                        continue
                     ts_ms = ts_val.value // 1_000_000
                     if ts_ms <= drained:
                         continue  # late: its prefix was already consumed
@@ -1493,6 +1505,11 @@ def _cep_oracle(event_time: bool) -> str:
                    {t_sql} AS t,
                    event_type AS e
             FROM events
+            -- timeless events are excluded from time-windowed pattern
+            -- matching (both processors drop NULL ts; without this the
+            -- machine would step through a NULL t with NULL timeout
+            -- arithmetic)
+            WHERE ts IS NOT NULL
         ),
         machine(user_id, i, stage, started, m_s, m_c) AS (
             SELECT user_id, CAST(0 AS BIGINT), 0, CAST(0 AS {t_type}),

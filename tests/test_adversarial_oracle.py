@@ -161,6 +161,12 @@ _STREAMING_INCLUDED = [
     "stream_session_watermark",
     "stream_dedup_watermark",
     "stream_stateful_final",
+    # the CEP pair joined in r12: the corpus's NULL-ts row crashed
+    # arrival mode (NaT.timestamp()) and stepped the oracle's machine
+    # through NULL timeout arithmetic — both now exclude timeless
+    # events, and this inclusion pins the contract
+    "stream_pattern_cep",
+    "stream_pattern_cep_eventtime",
 ]
 
 
@@ -173,7 +179,15 @@ def _full_list():
         and n not in _EXCLUDED
         and not n.startswith("stream_")
     ]
-    return QUERIES_UNDER_TEST + extra + _STREAMING_INCLUDED
+    # registry membership guard: the TWS-backed CEP pair registers only
+    # where transformWithStateInPandas is available (their oracles are
+    # unconditional, so filter on the queries registry, not on oracles)
+    declared = set(workload.build_queries())
+    return (
+        QUERIES_UNDER_TEST
+        + extra
+        + [n for n in _STREAMING_INCLUDED if n in declared]
+    )
 
 
 def _ts(h: int, m: int = 0, s: int = 0, us: int = 0) -> dt.datetime:
