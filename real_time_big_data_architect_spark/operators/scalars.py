@@ -450,13 +450,26 @@ ORACLE = {
         FROM events
     """,
     "url_parse": """
-        SELECT doc_id,
-               'https://' || source || '.example.com/docs/'
-                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
-               source || '.example.com' AS host,
-               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-               lang AS lang_param
-        FROM documents
+        -- component rebuild replays the engine's parse_url edge rules
+        -- (r12 NULL-lang/empty-source plants): a NULL source or lang
+        -- NULL-propagates through the synthesized url and every
+        -- component parses to NULL; an EMPTY source yields the invalid
+        -- authority 'https://.example.com' whose HOST Spark rejects
+        -- (NULL) while PATH and QUERY still parse (verified against
+        -- parse_url directly)
+        WITH u AS (
+            SELECT doc_id, source, lang,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               CASE WHEN url IS NULL OR source = '' THEN NULL
+                    ELSE source || '.example.com' END AS host,
+               CASE WHEN url IS NULL THEN NULL
+                    ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+               CASE WHEN url IS NULL THEN NULL ELSE lang END AS lang_param
+        FROM u
     """,
     "ts_format": """
         SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str

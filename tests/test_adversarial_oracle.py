@@ -275,6 +275,14 @@ def adv_dir(spark, tmp_path_factory) -> str:
     # (user_id, event_type) key with row 20 made the engine (arrival
     # order) and oracle (ts order) pick different survivors.
     rows.append((94, dt.datetime(2024, 1, 5, 12, 0), 10, None, 5.0, '{"k": 4}'))
+    # r12 second plant wave (the r11 notes' "NULL props / empty-string
+    # keys next"): an EMPTY-STRING event_type (distinct from NULL in
+    # GROUP BY, LIKE, concat and CASE paths on both engines) and a NULL
+    # props payload (every JSON-extraction path must propagate NULL
+    # identically). Unique users 11/12 keep the stream-dedup
+    # arrival-order ≡ ts-order fixture contract intact.
+    rows.append((95, _ts(11), 11, "", 2.5, '{"k": 7}'))
+    rows.append((96, _ts(11, 30), 12, "view", 3.5, None))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
@@ -319,6 +327,13 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # whitespace chars — see dedup._ASCII_WS / _BLANK_GUARD)
         (14, "\t \t", "en", "beta", 3),
         (15, "\xa0", "en", "gamma", 1),
+        # r12 second plant wave: NULL lang (per-language groupings keep
+        # the NULL partition), empty-string source (distinct from NULL
+        # in GROUP BY / caps / stratified sampling), and a doc with
+        # BOTH NULL — the metadata-free document every crawl produces
+        (16, "hello world hello", None, "alpha", 17),
+        (17, "data data data", "en", "", 14),
+        (18, "word word", None, None, 9),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
