@@ -283,6 +283,17 @@ def adv_dir(spark, tmp_path_factory) -> str:
     # arrival-order ≡ ts-order fixture contract intact.
     rows.append((95, _ts(11), 11, "", 2.5, '{"k": 7}'))
     rows.append((96, _ts(11, 30), 12, "view", 3.5, None))
+    # r12 third plant wave: NEGATIVE ZERO in value (Spark normalizes
+    # -0.0 = 0.0 in GROUP BY/join keys; the engines must agree wherever
+    # value becomes a key, and -0.0 round-trips DECIMAL cleanly).
+    # NaN/±Infinity were probed and REVERTED: the surface's
+    # exact-decimal-sum convention (CAST(value AS DECIMAL(30,4)) on
+    # both sides — the thing that makes ~50 aggregation oracles
+    # order-independent and hash-exact) is defined over FINITE values
+    # only; DuckDB refuses NaN->DECIMAL outright. Finite `value` is a
+    # documented input precondition (ROUND12_NOTES), matching the
+    # testdata generator's contract — not a silently-absorbed case.
+    rows.append((160, _ts(12, 30), 15, "view", -0.0, '{"k": 4}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
