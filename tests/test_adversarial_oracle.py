@@ -254,6 +254,13 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (18, _ts(9), None, "view", 6.0, '{"k": 2}'),
         (19, _ts(9, 5), None, "click", 8.0, '{"k": 2}'),
         (20, _ts(9, 10), 6, None, 12.0, '{"k": 3}'),
+        # r12: a non-NULL type BEFORE user 6's NULL-type row plants the
+        # prev='view' -> cur=NULL transition in scd2/lag change
+        # detection: both engine and oracle skip it (prev <> cur is
+        # NULL; only prev IS NULL opens a version) — a consistent,
+        # token-mirrored contract this row pins. Also gives the NULL
+        # partition a non-first position in every lag/lead path.
+        (30, _ts(9, 0), 6, "view", 1.0, '{"k": 1}'),
     ]
     # user 8: timestamps straddling the US spring-forward DST boundary
     # (2024-03-10 06:59/07:01 UTC = 01:59 EST / 03:01 EDT) and the
