@@ -231,13 +231,21 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-based scale path.
     """
     ev = load_table(spark, sf_dir, "events")
+    # + 0.0 canonicalizes SIGNED ZERO (-0.0 -> +0.0; exact identity for
+    # every other finite double): with both zeros present in a group,
+    # Spark's percentile can emit -0.0 where DuckDB's quantile_cont
+    # emits +0.0 for the same quantile (r12 tied-pair plant shifted
+    # view's p25 onto the zero boundary and exposed it). IEEE equality
+    # says the two are equal; emitting the canonical representative
+    # makes the output deterministic. Oracle mirrors with value + 0.0.
+    v = F.col("value") + F.lit(0.0)
     return (
         ev.filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
-            F.percentile("value", F.lit(0.25)).alias("p25"),
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.percentile(v, F.lit(0.25)).alias("p25"),
+            F.percentile(v, F.lit(0.5)).alias("p50"),
+            F.percentile(v, F.lit(0.9)).alias("p90"),
             F.count("*").alias("n"),
         )
     )
@@ -968,9 +976,10 @@ ORACLE = {
     """,
     "percentile_agg": """
         SELECT event_type,
-               quantile_cont(value, 0.25) AS p25,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.9) AS p90,
+               -- value + 0.0: canonicalize signed zero (engine mirror)
+               quantile_cont(value + 0.0, 0.25) AS p25,
+               quantile_cont(value + 0.0, 0.5) AS p50,
+               quantile_cont(value + 0.0, 0.9) AS p90,
                COUNT(*) AS n
         FROM events
         WHERE value IS NOT NULL

@@ -301,6 +301,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
     # documented input precondition (ROUND12_NOTES), matching the
     # testdata generator's contract — not a silently-absorbed case.
     rows.append((160, _ts(12, 30), 15, "view", -0.0, '{"k": 4}'))
+    # r12 fourth plant wave: a FULLY-TIED pair — same user, same
+    # event_type, same timestamp, different event_id/value. Any
+    # first/last/lag/min_by path ordering by ts alone (without the
+    # event_id tiebreak convention) becomes engine-dependent exactly
+    # here; the pair makes the tiebreak a tested contract instead of a
+    # convention. User 16 is unique (stream-dedup arrival contract:
+    # arrival order 161 then 162 == (ts, event_id) order).
+    rows.append((161, _ts(13), 16, "view", 1.0, '{"k": 5}'))
+    rows.append((162, _ts(13), 16, "view", 2.0, '{"k": 6}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
