@@ -576,8 +576,12 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = cum.filter(
         F.col("cumw") * 2 >= F.col("totw")
     )
+    # min over value canonicalizes signed zero (value + 0.0): a
+    # {-0.0, 0.0} tie at the qualifying minimum would otherwise return
+    # the first-arrival representative in BOTH engines — partition-
+    # order-dependent in Spark (r12 probe; same fix as percentile_agg)
     return qualifying.groupBy("event_type").agg(
-        F.min("value").alias("weighted_median"),
+        F.min(F.col("value") + F.lit(0.0)).alias("weighted_median"),
         F.max(F.col("totw").cast("double")).alias("total_weight"),
     )
 
@@ -832,7 +836,7 @@ ORACLE = {
                    ) AS totw
             FROM events WHERE value IS NOT NULL
         )
-        SELECT event_type, MIN(value) AS weighted_median,
+        SELECT event_type, MIN(value + 0.0) AS weighted_median,
                MAX(CAST(totw AS DOUBLE)) AS total_weight
         FROM cum WHERE cumw * 2 >= totw
         GROUP BY event_type

@@ -171,10 +171,19 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and forced a per-partition sort before the same groupBy (r10
     # review finding); values are identical because the key is unique.
     key = F.struct("ts", "event_id")
+    # high/low canonicalize signed zero (value + 0.0, exact for every
+    # other finite double): MIN/MAX over a {-0.0, 0.0} tie returns the
+    # FIRST-ARRIVAL representative in both engines (probed r12) — i.e.
+    # a partition-order-dependent sign in Spark and an arrival-order
+    # sign in DuckDB. Same class/fix as percentile_agg's r12 plant.
+    # open/close stay raw: min_by/max_by over the UNIQUE (ts, event_id)
+    # key pick a deterministic row, so the stored bit pattern is the
+    # answer on both sides.
+    v0 = F.col("value") + F.lit(0.0)
     return ev.groupBy("event_type", "hour").agg(
         F.min_by("value", key).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
+        F.max(v0).alias("high"),
+        F.min(v0).alias("low"),
         F.max_by("value", key).alias("close"),
         F.count("*").alias("n_events"),
     )
@@ -736,8 +745,8 @@ ORACLE = {
         )
         SELECT event_type, hour,
                MIN(open_v) AS open,
-               MAX(value) AS high,
-               MIN(value) AS low,
+               MAX(value + 0.0) AS high,
+               MIN(value + 0.0) AS low,
                MIN(close_v) AS close,
                COUNT(*) AS n_events
         FROM framed

@@ -71,7 +71,12 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             (F.pmod(w_hash, F.lit(1920)) + 1).cast("int").alias("width"),
             (F.pmod(h_hash, F.lit(1080)) + 1).cast("int").alias("height"),
-            F.length(F.col("text")).cast("bigint").alias("n_bytes"),
+            # true PAYLOAD byte length (length over binary counts
+            # bytes) — length(text) counted CHARACTERS, so the field
+            # lied by the multibyte delta on non-ASCII media (r12
+            # review; both engines agreed on the wrong number, the
+            # oracle mirrors octet_length below)
+            F.length(payload).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
 
@@ -712,6 +717,12 @@ ORACLE = {
     """,
     "multimodal_features": _features_oracle(),
     "media_phash_dedup": _phash_dedup_oracle(),
+    # n COALESCEs to 0 in the SQL below: the kernel treats a NULL
+    # payload as a zero-byte video (one frame, frame_bytes 0). Without
+    # it a NULL-text video walks the ELSE branch, where DuckDB 1.0's
+    # NULL-IGNORING least() turns least(1024, NULL - 0) into 1024 — a
+    # real divergence (r12 multimodal line review; latent until then
+    # only because the corpus's sole NULL-text doc was audio)
     "media_frame_sample": """
         SELECT doc_id,
                CAST(i AS INT) AS frame_idx,
@@ -722,7 +733,8 @@ ORACLE = {
           SELECT doc_id, n,
                  unnest(range(0, greatest(CAST(ceil(n / 1024.0) AS BIGINT),
                                           1))) AS i
-          FROM (SELECT doc_id, octet_length(encode(text)) AS n
+          FROM (SELECT doc_id,
+                       COALESCE(octet_length(encode(text)), 0) AS n
                 FROM documents WHERE doc_id % 3 = 2) v
         )
     """,
@@ -735,9 +747,12 @@ ORACLE = {
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
                COUNT(*) AS n_items,
-               CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-               CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
-               CAST(MAX(length(text)) AS BIGINT) AS max_bytes
+               CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                   AS total_bytes,
+               CAST(MIN(octet_length(encode(text))) AS BIGINT)
+                   AS min_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT)
+                   AS max_bytes
         FROM documents
         GROUP BY 1
     """,

@@ -133,12 +133,21 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape used when Kafka values carry CSV payloads.
     """
     o = load_table(spark, sf_dir, "orders")
+    # explicit nullValue sentinel: the CSV default writes NULL as the
+    # empty field AND reads the empty field as NULL, so an
+    # empty-string status would silently round-trip to NULL (and the
+    # pass-through oracle would diverge). With the sentinel, '' stays
+    # '' (quoted) and NULL stays \N — probed faithful r12; a planted
+    # empty-status order pins it.
+    csv_opts = {"nullValue": "\\N"}
     line = F.to_csv(
-        F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice"), csv_opts
     )
     parsed = o.select(
         F.from_csv(
-            line, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+            line,
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+            csv_opts,
         ).alias("p")
     )
     return parsed.select("p.o_orderkey", "p.o_orderstatus", "p.o_totalprice")

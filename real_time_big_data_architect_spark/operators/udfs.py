@@ -191,7 +191,12 @@ def _norm_batches(batches):
     (floor(x²·1e10 + 0.5) — x² ≥ 0, so this equals both engines' round)
     and summed as int64 — order-independent across any batching, and
     bit-replayable by a DuckDB decimal sum. numpy's pairwise float sums
-    (np.sum) would NOT replay; the int sums do."""
+    (np.sum) would NOT replay; the int sums do.
+
+    Input contract (like the finite-`value` decimal convention): the
+    scaled x²·1e10 must stay under 2^53 per component for the float
+    floor to be exact (|x| ≲ 30) and the per-vector sum under 2^63 —
+    satisfied with huge headroom by unit-scale embeddings."""
     import numpy as np
     import pyarrow as pa
 
@@ -201,8 +206,16 @@ def _norm_batches(batches):
         embs = tbl.column("embedding").to_pylist()
         fp = []
         for e in embs:
-            if e is None:
-                fp.append(None)  # NULL in -> NULL out (oracle mirrors)
+            if e is None or any(c is None for c in e):
+                # NULL vector OR any NULL component -> NULL out. The
+                # element case matters: np.asarray maps None -> NaN and
+                # floor(NaN).astype(int64) is UNDEFINED (platform
+                # garbage, silently corrupting the norm) — r12 review.
+                # Poisoning the whole vector mirrors the engine-wide
+                # F.aggregate convention (NULL element -> NULL fold);
+                # the oracle replays it with an explicit CASE rather
+                # than SUM's null-skip.
+                fp.append(None)
                 continue
             x = np.asarray(e, dtype=np.float64)
             fp.append(int(
@@ -261,9 +274,14 @@ ORACLE = {
         ),
         fp AS (
             -- LEFT JOIN completion: empty arrays fold to 0 (the
-            -- kernel's empty int sum), NULL arrays stay NULL
+            -- kernel's empty int sum), NULL arrays stay NULL, and a
+            -- NULL ELEMENT poisons the vector (the kernel's contract;
+            -- bare SUM would null-SKIP the element instead)
             SELECT e.vec_id,
                    CASE WHEN e.embedding IS NULL THEN NULL
+                        WHEN len(list_filter(e.embedding,
+                                             x -> x IS NULL)) > 0
+                             THEN NULL
                         ELSE COALESCE(f.s, 0) END AS norm2_fp
             FROM embeddings e LEFT JOIN sums f USING (vec_id)
         )

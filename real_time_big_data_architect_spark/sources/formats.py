@@ -33,6 +33,10 @@ def read_csv(
         .option("header", str(header).lower())
         .option("mode", "FAILFAST")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        # \N sentinel (matching write_csv): the CSV default reads the
+        # empty field as NULL, so empty strings written by a faithful
+        # writer would silently become NULLs on the way back
+        .option("nullValue", "\\N")
         .csv(path)
     )
 
@@ -60,9 +64,12 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 
 def write_csv(df: DataFrame, path: str) -> None:
+    # \N sentinel: the default writes NULL as an empty field, which the
+    # reader cannot tell apart from an empty STRING — round-trips would
+    # silently conflate the two (r12 formats review)
     df.write.option("header", "true").option(
         "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ).mode("overwrite").csv(path)
+    ).option("nullValue", "\\N").mode("overwrite").csv(path)
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:

@@ -301,6 +301,16 @@ def adv_dir(spark, tmp_path_factory) -> str:
     # documented input precondition (ROUND12_NOTES), matching the
     # testdata generator's contract — not a silently-absorbed case.
     rows.append((160, _ts(12, 30), 15, "view", -0.0, '{"k": 4}'))
+    # r12 (continued): a +0.0 row in the SAME (event_type, hour) cell
+    # as the -0.0 plant puts BOTH zeros in one MIN/MAX group. Probed:
+    # MIN over a {-0.0, 0.0} tie returns the FIRST-ARRIVAL
+    # representative in both Spark (partition-order-dependent!) and
+    # DuckDB — ohlc_bars' high/low and weighted_median's qualifying
+    # min now canonicalize (value + 0.0) on both sides, and this pair
+    # keeps that contract tested. Same user 15: arrival order (160,
+    # 163) ≡ (ts, event_id) order, so the stream-dedup fixture
+    # contract holds.
+    rows.append((163, _ts(12, 31), 15, "view", 0.0, '{"k": 2}'))
     # r12 fourth plant wave: a FULLY-TIED pair — same user, same
     # event_type, same timestamp, different event_id/value. Any
     # first/last/lag/min_by path ordering by ts alone (without the
@@ -361,6 +371,16 @@ def adv_dir(spark, tmp_path_factory) -> str:
         (16, "hello world hello", None, "alpha", 17),
         (17, "data data data", "en", "", 14),
         (18, "word word", None, None, 9),
+        # r12 multimodal review: NULL-text and empty-text docs whose
+        # ids are ≡ 2 (mod 3) — i.e. VIDEO rows in build_media_table's
+        # modulo typing. The frame-sample kernel emits one 0-byte frame
+        # for a payload-less video; the oracle's NULL n walked DuckDB's
+        # NULL-ignoring least(1024, NULL-0) to 1024 instead (real
+        # divergence, latent because doc 13 — the only NULL-text doc —
+        # is an audio row). Ids 20/23 stay off the phash plant lattice
+        # (neither ≡ 0 nor ≡ 25 mod 50).
+        (20, None, "en", "gamma", 0),
+        (23, "", "de", "beta", 0),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
@@ -459,6 +479,14 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # in both engines
         (25, 2, "O", None, d95, "2-HIGH"),
         (26, 3, "F", 11.0, None, "5-LOW"),
+        # r12 formats review: EMPTY-STRING status — the CSV default
+        # writes NULL as the empty field and reads the empty field as
+        # NULL, so csv_roundtrip would silently conflate '' with NULL
+        # against its pass-through oracle; the explicit \N sentinel
+        # (to_csv/from_csv options) keeps '' quoted and NULL as \N.
+        # Key 27 also walks corrupt_quarantine's %11=5 mutation branch
+        # (symmetric engine/oracle).
+        (27, 4, "", 9.99, d95, "3-MEDIUM"),
     ]
     spark.createDataFrame(
         orders, "o_orderkey long, o_custkey long, o_orderstatus string,"

@@ -77,3 +77,58 @@ def test_sentences_udtf_registers_and_explodes(spark, sf_small):
     for idxs in per_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense numbering
     assert all(r.sentence for r in out)
+
+
+def test_arrow_batch_norms_null_component_poisons(spark, tmp_path):
+    """A NULL embedding COMPONENT must yield a NULL norm in BOTH the
+    Arrow kernel and the oracle (r12 review: np.asarray maps None to
+    NaN, and floor(NaN).astype(int64) is undefined-behavior garbage —
+    the kernel now detects the element and poisons the vector, the
+    engine-wide F.aggregate NULL-fold convention; the oracle's bare
+    SUM-over-unnest would instead SKIP the element, so it carries an
+    explicit CASE)."""
+    import duckdb
+
+    from real_time_big_data_architect_spark.plans import workload
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0], 0),
+            (1, [1.0, None, 3.0], 1),  # NULL component
+            (2, None, 2),              # NULL vector
+            (3, [], 3),                # empty vector
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    import glob
+    import os
+    import shutil
+
+    p = f"{d}/embeddings.parquet"
+    part = glob.glob(f"{p}/part-*.parquet")[0]
+    shutil.move(part, f"{p}.file")
+    shutil.rmtree(p)
+    os.replace(f"{p}.file", p)
+
+    got = {
+        r.vec_id: (r.norm2_fp, r.l2_norm)
+        for r in udfs.arrow_batch_norms(spark, d).collect()
+    }
+    assert got[1] == (None, None)  # poisoned, not garbage
+    assert got[2] == (None, None)
+    assert got[3] == (0, 0.0)
+    assert got[0][0] == 140_000_000_000  # (1+4+9)·1e10 exact
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{d}/embeddings.parquet')"
+    )
+    want = {
+        int(v): (n if n is None else int(n), l)
+        for v, n, l in con.execute(
+            workload.build_oracle_sql()["arrow_batch_norms"]
+        ).fetchall()
+    }
+    assert want == got
