@@ -1399,27 +1399,32 @@ ORACLE = {
                                   '[^\\x00-\\x7F]', '?', 'g') AS prefix
             FROM documents
         ),
-        bc AS (
-            SELECT lang, len_bucket, COUNT(*) AS bn
-            FROM d GROUP BY lang, len_bucket
-        ),
+        -- bn via window, joins IS NOT DISTINCT FROM: the engine's
+        -- groupBy treats a NULL lang (or NULL len_bucket) as a block
+        -- like any other and pairs its members; an equi-join/USING here
+        -- silently dropped those rows from the oracle's pair space
+        -- (r12 dedup line review — latent until a NULL-lang near-dup
+        -- pair was planted)
         o AS (
-            SELECT d.*, bc.bn,
-                   ROW_NUMBER() OVER (PARTITION BY d.lang, d.len_bucket
-                                      ORDER BY d.prefix, d.doc_id) AS rn
-            FROM d JOIN bc USING (lang, len_bucket)
+            SELECT d.*,
+                   COUNT(*) OVER (PARTITION BY lang, len_bucket) AS bn,
+                   ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                                      ORDER BY prefix, doc_id) AS rn
+            FROM d
         ),
         u AS (
             SELECT a.doc_id AS da, b.doc_id AS db,
                    a.prefix AS pa, b.prefix AS pb
             FROM o a JOIN o b
-              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+              ON a.lang IS NOT DISTINCT FROM b.lang
+             AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket
              AND a.doc_id < b.doc_id
             WHERE a.bn <= {LEV_BLOCK_CAP}
             UNION ALL
             SELECT a.doc_id, b.doc_id, a.prefix, b.prefix
             FROM o a JOIN o b
-              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+              ON a.lang IS NOT DISTINCT FROM b.lang
+             AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket
              AND b.rn > a.rn AND b.rn <= a.rn + {LEV_CHAIN_NEIGHBORS}
             WHERE a.bn > {LEV_BLOCK_CAP}
         )

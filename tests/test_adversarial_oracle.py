@@ -381,6 +381,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # (neither ≡ 0 nor ≡ 25 mod 50).
         (20, None, "en", "gamma", 0),
         (23, "", "de", "beta", 0),
+        # r12 dedup line review: a NULL-lang NEAR-DUP pair (edit
+        # distance 1, same 32-char length bucket as docs 16/18). The
+        # engine's groupBy blocks on (NULL, 0) like any other key and
+        # pairs these; the oracle's old equi-join blocking dropped
+        # NULL-lang rows from the pair space entirely — latent until
+        # this plant because docs 16/18 sit > 8 edits apart. Ids 21/22
+        # stay off the phash lattice (neither ≡ 0 nor ≡ 25 mod 50).
+        (21, "the cat sat on the mat", None, "alpha", 22),
+        (22, "the cat sat on the hat", None, "beta", 22),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
