@@ -792,7 +792,13 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thresholded levenshtein (returns -1 past the bound) abandons a
     # row as soon as the running distance exceeds LINK_MAX_LEV — the
     # oracle computes the full distance and filters; values agree on
-    # every kept row
+    # every kept row. Both operands are ASCII-folded first (non-ASCII
+    # codepoints → '?', the dedup_levenshtein normalization): Spark's
+    # levenshtein counts CODEPOINTS where DuckDB's counts BYTES, so an
+    # unfolded multibyte name scores 1 vs 2 when the corrupted char is
+    # multibyte ('x' replaces a 2-byte 'ü') — folding makes
+    # byte == codepoint and the engines agree exactly (r12 joins
+    # review; pinned by the planted position-9-'ü' customer)
     # pin the block join's partitioning: the blk shuffle is only a few
     # MB, so AQE coalesces it to one partition and the ≤16·N pair
     # explosion + levenshtein DP ran serial (~0.9 s at sf0.1,
@@ -806,9 +812,11 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty.join(clean, "blk")
         .withColumn(
             "lev",
-            F.expr(f"levenshtein(d_name, c_name, {LINK_MAX_LEV})").cast(
-                "int"
-            ),
+            F.levenshtein(
+                F.regexp_replace("d_name", "[^\\x00-\\x7F]", "?"),
+                F.regexp_replace("c_name", "[^\\x00-\\x7F]", "?"),
+                LINK_MAX_LEV,
+            ).cast("int"),
         )
         .filter((F.col("lev") >= 0) & (F.col("lev") <= LINK_MAX_LEV))
     )
@@ -939,10 +947,20 @@ ORACLE = {
             FROM customer
         ),
         cand AS (
+            -- ASCII-fold before scoring (mirrors the engine): DuckDB's
+            -- levenshtein counts BYTES, Spark's counts CODEPOINTS —
+            -- identical only when byte == codepoint, which the fold
+            -- guarantees
             SELECT d.d_key, d.d_name, c.c_custkey, c.c_name,
-                   CAST(levenshtein(d.d_name, c.c_name) AS INT) AS lev
+                   CAST(levenshtein(
+                       regexp_replace(d.d_name, '[^\\x00-\\x7F]', '?', 'g'),
+                       regexp_replace(c.c_name, '[^\\x00-\\x7F]', '?', 'g')
+                   ) AS INT) AS lev
             FROM dirty d JOIN clean c USING (blk)
-            WHERE levenshtein(d.d_name, c.c_name) <= {LINK_MAX_LEV}
+            WHERE levenshtein(
+                      regexp_replace(d.d_name, '[^\\x00-\\x7F]', '?', 'g'),
+                      regexp_replace(c.c_name, '[^\\x00-\\x7F]', '?', 'g')
+                  ) <= {LINK_MAX_LEV}
         )
         SELECT d_key, d_name, c_custkey, c_name, lev
         FROM (

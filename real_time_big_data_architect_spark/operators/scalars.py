@@ -108,7 +108,20 @@ def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """upper/lower/substring/like over customer names (north-star strings)."""
+    """upper/lower/substring/like over customer names (north-star strings).
+
+    Input contract (probed r12, like the finite-`value` decimal
+    convention): case mapping is defined over text whose codepoints
+    have ONE-TO-ONE case mappings — ASCII, accented Latin (ü→Ü), Greek,
+    Cyrillic, digraph codepoints (ĳ→Ĳ) all qualify. Spark applies
+    Unicode FULL case mapping (upper('ß')='SS', upper('ﬁ')='FI',
+    lower('İ')='i'+combining dot) where DuckDB applies SIMPLE 1:1
+    mapping (ß→ẞ, ﬁ unchanged, İ→i) — the one-to-many class is a
+    documented engine-dialect boundary, matching the fixture
+    generator's contract, not a silently-absorbed case.
+    substring/length are codepoint-based in BOTH engines (probed:
+    emoji, surrogate-pair and combining sequences agree exactly).
+    """
     c = load_table(spark, sf_dir, "customer")
     return (
         c.filter(F.col("c_mktsegment").like("%ING%"))  # BUILDING

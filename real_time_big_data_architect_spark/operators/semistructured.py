@@ -393,9 +393,32 @@ ORACLE = {
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
     """,
+    # all-or-nothing row semantics (r12 nested-props plant): Spark's
+    # from_json to MAP<STRING,BIGINT> nulls the WHOLE map when ANY
+    # top-level value is not a JSON integer or null (nested object,
+    # float, string, uint64-overflow) — the row then vanishes through
+    # explode. The per-key ->> cast alone instead kept the row and
+    # crashed (or TRY_CAST-rounded '1.7' to 2); the bool_and type gate
+    # replays the malformed-record contract exactly. JSON null values
+    # stay as NULL-valued entries on both sides.
     "map_entries_pivot": """
-        SELECT event_id, k AS prop_key, CAST(props->>k AS BIGINT) AS prop_value
-        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        WITH keyed AS (
+            SELECT event_id, props, unnest(json_keys(props)) AS k
+            FROM events
+        ),
+        ok AS (
+            SELECT event_id
+            FROM keyed
+            GROUP BY event_id
+            HAVING bool_and(
+                json_type(props -> k) IN ('BIGINT', 'UBIGINT', 'NULL')
+                AND (json_type(props -> k) = 'NULL'
+                     OR TRY_CAST(props ->> k AS BIGINT) IS NOT NULL)
+            )
+        )
+        SELECT event_id, k AS prop_key,
+               CAST(keyed.props ->> k AS BIGINT) AS prop_value
+        FROM keyed JOIN ok USING (event_id)
     """,
     "array_fns": """
         SELECT doc_id,

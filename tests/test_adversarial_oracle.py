@@ -320,6 +320,24 @@ def adv_dir(spark, tmp_path_factory) -> str:
     # arrival order 161 then 162 == (ts, event_id) order).
     rows.append((161, _ts(13), 16, "view", 1.0, '{"k": 5}'))
     rows.append((162, _ts(13), 16, "view", 2.0, '{"k": 6}'))
+    # r12 fifth plant wave — unicode KEY columns, deep JSON, triple tie:
+    # an emoji event_type (hits every GROUP BY/ORDER BY on the key, the
+    # funnel's substring(event_type,1,1) initial — substring/length are
+    # codepoint-based in BOTH engines, probed) and a multibyte umlaut
+    # type (UTF-8 byte order ≡ codepoint order, so binary collations
+    # agree); a props payload with nested objects/arrays/null and
+    # non-ASCII values (every $.k extraction must ignore the extra
+    # structure identically); and a THIRD row in user 16's fully-tied
+    # (user, type, ts) cell — the (ts, event_id) tiebreak now resolves
+    # a 3-way tie, not just a pair. Users 17/18/19 unique; 167 extends
+    # user 16's key in (ts, event_id) ≡ arrival order.
+    rows.append((164, _ts(14), 17, "🔥flash", 2.0, '{"k": 1}'))
+    rows.append((165, _ts(14, 5), 18, "größe-Ökauf", 3.0, '{"k": 2}'))
+    rows.append(
+        (166, _ts(14, 10), 19, "view", 4.0,
+         '{"k": 2, "nested": {"deep": [1, {"x": "ünïcode"}], "n": null}}')
+    )
+    rows.append((167, _ts(13), 16, "view", 3.0, '{"k": 7}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
@@ -390,6 +408,14 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # stay off the phash lattice (neither ≡ 0 nor ≡ 25 mod 50).
         (21, "the cat sat on the mat", None, "alpha", 22),
         (22, "the cat sat on the hat", None, "beta", 22),
+        # r12 fifth wave: NEGATIVE n_chars — corrupt metadata a real
+        # crawl produces. Pins truncate-vs-floor agreement everywhere
+        # n_chars is arithmetic input: (n_chars+3) div 4 (Spark div)
+        # vs // (DuckDB) both truncate toward zero (probed); the
+        # levenshtein len_bucket FLOOR(-7/32) = -1 on both (float
+        # division then floor); weighted-sampling p ∝ n_chars goes
+        # negative identically. 24 stays off the phash lattice.
+        (24, "negative metadata doc", "en", "alpha", -7),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
@@ -464,6 +490,17 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # customer with NO orders
         (5, "Customer#000000005", 0, 55.5, "FURNITURE"),
         (100, "Customer#000000100", 1, 1e7, "BUILDING"),
+        # r12 fifth wave: unicode names in the 1:1 case-mapping subset
+        # (ĳ→Ĳ, Ł, Ё, emoji — Spark's FULL and DuckDB's SIMPLE case
+        # mapping agree on all of these; ß/İ/ligatures are the
+        # documented out-of-contract class, see scalars.string_fns).
+        # Key 6: corruption position 6%8+2 = 8 is ASCII 'e' amid
+        # multibyte neighbors. Key 7: position 7%8+2 = 9 is the
+        # MULTIBYTE 'ü' itself — 'x' replaces a 2-byte char, which
+        # unfolded scores 1 (Spark codepoints) vs 2 (DuckDB bytes);
+        # pins record_linkage's ASCII-folded scoring.
+        (6, "ĳsselmeer Łódź Ёж 🚀", 2, 77.7, "BUILDING"),
+        (7, "Kundenmaüber#07", 1, 12.34, "MACHINERY"),
     ]
     spark.createDataFrame(
         cust, "c_custkey long, c_name string, c_nationkey long,"
