@@ -182,9 +182,13 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash join, no null-handling penalty at scale.
     """
     ev = load_table(spark, sf_dir, "events")
+    # try_cast, not cast (r12 overflow plant): the session runs ANSI
+    # mode, where casting an int64-overflow digit string to BIGINT
+    # THROWS — one poisoned props payload would kill the join;
+    # try_cast nulls it, and the oracle's TRY_CAST replays it
     k = F.when(
         F.col("event_id") % 7 == 0,
-        F.get_json_object("props", "$.k").cast("bigint") % 5,
+        F.get_json_object("props", "$.k").try_cast("bigint") % 5,
     )
     left = ev.select("event_id", k.alias("k"))
     dim = spark.range(5).select(
@@ -870,8 +874,12 @@ ORACLE = {
     "join_null_safe": """
         WITH lft AS (
             SELECT event_id,
+                   -- TRY_CAST (r12 overflow plant): the engine's
+                   -- string-path cast('9…9' AS BIGINT) nulls an int64
+                   -- overflow; DuckDB renders the overflowed JSON
+                   -- number as a DOUBLE string and a bare CAST crashes
                    CASE WHEN event_id % 7 = 0
-                        THEN CAST(props->>'$.k' AS BIGINT) % 5
+                        THEN TRY_CAST(props->>'$.k' AS BIGINT) % 5
                         END AS k
             FROM events
         ),

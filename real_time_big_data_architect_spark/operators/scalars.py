@@ -571,12 +571,27 @@ ORACLE = {
                regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
         FROM customer
     """,
+    # k is gated on json_type + TRY_CAST (r12 overflow plant): Spark's
+    # from_json nulls a k that is not an int64 (int64-overflow numbers,
+    # floats, strings), while DuckDB's JSON parser promotes an
+    # overflowing integer to DOUBLE and a bare CAST of its rendering
+    # ('1e20' digits) crashes outright — the gate replays the
+    # typed-extraction NULL exactly (overflow reads as DOUBLE, so the
+    # type test rejects it; uint64-range ints pass the type test and
+    # fail the TRY_CAST, also NULL on both sides)
     "json_extract": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-               MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
-        FROM events
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MAX(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CASE WHEN json_type(props -> '$.k')
+                             IN ('BIGINT', 'UBIGINT')
+                        THEN TRY_CAST(props ->> '$.k' AS BIGINT)
+                        END AS k
+            FROM events
+        )
         GROUP BY event_type
     """,
 }

@@ -81,13 +81,21 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE; every extraction is a binary traversal, which is why it's
     the open-lakehouse default for JSON columns at scale).
     Oracle: DuckDB's native JSON extraction over the same strings.
+
+    ``try_variant_get``, not ``variant_get`` (r12 overflow plant): the
+    strict form THROWS on an int64-overflow JSON number — one poisoned
+    document kills the whole job at 100 TB; the try form yields NULL,
+    which the oracle's TRY_CAST over DuckDB's DOUBLE-promoted
+    rendering replays. Input contract: ``$.k`` is int64-or-absent —
+    a FLOAT k is out of contract (try_variant_get truncates 1.7 → 1
+    where from_json and the oracle read NULL/2; probed r12).
     """
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
     return (
         ev.select(
             "event_type",
-            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.k", "bigint").alias("k"),
         )
         .groupBy("event_type")
         .agg(

@@ -338,6 +338,20 @@ def adv_dir(spark, tmp_path_factory) -> str:
          '{"k": 2, "nested": {"deep": [1, {"x": "ünïcode"}], "n": null}}')
     )
     rows.append((167, _ts(13), 16, "view", 3.0, '{"k": 7}'))
+    # r12 fifth wave (continued): an NFC/NFD pair — visually identical
+    # 'café' in composed (U+00E9) and decomposed (e + U+0301) forms.
+    # NEITHER engine Unicode-normalizes, so these are TWO distinct
+    # groups/keys everywhere (binary UTF-8 comparison on both sides) —
+    # the plant pins that no normalization sneaks into either engine.
+    # Plus an int64-OVERFLOW JSON number: typed long extraction
+    # (from_json / variant_get / MapType) must null-or-drop it
+    # identically on both sides, while string-path extraction keeps
+    # the full digits and double casts round identically.
+    rows.append((168, _ts(15), 20, "caf\u00e9", 1.0, '{"k": 1}'))
+    rows.append((169, _ts(15, 5), 21, "café", 2.0, '{"k": 2}'))
+    rows.append(
+        (170, _ts(15, 10), 22, "view", 5.0, '{"k": 99999999999999999999}')
+    )
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
