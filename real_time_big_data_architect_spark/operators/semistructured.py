@@ -82,16 +82,23 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the open-lakehouse default for JSON columns at scale).
     Oracle: DuckDB's native JSON extraction over the same strings.
 
-    ``try_variant_get``, not ``variant_get`` (r12 overflow plant): the
-    strict form THROWS on an int64-overflow JSON number — one poisoned
-    document kills the whole job at 100 TB; the try form yields NULL,
-    which the oracle's TRY_CAST over DuckDB's DOUBLE-promoted
-    rendering replays. Input contract: ``$.k`` is int64-or-absent —
-    a FLOAT k is out of contract (try_variant_get truncates 1.7 → 1
-    where from_json and the oracle read NULL/2; probed r12).
+    ``try_parse_json`` + ``try_variant_get``, not the strict forms
+    (r12 overflow + duplicate-key plants): strict ``variant_get``
+    THROWS on an int64-overflow JSON number and strict ``parse_json``
+    THROWS on duplicate object keys — either way one poisoned document
+    kills the whole job at 100 TB; the try forms yield NULL, which the
+    oracle's TRY_CAST over DuckDB's DOUBLE-promoted rendering replays
+    for the overflow case. Input contracts: ``$.k`` is
+    int64-or-absent — a FLOAT k is out of contract (try_variant_get
+    truncates 1.7 → 1 where from_json and the oracle read NULL/2;
+    probed r12) — and props objects have UNIQUE keys: duplicate keys
+    are unmappable across engines by construction (Spark's from_json
+    is last-wins, its own get_json_object is first-wins, DuckDB is
+    first-wins; probed r12), so they are a documented precondition,
+    crash-proofed but not differentially absorbed.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return (
         ev.select(
             "event_type",

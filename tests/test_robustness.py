@@ -327,3 +327,45 @@ def test_jvm_local_df_binding_types_and_plan(spark):
     empty = jvm_local_df(spark, [], "a long, b string")
     assert empty.count() == 0
     assert empty.schema.simpleString() == "struct<a:bigint,b:string>"
+
+
+def test_poisoned_json_documents_cannot_kill_extraction(spark):
+    """One malformed props payload must degrade to NULL, never fail the
+    job (r12 plants): an int64-OVERFLOW number crashes strict
+    variant_get (and, under the session's ANSI mode, a bare BIGINT cast
+    of its digit string); DUPLICATE object keys crash strict
+    parse_json. The declared queries use the try forms — this pins the
+    whole poisoned-payload matrix end-to-end. Duplicate keys are a
+    documented input contract for the DIFFERENTIAL (unmappable across
+    engines: Spark's own from_json is last-wins while get_json_object
+    is first-wins, DuckDB is first-wins — probed r12); here only the
+    no-crash half is asserted."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 99999999999999999999}'),  # int64 overflow
+            (2, '{"k": 1, "k": 2}'),             # duplicate keys
+            (3, '{"k": 7}'),                     # clean
+            (4, None),                           # NULL payload
+        ],
+        "event_id long, props string",
+    )
+    v = F.try_parse_json("props")
+    got = {
+        r.event_id: r.k
+        for r in df.select(
+            "event_id", F.try_variant_get(v, "$.k", "bigint").alias("k")
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: 7, 4: None}
+    got2 = {
+        r.event_id: r.k
+        for r in df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        ).collect()
+    }
+    # string path: overflow nulls via try_cast, duplicate keys read the
+    # FIRST occurrence (the documented engine-internal inconsistency)
+    assert got2 == {1: None, 2: 1, 3: 7, 4: None}
