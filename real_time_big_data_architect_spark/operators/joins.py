@@ -780,6 +780,10 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     blk = F.expr(f"c_custkey DIV {LINK_BLOCK_SPAN}")
+    # the folded scoring operands are projected HERE, once per input
+    # row, not per candidate pair: a fold inside the post-join
+    # withColumn ran the regexp ≤16× per row (the block fan-out) and
+    # measured 2.2× on the full-sweep wall (r12)
     dirty = c.select(
         F.col("c_custkey").alias("d_key"),
         F.expr(
@@ -787,11 +791,14 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" substring(c_name, {_LINK_POS} + 1))"
         ).alias("d_name"),
         blk.alias("blk"),
+    ).withColumn(
+        "d_fold", F.regexp_replace("d_name", "[^\\x00-\\x7F]", "?")
     )
     clean = c.select(
         "c_custkey",
         "c_name",
         blk.alias("blk"),
+        F.regexp_replace("c_name", "[^\\x00-\\x7F]", "?").alias("c_fold"),
     )
     # thresholded levenshtein (returns -1 past the bound) abandons a
     # row as soon as the running distance exceeds LINK_MAX_LEV — the
@@ -816,11 +823,7 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty.join(clean, "blk")
         .withColumn(
             "lev",
-            F.levenshtein(
-                F.regexp_replace("d_name", "[^\\x00-\\x7F]", "?"),
-                F.regexp_replace("c_name", "[^\\x00-\\x7F]", "?"),
-                LINK_MAX_LEV,
-            ).cast("int"),
+            F.levenshtein("d_fold", "c_fold", LINK_MAX_LEV).cast("int"),
         )
         .filter((F.col("lev") >= 0) & (F.col("lev") <= LINK_MAX_LEV))
     )
