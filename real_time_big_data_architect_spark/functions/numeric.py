@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 
 #: enough integer digits for 100 TB-scale money sums, 4 fractional digits
 #: (price has 2 decimals, price*(1-discount) has exact 4-decimal products)
+#:
+#: Input contract (probed r12, alongside the finite-doubles rule): the
+#: per-row magnitude must keep value·10⁴ exactly representable in
+#: binary64 (|value| ≲ 9e11 for money-like inputs). Spark's
+#: double→decimal cast is exact BigDecimal conversion at any
+#: magnitude, but DuckDB's scales through float multiplication —
+#: CAST(1e20 AS DECIMAL(30,4)) reads 100000000000000000000.0000 in
+#: Spark vs 99999999999999998322.2784 in DuckDB. Money-scale fixture
+#: values sit far inside the bound; the SUM itself then has 26 integer
+#: digits of exact headroom.
 DEC = "decimal(30,4)"
 
 

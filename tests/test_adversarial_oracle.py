@@ -352,6 +352,15 @@ def adv_dir(spark, tmp_path_factory) -> str:
     rows.append(
         (170, _ts(15, 10), 22, "view", 5.0, '{"k": 99999999999999999999}')
     )
+    # r12 sixth wave: a DENORMAL value (5e-324, the smallest positive
+    # double). Exact in every pure-double path on both engines, rounds
+    # to 0.0000 through the DECIMAL(30,4) convention on both, and is a
+    # distinct GROUP BY key from 0.0 (binary comparison). The LARGE
+    # extreme is documented out of contract instead of planted:
+    # DuckDB's double->decimal scales through float multiplication and
+    # diverges from Spark's exact BigDecimal conversion at 1e20
+    # (functions/numeric.py DEC contract, probed).
+    rows.append((171, _ts(15, 15), 23, "view", 5e-324, '{"k": 3}'))
     # user 9: HOT key — 60 events in one burst (skew paths: salted agg,
     # session merge, CEP over a long single-user sequence, per-user
     # windows with deep frames)
