@@ -469,7 +469,12 @@ ORACLE = {
         -- component parses to NULL; an EMPTY source yields the invalid
         -- authority 'https://.example.com' whose HOST Spark rejects
         -- (NULL) while PATH and QUERY still parse (verified against
-        -- parse_url directly)
+        -- parse_url directly). r12 seventh wave extends the HOST rule:
+        -- a NON-ASCII source ('源🔥') makes java.net.URI reject the
+        -- authority too — HOST NULL, PATH/QUERY still parse, and a
+        -- non-ASCII QUERY VALUE passes through untouched (probed);
+        -- the hostname gate below is the [A-Za-z0-9.-] reg-name
+        -- subset the corpus exercises
         WITH u AS (
             SELECT doc_id, source, lang,
                    'https://' || source || '.example.com/docs/'
@@ -477,7 +482,9 @@ ORACLE = {
             FROM documents
         )
         SELECT doc_id, url,
-               CASE WHEN url IS NULL OR source = '' THEN NULL
+               CASE WHEN url IS NULL OR source = ''
+                         OR NOT regexp_matches(source, '^[A-Za-z0-9.-]+$')
+                    THEN NULL
                     ELSE source || '.example.com' END AS host,
                CASE WHEN url IS NULL THEN NULL
                     ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path,

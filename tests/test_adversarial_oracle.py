@@ -439,6 +439,16 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # division then floor); weighted-sampling p ∝ n_chars goes
         # negative identically. 24 stays off the phash lattice.
         (24, "negative metadata doc", "en", "alpha", -7),
+        # r12 seventh wave: unicode KEY columns on documents — CJK lang,
+        # emoji/CJK source (every per-lang grouping, per-source cap /
+        # stratified md5(source) draw, and contamination matrix key is
+        # binary UTF-8 on both engines), a ZERO-WIDTH SPACE inside a
+        # token (split(' ') keeps it: 'zw\u200bj' is ONE token whose
+        # md5/length both engines read identically), and a flag-emoji
+        # lang (two regional-indicator codepoints). Ids 26/27 stay off
+        # the phash lattice (25 is ON it — excluded).
+        (26, "tok zw\u200bj tok", "\u65e5\u672c\u8a9e", "\u6e90\U0001f525", 14),
+        (27, "ascii text here", "\U0001f1e9\U0001f1ea", "emoji-source", 15),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string,"
