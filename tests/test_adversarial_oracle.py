@@ -566,6 +566,12 @@ def adv_dir(spark, tmp_path_factory) -> str:
         # Key 27 also walks corrupt_quarantine's %11=5 mutation branch
         # (symmetric engine/oracle).
         (27, 4, "", 9.99, d95, "3-MEDIUM"),
+        # r12 seventh wave: 1900-02-28 — the day before the classic
+        # NON-leap century boundary (1900 % 100 == 0, % 400 != 0).
+        # Pins proleptic-Gregorian agreement through +90-day arith,
+        # datediff, ISO week/dow, and stretches the calendar-dim spine
+        # to ~36k days (still dimension-sized on both sides).
+        (28, 3, "F", 5.0, dt.datetime(1900, 2, 28), "2-HIGH"),
     ]
     spark.createDataFrame(
         orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
