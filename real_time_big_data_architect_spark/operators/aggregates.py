@@ -603,7 +603,7 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from real_time_big_data_architect_spark.operators.similarity import (
         _dot,
-        _proj_array,
+        _proj_array_sql,
     )
 
     # a row with no label is not an eval example and a row with no
@@ -615,7 +615,7 @@ def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
-    score = _dot(F.col("embedding"), _proj_array())
+    score = _dot("embedding", _proj_array_sql())
     scored = emb.select(
         "vec_id",
         (F.col("label") % 2 == 0).alias("pos"),

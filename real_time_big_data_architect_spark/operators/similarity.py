@@ -50,8 +50,8 @@ _PROBE_MASKS += [
 ]
 
 
-def _dot(a, b):
-    """JVM-side dot product of two array<float> columns (no UDF).
+def _dot(a: str, b: str):
+    """JVM-side dot product of two array<float> SQL expressions (no UDF).
 
     A per-row LEFT FOLD over the array in element order: float32→double
     casts are exact, each product is one IEEE double multiply, and
@@ -62,20 +62,26 @@ def _dot(a, b):
     scores bit-identical cross-engine. Double→decimal casts are NOT
     portable here: Spark rounds the double's shortest decimal repr
     (Java semantics) while DuckDB rounds the exact binary value.
+
+    Takes SQL snippets, not Columns (r12): the equivalent
+    ``F.aggregate(F.zip_with(..., lambda), lambda)`` construction costs
+    ~60 py4j round trips per call site; one parsed string is one
+    gateway call and the identical Catalyst tree, measured ~0.1-0.3 s
+    of saved driver latency per similarity query.
     """
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
     )
 
 
-def _norm(a):
+def _norm(a: str):
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        F.expr(
+            f"aggregate(transform({a},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (acc, v) -> acc + v)"
         )
     )
 
@@ -87,7 +93,7 @@ def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped here — mirrored by the oracles' nrm > 0 predicates.
     return (
         fan_out(load_table(spark, sf_dir, "embeddings"))
-        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("nrm", _norm("embedding"))
         .filter(F.col("nrm") > 0.0)
     )
 
@@ -109,7 +115,7 @@ def _broadcast_cosine_topk(e: DataFrame, q: DataFrame, keep, k: int,
             "vec_id",
             *extra_cols,
             (
-                _dot(F.col("embedding"), F.col("q_emb"))
+                _dot("embedding", "q_emb")
                 / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cosine"),
         )
@@ -161,25 +167,30 @@ def _lsh_plane_weights() -> list[list[float]]:
 LSH_PLANES = _lsh_plane_weights()
 
 
-def _lsh_bucket(emb_col):
+def _lsh_bucket(emb: str):
     """Random-hyperplane LSH bucket id (0..2^N_PLANES-1), deterministic.
 
     Plane p is a literal weight array (see :data:`LSH_PLANES`); bucket
     bit p = sign of the projection, computed as the same in-order
     left-fold as :func:`_dot`. Pure expressions — reproducible
-    anywhere, nothing to persist, and oracle-replayable.
+    anywhere, nothing to persist, and oracle-replayable. Takes an SQL
+    snippet and parses ONE string (r12): the former per-plane
+    ``F.array(64 × F.lit)`` + lambda construction was ~4 000 py4j
+    round trips (~0.9 s of driver build per invocation); ``repr(w)``
+    renders the identical doubles the lit path shipped (the
+    _proj_array_sql round-trip argument), and the weights multiply
+    exactly as before: CAST(x AS DOUBLE) * w with w already double.
     """
-    bucket = None
+    terms = []
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(w) for w in LSH_PLANES[p]])
-        proj = F.aggregate(
-            F.zip_with(emb_col, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ", ".join(repr(w) for w in LSH_PLANES[p])
+        proj = (
+            f"aggregate(zip_with({emb}, array({arr}),"
+            " (x, w) -> CAST(x AS DOUBLE) * CAST(w AS DOUBLE)),"
+            " 0.0D, (acc, v) -> acc + v)"
         )
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+        terms.append(f"(CASE WHEN {proj} > 0.0D THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +211,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the zero-norm exclusion matches the exact paths: a zero vector
     # has no cosine (ANSI 0/0 error otherwise)
     e = _corpus_with_norms(spark, sf_dir).withColumn(
-        "bucket", _lsh_bucket(F.col("embedding"))
+        "bucket", _lsh_bucket("embedding")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -213,7 +224,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_emb",
         "q_nrm",
         "q_bucket",
-        F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+        F.expr(f"explode(array({', '.join(str(m) for m in _PROBE_MASKS)}))").alias(
+            "mask"
+        ),
     ).select(
         "query_id",
         "q_emb",
@@ -227,7 +240,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("embedding"), F.col("q_emb"))
+                _dot("embedding", "q_emb")
                 / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cosine"),
         )
@@ -501,15 +514,15 @@ _proj_rng = random.Random(0xC0FFEE)
 _PROJ_COEFS = [_proj_rng.uniform(-1.0, 1.0) for _ in range(DIM)]
 
 
-def _proj_array():
-    """The projection coefficients as ONE parsed literal array column.
+def _proj_array_sql() -> str:
+    """The projection coefficients as ONE literal array SQL snippet.
 
-    A single ``F.expr`` call instead of 64 ``F.lit`` py4j round-trips
+    A single parsed string instead of 64 ``F.lit`` py4j round-trips
     (~50 ms of client-side build per query) — ``repr(float)`` is the
     shortest exact round-trip, so the parsed doubles are bit-identical
     to the ``F.lit`` construction and to the oracles' rendered coefs.
     """
-    return F.expr(f"array({', '.join(repr(c) for c in _PROJ_COEFS)})")
+    return f"array({', '.join(repr(c) for c in _PROJ_COEFS)})"
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +576,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("embedding"), F.col("q_emb"))
+                _dot("embedding", "q_emb")
                 / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cosine"),
         )
@@ -916,7 +929,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_params(spark, sf_dir)
     # zero-norm exclusion: same rationale and oracle mirror as above
     e = _corpus_with_norms(spark, sf_dir)
-    proj = _dot(F.col("embedding"), _proj_array())
+    proj = _dot("embedding", _proj_array_sql())
     w_cell = W.partitionBy("cell")
     v = (
         _with_cell(e.select("vec_id", "embedding", "nrm"), cents)
@@ -948,12 +961,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normal cells (the entire corpus when nothing is degenerate)
     # never pay for it
     hot = v.filter(F.col("csize") > CELL_PAIR_CAP).withColumn("proj", proj)
-    w_proj = w_cell.orderBy("proj", "vec_id")
-    nbr = F.array(
-        *[
-            F.lead(F.struct("vec_id", "embedding", "nrm"), k).over(w_proj)
+    # one parsed string instead of 8 lead().over() Column builds (~100
+    # py4j calls); every OVER clause is the identical window spec, so
+    # Catalyst still plans ONE Window operator
+    _over = "OVER (PARTITION BY cell ORDER BY proj, vec_id)"
+    nbr = F.expr(
+        "array("
+        + ", ".join(
+            f"lead(struct(vec_id, embedding, nrm), {k}) {_over}"
             for k in range(1, CELL_CHAIN_NEIGHBORS + 1)
-        ]
+        )
+        + ")"
     )
     chained = (
         hot.select(
@@ -985,7 +1003,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_a",
             "vec_id_b",
             (
-                _dot(F.col("emb_a"), F.col("emb_b"))
+                _dot("emb_a", "emb_b")
                 / (F.col("nrm_a") * F.col("nrm_b"))
             ).alias("cosine"),
         )
@@ -1304,9 +1322,9 @@ def pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus equals vᵀGv = λ for the unit eigenvector. score² is
     # rounded to 10 decimals and summed as DECIMAL(30,10) (the Gram
     # convention), so the certified quantity is deterministic.
-    comp = F.expr(f"array({', '.join(repr(float(x)) for x in v)})")
+    comp_sql = f"array({', '.join(repr(float(x)) for x in v)})"
     sq_sum = (
-        emb.select(_dot(F.col("embedding"), comp).alias("s"))
+        emb.select(_dot("embedding", comp_sql).alias("s"))
         .agg(
             F.sum(
                 F.round(F.col("s") * F.col("s"), 10).cast("decimal(30,10)")
@@ -1378,8 +1396,8 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nz.size and v[nz[0]] < 0:
         v = -v
     eigval = float(eigvals[-1])
-    comp = F.expr(f"array({', '.join(repr(float(x)) for x in v)})")
-    score = _dot(F.col("embedding"), comp)
+    comp_sql = f"array({', '.join(repr(float(x)) for x in v)})"
+    score = _dot("embedding", comp_sql)
     return emb.select(
         "vec_id",
         "label",
