@@ -290,18 +290,18 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shuffles 100 TB": pay the shuffle once at write time,
     join co-located forever after. The oracle is the plain join.
     """
-    from real_time_big_data_architect_spark.tables import fan_out, load_table
+    from real_time_big_data_architect_spark.tables import load_table
 
     try:
-        # fan_out the write inputs: hashing every row into buckets from
-        # the one-task fixture scan serialized the table writes
-        # (tools/parallelcheck.py); bucketed tables may carry multiple
-        # files per bucket, so the parallel write stays co-location-
-        # correct and the join still plans with ZERO Exchange
-        write_bucketed(spark, fan_out(load_table(spark, sf_dir, "orders")),
+        # write_bucketed pre-distributes by the bucket key itself, so
+        # no fan_out here: round-robin spreading made every one of the
+        # 32 write tasks hold rows of all 8 buckets and emit 8 files —
+        # 257 files per table (measured), a file-creation storm at
+        # write time and 32× the file-opens at read time
+        write_bucketed(spark, load_table(spark, sf_dir, "orders"),
                        "o_custkey", "orders_bkt")
         write_bucketed(spark,
-                       fan_out(load_table(spark, sf_dir, "customer")),
+                       load_table(spark, sf_dir, "customer"),
                        "c_custkey", "customer_bkt")
         joined = colocated_join(spark)
         out = joined.groupBy("c_mktsegment").agg(
@@ -323,11 +323,24 @@ def write_bucketed(spark: SparkSession, df: DataFrame, key: str,
     """(Re)create a bucketed+sorted warehouse table, robust to a stale
     location left by a previous session: a fresh metastore doesn't
     know the table, so ``mode("overwrite")`` alone raises
-    LOCATION_ALREADY_EXISTS against the leftover directory."""
+    LOCATION_ALREADY_EXISTS against the leftover directory.
+
+    The input is repartitioned BY THE BUCKET KEY into N_BUCKETS
+    partitions first (guide §6: bucketed writes emit one file per
+    bucket per task, so T tasks × B buckets = T·B small files — the
+    classic bucket-write explosion; measured 257 files/table and a
+    3.3 s build from the former round-robin fan_out, vs 9 files and
+    0.8 s pre-distributed). ``repartition(n, col)`` and bucketBy use
+    the same Murmur3 ``HashPartitioning``, so each write task holds
+    exactly one bucket and co-location is unchanged (the colocated
+    SMJ still plans ZERO Exchange — asserted in
+    tests/test_round4_ops.py). At 100 TB the bucket count (not the
+    task count) is the file-sizing knob: pick N_BUCKETS so one
+    bucket's rows land in the 128 MB-1 GB file band."""
     _drop_table_and_location(spark, name)
-    df.write.mode("overwrite").bucketBy(N_BUCKETS, key).sortBy(
-        key
-    ).saveAsTable(name)
+    df.repartition(N_BUCKETS, F.col(key)).write.mode("overwrite").bucketBy(
+        N_BUCKETS, key
+    ).sortBy(key).saveAsTable(name)
 
 
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:
