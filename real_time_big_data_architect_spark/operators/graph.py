@@ -123,7 +123,27 @@ def transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank on the transition graph, PR_ITERS rounds."""
+    """Weighted PageRank on the transition graph, PR_ITERS rounds.
+
+    Round shape (r13 optimization, guide §2.4): the damping re-attach
+    is FUSED into the contribution aggregation — every node
+    contributes an explicit zero-valued row into the per-dst sum, so
+    one union + one aggregation replaces the former
+    ``nodes ⟕ contrib`` left join. Decimal addition is exact and a +0
+    term changes no sum, so ranks are bit-identical; per round the
+    node-sized join shuffle disappears outright (at 100 TB that is one
+    node-relation shuffle per iteration). The final rank pass consumes
+    its input three times (bounds, counts, keyed window), so the
+    node-sized final pr is truncated with an eager ``localCheckpoint``
+    first — the former lazy persist left the rank plan embedding the
+    whole unrolled loop ~3× (797 KB formatted; the bfs_khop plan
+    disease). LocalCheckpoint blocks are executor-local and
+    non-replicated: an executor loss during the rank pass fails the
+    job instead of recomputing — acceptable within one derivation; a
+    cluster deployment that needs fault tolerance here should use
+    reliable ``checkpoint()`` instead (same truncation, replicated
+    storage).
+    """
     # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
     n_events = estimate_rows(sf_dir, "events")
     with _loop_shuffle_conf(spark, n_events):
@@ -146,6 +166,11 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = nodes.crossJoin(F.broadcast(n_tbl)).select(
             "user_id", (F.lit(1.0) / F.col("n")).alias("pr")
         )
+        dec = f"decimal(28,{PR_SCALE})"
+        # every node as a zero contribution: keeps the aggregation's key
+        # set equal to the node set (edge dsts are a subset of nodes),
+        # replacing the per-round nodes left join — see docstring
+        zero_rows = nodes.select("user_id", F.lit(0).cast(dec).alias("c"))
         for _ in range(PR_ITERS):
             contrib = (
                 ew.join(pr.withColumnRenamed("user_id", "src"), "src")
@@ -156,56 +181,33 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (F.col("w").cast("double") / F.col("outw").cast("double")),
                         PR_SCALE,
                     )
-                    .cast(f"decimal(28,{PR_SCALE})")
+                    .cast(dec)
                     .alias("c"),
                 )
+                .unionByName(zero_rows)
                 .groupBy("user_id")
                 .agg(F.sum("c").alias("s"))
             )
-            pr = (
-                nodes.crossJoin(F.broadcast(n_tbl))
-                .join(contrib, "user_id", "left")
-                .select(
-                    "user_id",
-                    (
-                        F.lit(PR_BASE) / F.col("n")
-                        + F.lit(DAMPING)
-                        * F.coalesce(
-                            F.col("s"),
-                            F.lit(0).cast(f"decimal(28,{PR_SCALE})"),
-                        ).cast("double")
-                    ).alias("pr"),
-                )
+            pr = contrib.crossJoin(F.broadcast(n_tbl)).select(
+                "user_id",
+                (
+                    F.lit(PR_BASE) / F.col("n")
+                    + F.lit(DAMPING) * F.col("s").cast("double")
+                ).alias("pr"),
             )
-        # final rank attachment: sketch-bounded two-pass row_number
-        # (functions/ranking.py) over (pr desc, user_id) — identical ranks
-        # to ROW_NUMBER() OVER (ORDER BY pr DESC, user_id), but the sort is
-        # a parallel keyed-window shuffle instead of one WindowExec task
-        # holding every node (at 100 TB node count the single-partition
-        # window is a driver-sized sort — the r4 scale-killer). The
-        # quantile-bounds variant is deterministic with no internal
-        # persist, so there is no helper cache to release — but it consumes
-        # its input three times (bounds, counts, keyed window), so the
-        # node-sized final-round pr relation is persisted here and released
-        # with the other intermediates below.
-        pr = pr.persist()
-        result = (
+        # eager lineage truncation before the three-consumer rank pass
+        # (see docstring); materializes the whole loop here, so every
+        # intermediate cache can release immediately
+        pr = pr.localCheckpoint(eager=True)
+        ew.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
+        return (
             quantile_partitioned_rank(
                 pr, "pr", "user_id", descending=True, rank_col="rank"
             )
             .select("user_id", F.col("pr").alias("pagerank"), "rank")
-            .persist()
         )
-        # same cache hygiene as bfs_khop: materialize the node-sized result
-        # once, then release every intermediate persist (edges, weighted
-        # edges, nodes) instead of leaking them into executor storage on
-        # every invocation
-        result.count()
-        pr.unpersist()
-        ew.unpersist()
-        edges.unpersist()
-        nodes.unpersist()
-        return result
 
 
 
@@ -325,6 +327,17 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.06 s with results bit-identical. At 100 TB the right physical
     layout is both sides bucketed by user_id (the Pregel partitioning,
     same note as pagerank above).
+
+    Fault-tolerance tradeoff (r12 verdict item 2): localCheckpoint
+    blocks are executor-local and non-replicated — losing an executor
+    after a frontier is checkpointed fails the job instead of
+    recomputing the lost frontier, and the eager materialization means
+    building this DataFrame runs the whole BFS loop up front. Within
+    one derivation that trade is deliberate (the recompute path the
+    old persist() offered was itself the compounding-plan problem); a
+    cluster run that must survive executor loss mid-query should use
+    reliable ``checkpoint()`` to replicated storage — same lineage
+    truncation, durable blocks, one extra write/read of each frontier.
     """
     # footer-stat estimate: no COUNT job per invocation (r8 verdict 6)
     n_events = estimate_rows(sf_dir, "events")
