@@ -506,11 +506,18 @@ def phash_dedup_pairs(corpus: DataFrame) -> DataFrame:
     # explicit partition count: a count-less keyed repartition lets
     # AQE coalesce the few-MB signature exchange to one partition and
     # serialize the band bucketing downstream (the dedup_simhash bug
-    # class, tools/parallelcheck.py)
+    # class, tools/parallelcheck.py). Persisted (r13, guide §4/§5):
+    # three consumers read this relation (band bucketing + both sides
+    # of the verification join-back), and without materialization each
+    # consumer re-ran the WHOLE corpus build + MapInPandas signature
+    # kernel — three Python kernel passes per query (measured 4.14 s →
+    # 2.87 s at sf0.1 with one). Same lazy-internal-persist convention
+    # as dedup_minhash's 4-consumer signature relation; callers release
+    # via the session clearCache() discipline.
     sigs = _phash_sigs(corpus).repartition(
         corpus.sparkSession.sparkContext.defaultParallelism,
         F.col("doc_id"),
-    )
+    ).persist()
     buckets = sigs.select(
         "doc_id",
         "phash",
