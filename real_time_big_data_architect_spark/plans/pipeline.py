@@ -139,7 +139,7 @@ def run_poll_pipeline(
     return writer.start()
 
 
-def run_poll_all_pipeline(
+def run_poll_all_pipeline(  # noqa: PLR0913 - one optional knob per sink concern
     spark: SparkSession,
     *,
     url_overrides: dict[str, str] | None = None,
@@ -148,6 +148,7 @@ def run_poll_all_pipeline(
     status_table: str = "poll_all_status",
     available_now: bool = False,
     processing_time: str = "60 seconds",
+    checkpoint_location: str | None = None,
 ):
     """Start the CONCURRENT every-source loop; returns the query.
 
@@ -222,6 +223,12 @@ def run_poll_all_pipeline(
             )
 
     writer = stream.writeStream.foreachBatch(on_batch)
+    if checkpoint_location:
+        # transient drains pass RAM-backed scratch (see
+        # streaming.stateful.stream_scratch_dir); a production
+        # long-lived loop passes durable storage — default stays the
+        # engine's implicit temporary checkpoint
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -363,18 +363,24 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
     'primary' precisely when that count is positive — both recomputed
     by DuckDB from the same JSON files. ``sf_dir`` unused (payload
     catalog input)."""
+    import shutil
     import uuid
 
     from real_time_big_data_architect_spark.plans.pipeline import (
         run_poll_all_pipeline,
     )
+    from real_time_big_data_architect_spark.streaming.stateful import (
+        stream_scratch_dir,
+    )
 
     table = f"poll_all_{uuid.uuid4().hex[:12]}"
+    ckpt = stream_scratch_dir("poll_all_ckpt_")
     q = run_poll_all_pipeline(
         spark,
         payload_dir=_PAYLOAD_DIR,
         status_table=table,
         available_now=True,
+        checkpoint_location=ckpt,
     )
     try:
         q.awaitTermination()
@@ -387,6 +393,7 @@ def stream_poll_all_tick(spark, sf_dir: str):  # noqa: ARG001
         ).collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(ckpt, ignore_errors=True)
     # JVM-side VALUES relation: createDataFrame would wrap the 10 rows
     # in a Python-RDD scan, charging the caller's collect a Python
     # worker round-trip (see tables.jvm_local_df)

@@ -70,9 +70,12 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     value totals exact decimals.
     """
     import shutil
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="inc_etl_")
+    from real_time_big_data_architect_spark.streaming.stateful import (
+        stream_scratch_dir,
+    )
+
+    work = stream_scratch_dir("inc_etl_")
     in_dir = f"{work}/in"
     out_dir = f"{work}/out"
     ckpt = f"{work}/ckpt"

@@ -78,6 +78,35 @@ STREAM_SHUFFLE_PARTITIONS = 8
 TWS_SHUFFLE_PARTITIONS = 16
 
 
+def stream_scratch_dir(prefix: str) -> str:
+    """mkdtemp for EPHEMERAL streaming scratch (checkpoints, versioned
+    view dirs) — RAM-backed when the host offers it.
+
+    The declared drain queries are transient: availableNow → memory
+    sink, scratch deleted before the function returns, so the durable-
+    fsync guarantees of a disk checkpoint buy nothing — yet the
+    HDFS-backed state store and the offset/commit WAL pay a
+    write+rename per store instance per batch, which on a slow-metadata
+    disk dominates small-batch drains (measured ~5-8 s of summed
+    commitTimeMs per batch on the stream-stream joins at sf0.1).
+    Scratch therefore defaults to ``/dev/shm`` (tmpfs) when present.
+
+    Parameterised, not pinned: ``SPARK_GRAFT_STREAM_SCRATCH`` overrides
+    the root (a production LONG-LIVED stream must point its checkpoint
+    at durable shared storage instead — restart recovery is the point
+    there; these helpers are only for drains whose checkpoint dies with
+    the call).
+    """
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if not root:
+        shm = "/dev/shm"
+        root = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 def _stream_shuffle_conf(spark: SparkSession, target: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` down to the streaming
     sizing (min(current, target or STREAM_SHUFFLE_PARTITIONS)) for the
@@ -121,18 +150,29 @@ def _run_to_memory(
     queries keep their own sizing. ``partitions`` overrides the
     streaming default (TWS queries pass TWS_SHUFFLE_PARTITIONS).
     """
+    import shutil
+
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    with _stream_shuffle_conf(spark, partitions):
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        progress.record(q)
+    # explicit RAM-backed checkpoint (see stream_scratch_dir): the
+    # engine's implicit temporary checkpoint lands in java.io.tmpdir,
+    # which is a disk mount here — per-batch state/WAL commits there
+    # dominated the small-batch drains
+    ckpt = stream_scratch_dir("drain_ckpt_")
+    try:
+        with _stream_shuffle_conf(spark, partitions):
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progress.record(q)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -386,7 +426,7 @@ def stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="fb_mv_")
+    work = stream_scratch_dir("fb_mv_")
     ckpt = f"{work}/ckpt"
     _merge = make_mv_merge(work)
     ev = _events_stream(spark, sf_dir)
@@ -511,7 +551,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_estimate,
     )
 
-    work = tempfile.mkdtemp(prefix="hll_mv_")
+    work = stream_scratch_dir("hll_mv_")
     ckpt = f"{work}/ckpt"
     _merge = make_hll_merge(work)
     ev = _events_stream(spark, sf_dir)
@@ -607,7 +647,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="cdc_apply_")
+    work = stream_scratch_dir("cdc_apply_")
     feed_schema, feed_dir, seed_dir = stage_cdc_feed(spark, sf_dir, work)
     _apply = make_cdc_apply(work, seed_dir)
 
@@ -678,19 +718,24 @@ def stage_cdc_feed(
         # split the feed by key parity into two single-file batches so
         # the drain exercises a genuine multi-batch apply (change types
         # for one key always travel together — parity is a function of
-        # the key); persist the feed so the second parity branch reads
-        # the cached diff instead of recomputing the v1⋈v2 join
-        feed = feed.persist()
-        try:
-            for i in range(2):
-                tmp_out = f"{work}/part{i}"
-                feed.filter(F.pmod("o_orderkey", F.lit(2)) == i).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(tmp_out)
-                src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
-                shutil.move(src, f"{feed_dir}/feed{i}.parquet")
-        finally:
-            feed.unpersist()
+        # the key). ONE partitionBy job writes both parity files (r13,
+        # r12-verdict item 1): hash-repartitioning on the parity column
+        # puts each parity in exactly one task and the partitioned
+        # writer emits exactly one file per parity value — the former
+        # persist + two filtered coalesce(1) writes ran three jobs over
+        # the same diff
+        tmp_out = f"{work}/staged"
+        (
+            feed.withColumn("__p", F.pmod("o_orderkey", F.lit(2)))
+            .repartition(2, F.col("__p"))
+            .write.partitionBy("__p")
+            .mode("overwrite")
+            .parquet(tmp_out)
+        )
+        for i in range(2):
+            src = glob.glob(f"{tmp_out}/__p={i}/part-*.parquet")[0]
+            shutil.move(src, f"{feed_dir}/feed{i}.parquet")
+        shutil.rmtree(tmp_out, ignore_errors=True)
         # seed the committed view with v1 as version -1
         seed_dir = f"{work}/view_seed"
         v1.write.mode("overwrite").parquet(seed_dir)
