@@ -291,10 +291,19 @@ def main() -> None:
             sorted(speed_probes)[len(speed_probes) // 2], 3
         ),
         "host_speed_per_probe": speed_probes,
+        # drift-normalized composite (r12 verdict item 1): total scaled
+        # by the median calibration factor, so cross-round comparisons
+        # have a number that already discounts uniform host slowdown.
+        # DIAGNOSTIC ONLY — "value" above stays the raw wall clock.
+        "value_drift_normalized": round(
+            total / max(sorted(speed_probes)[len(speed_probes) // 2], 1.0), 4
+        ),
     }
-    if sorted(speed_probes)[len(speed_probes) // 2] > 1.2:
+    if sorted(speed_probes)[len(speed_probes) // 2] >= 1.2:
         # drift-episode taint marker, same contract as "contended":
-        # numbers were recorded on a slowed host, not a slowed engine
+        # numbers were recorded on a slowed host, not a slowed engine.
+        # Boundary INCLUSIVE (r12 verdict item 1: the r12 recording sat
+        # at exactly 1.2 and dodged the marker)
         out["drifted"] = True
     if idle_retries[0] < 3:
         # the retry machinery acted: record how many bounded idle-waits
