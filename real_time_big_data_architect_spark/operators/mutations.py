@@ -312,8 +312,14 @@ def _cdc_feed(v1: DataFrame, v2: DataFrame) -> DataFrame:
     updates explode into their pre-/post-image pair; unchanged keys
     carry an empty array that explode() drops. Row multiset is
     identical (order-insensitive oracle; verified row-for-row)."""
-    a = v1.alias("a")
-    b = v2.alias("b")
+    # explicit per-side presence markers (r12 advice): classifying on
+    # o_orderstatus nullability would misread a genuinely-NULL status
+    # as side-absence (unreachable with TPC-H snapshots, but the
+    # null-as-absence convention was order-sensitive); a lit(true)
+    # flag column is NULL after the full-outer join exactly when the
+    # side had no row, independent of payload nullability
+    a = v1.withColumn("__a", F.lit(True)).alias("a")
+    b = v2.withColumn("__b", F.lit(True)).alias("b")
     j = a.join(b, "o_orderkey", "full_outer")
 
     def _img(tag: str, side: str):
@@ -324,8 +330,8 @@ def _cdc_feed(v1: DataFrame, v2: DataFrame) -> DataFrame:
         )
 
     rows = (
-        F.when(F.col("a.o_orderstatus").isNull(), F.array(_img("insert", "b")))
-        .when(F.col("b.o_orderstatus").isNull(), F.array(_img("delete", "a")))
+        F.when(F.col("a.__a").isNull(), F.array(_img("insert", "b")))
+        .when(F.col("b.__b").isNull(), F.array(_img("delete", "a")))
         .when(
             (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
             | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),

@@ -68,6 +68,13 @@ def _dot(a: str, b: str):
     ~60 py4j round trips per call site; one parsed string is one
     gateway call and the identical Catalyst tree, measured ~0.1-0.3 s
     of saved driver latency per similarity query.
+
+    CONTRACT (r12 advice): ``a``/``b`` are interpolated UNESCAPED into
+    the parsed expression, so callers must pass plain identifiers or
+    self-contained SQL expressions — a qualified, keyword-colliding,
+    or backtick-requiring column name must be backtick-wrapped by the
+    caller. Every in-repo call site passes simple internal column
+    names. Applies equally to ``_norm``/``_lsh_bucket`` below.
     """
     return F.expr(
         f"aggregate(zip_with({a}, {b},"

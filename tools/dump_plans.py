@@ -5,9 +5,11 @@ Usage:
     python tools/dump_plans.py <tag> --suffix after [query ...]
 
 Writes plans/<tag>/<query>_<suffix>.txt (suffix defaults to "before").
-Plan capture is driver-side only (no job runs), so this is cheap; a few
-operators execute bounded collects while *building* the plan (IVF
-centroids, bloom filters) — those run at the bench SF dir.
+Plan capture is mostly driver-side; a few operators execute bounded
+collects while *building* the plan (IVF centroids, bloom filters), and
+the eager-checkpoint loop operators (bfs_khop, pagerank,
+recursive_cte_reachability, the streaming drains) run their real jobs
+at plan-build time — those run at the bench SF dir.
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ def main() -> None:
     tag = args.pop(0)
     suffix = "before"
     if args[:1] == ["--suffix"]:
+        if len(args) < 2:
+            raise SystemExit("--suffix requires a value")
         suffix = args[1]
         args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
