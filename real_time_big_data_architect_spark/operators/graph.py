@@ -211,21 +211,42 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: adaptive triangle-plan switch: below this undirected edge count the
+#: wedge+semi plan wins (exchange reuse, fewer stages — stage latency
+#: dominates small graphs); above it the edge-iterator avoids
+#: materializing the wedge set entirely and wins by ~2× at ×16
+#: (measured r13: ×1 = 96 k edges wedge 3.77 s vs edge-iter 4.52 s;
+#: ×4 = 382 k a wash, 4.16 vs 4.24; ×16 = 1.53 M edges wedge 10.97 s
+#: vs edge-iter 5.58 s — the crossover sits near ×4, the threshold a
+#: comfortable step past it). Data-derived like AQE's strategy picks:
+#: both plans are exact, the count decides only the physical shape.
+TRIANGLE_EDGE_ITER_MIN_EDGES = 1_000_000
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the undirected transition graph — the
     clustering-coefficient / community-density primitive.
 
-    Degree-ordered wedge enumeration (Schank & Wagner 2005; the same
+    Degree-ordered orientation (Schank & Wagner 2005; the same
     orientation GraphX's TriangleCount uses): each undirected edge is
     oriented from its lower-``(degree, id)`` endpoint to the higher, so
-    every vertex's out-degree is O(√m) even at hub nodes — the wedge
-    self-join ``o1 ⋈ o2 ON src`` is bounded per-vertex instead of
-    quadratic in hub degree, which is what makes this survive a
-    power-law graph at 100 TB (a naive a<b<c edge triple join explodes
-    at the hubs). Each triangle is counted exactly once: only its
-    minimum-``(deg, id)`` vertex emits the wedge, closed by a LEFT SEMI
-    probe into the undirected edge set. The oracle replays the naive
-    a<b<c triple join — same count, different (non-scalable) plan.
+    every vertex's out-degree is O(√m) even at hub nodes — which is
+    what makes this survive a power-law graph at 100 TB (a naive a<b<c
+    edge triple join explodes at the hubs). Each triangle is counted
+    exactly once at its minimum-``(deg, id)`` vertex. The oracle
+    replays the naive a<b<c triple join — same count, different
+    (non-scalable) plan.
+
+    The PHYSICAL plan is chosen by a footer-stat edge-count bound
+    (r13, guide §1/§3): small graphs run the wedge self-join + LEFT SEMI close
+    (fewest stages — stage latency dominates); graphs past
+    ``TRIANGLE_EDGE_ITER_MIN_EDGES`` run the edge-iterator — per
+    oriented edge ``|N⁺(u) ∩ N⁺(v)|`` over sorted adjacency arrays —
+    which never materializes the wedge set (wedges grow ~Σdeg² while
+    edges grow linearly, so the wedge relation is the first thing to
+    blow past memory/shuffle budgets on a growing graph). Both paths
+    are exact and oracle-identical; see the constant's docstring for
+    the crossover measurements.
     """
     und = (
         _edges(spark, sf_dir)
@@ -235,19 +256,26 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # count_triangles materializes its 1-row result before returning,
-    # so the edge cache can release immediately (r11 review: this used
-    # to leak two persisted relations per invocation — the same cache
-    # hygiene bfs_khop/pagerank adopted in r8)
-    result = count_triangles(und)
+    # plan choice from the parquet footer stat (the r8 no-COUNT-job
+    # discipline): event count upper-bounds the edge count (each event
+    # contributes at most one hop; measured ~0.96 edges/event on the
+    # fixture), and the proxy's slack only shifts the switch point —
+    # both plans are exact. An exact und.count() here cost an extra
+    # job (~7% at sf0.1, measured).
+    result = count_triangles(
+        und, n_edges_hint=estimate_rows(sf_dir, "events")
+    )
     und.unpersist()
     return result
 
 
-def count_triangles(und: DataFrame) -> DataFrame:
+def count_triangles(und: DataFrame, n_edges_hint: int | None = None) -> DataFrame:
     """Degree-ordered triangle count over a deduped undirected edge
     set ``(a, b)`` with a < b. Factored out so tests can plant known
-    graphs; see triangle_count for the full scale rationale."""
+    graphs; see triangle_count for the full scale rationale and the
+    adaptive wedge/edge-iterator switch. ``n_edges_hint`` (an upper
+    bound is fine) picks the physical plan; ``None`` keeps the
+    small-graph wedge plan."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -260,27 +288,44 @@ def count_triangles(und: DataFrame) -> DataFrame:
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    # persisted: the wedge enumeration consumes BOTH sides of the
-    # self-join from this one relation — without materialization each
-    # side re-runs the two degree joins; with it, the self-join's twin
-    # exchanges are byte-identical and Spark reuses one shuffle write
+    # persisted: both downstream shapes consume this relation more than
+    # once (wedge self-join sides / adjacency build + probe sides)
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
-    o1 = oriented.select("src", F.col("dst").alias("x"))
-    o2 = oriented.select("src", F.col("dst").alias("y"))
-    wedges = o1.join(o2, (o1.src == o2.src) & (F.col("x") < F.col("y"))).drop(
-        o2.src
-    )
-    closed = wedges.join(
-        und,
-        (F.least("x", "y") == und.a) & (F.greatest("x", "y") == und.b),
-        "left_semi",
-    )
+    if (n_edges_hint or 0) >= TRIANGLE_EDGE_ITER_MIN_EDGES:
+        # edge-iterator: sorted O(√m)-bounded out-adjacency per node,
+        # one |N⁺(u) ∩ N⁺(v)| per oriented edge — shuffle joins only,
+        # no broadcast, no wedge materialization
+        adj = oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+        au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+        av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+        per_edge = (
+            oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(au, "u")
+            .join(av, "v")
+            .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+        )
+        n_tri = per_edge.agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    else:
+        o1 = oriented.select("src", F.col("dst").alias("x"))
+        o2 = oriented.select("src", F.col("dst").alias("y"))
+        wedges = o1.join(
+            o2, (o1.src == o2.src) & (F.col("x") < F.col("y"))
+        ).drop(o2.src)
+        closed = wedges.join(
+            und,
+            (F.least("x", "y") == und.a) & (F.greatest("x", "y") == und.b),
+            "left_semi",
+        )
+        n_tri = closed.agg(F.count("*").alias("n_triangles"))
     n_edges = und.agg(F.count("*").alias("n_edges"))
-    n_tri = closed.agg(F.count("*").alias("n_triangles"))
-    # materialize the 1-row result via collect, then release the wedge
+    # materialize the 1-row result via collect, then release the
     # cache and return a JVM-side literal relation: no persisted
     # relation escapes the call (r11 advisor: the returned .persist()
     # was never unpersisted by any caller, so each invocation pinned a
