@@ -340,8 +340,16 @@ def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
         * F.lit(float(HLL_M * HLL_M))
         * F.lit(float(1 << (HLL_WBITS + 1)))
     ) / F.col("s").cast("double")
+    # ONE parsed array literal (the r12 similarity discipline): the
+    # former F.array(*[F.lit(x) ...]) built 256 Column objects through
+    # ~514 py4j round trips per hll_estimate call — pure driver
+    # latency. repr(float) round-trips to the identical double Spark's
+    # lit() would ship, so the Catalyst literal array is bit-identical.
     lc = F.element_at(
-        F.array(*[F.lit(x) for x in HLL_LINEAR]), F.col("n_zero").cast("int")
+        F.expr(
+            "array(" + ", ".join(repr(x) + "D" for x in HLL_LINEAR) + ")"
+        ),
+        F.col("n_zero").cast("int"),
     )
     with_raw = sums.withColumn("hll_raw", raw)
     est = F.when(
