@@ -464,9 +464,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit partition count: without it AQE coalesces the few-MB
     # signature exchange to one partition and the downstream band
     # bucketing + pair chaining ran serial (tools/parallelcheck.py).
+    # Persisted (r13): exchange reuse alone did not stop the Python
+    # signature kernel re-planning across the three consumers —
+    # measured 1.94 → 1.72 s at sf0.1 with the cache (the
+    # media_phash_dedup fix, same lazy-internal-persist convention as
+    # the minhash signature relation; released by session clearCache())
     sigs = _simhash_bands(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    ).persist()
     buckets = sigs.select(
         "doc_id",
         "simhash",
